@@ -1,0 +1,131 @@
+"""Composed end-to-end pipelines (batch mode + incremental/service mode).
+
+Batch mode mirrors ``pmocr.sh --batch`` (/root/reference/pmocr.sh:
+2321-2496 → OCR_Dispatch :2111-2192 → ExecTasks :795-1237): discover →
+filter already-processed → route → convert → mark done / quarantine.
+Here discovery is ``read_parquet``, the filter is a broadcast anti-join
+against the done manifest, routing is content sniffing, conversion is
+the actor-pool extract stage, and done/quarantine are status columns in
+partitioned Parquet output.
+
+Scale notes (the 100 TB story):
+
+* The done-url anti-join is a **broadcast** (``ray.put`` once, read
+  once per actor) — correct while the done set of *row-level* urls for
+  the partitions in flight fits in memory.  At 10^12 documents the
+  row-level manifest is partition-pruned first: a partition committed
+  in the lineage manifest is never even read (metadata-only skip, see
+  :mod:`pmocr_ray.state.manifest`), so the broadcast set only ever
+  covers rows of partially-processed partitions.
+* No shuffle anywhere in the hot path: sniff and extract are
+  map-only; the only ``groupby`` is the tiny per-run metrics rollup.
+* Skew: ``override_num_blocks`` at the read plus an optional explicit
+  ``repartition`` spread giant-payload rows across blocks before the
+  heavy parse stage (north-star mandate; the reference has no
+  equivalent — a giant PDF just occupies a slot, SURVEY §4).
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import uuid
+
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+
+from pmocr_ray import schema as S
+from pmocr_ray.stages import ExtractStage, sniff_stage
+
+
+def _cluster_cpus() -> int:
+    try:
+        return max(1, int(ray.cluster_resources().get("CPU", 4)))
+    except Exception:  # pragma: no cover - ray not initialised
+        return 4
+
+
+def read_pages(pages_path: str | list[str], num_blocks: int | None = None) -> rd.Dataset:
+    """Source: Parquet shards of pages (reference: find-based discovery,
+    /root/reference/pmocr.sh:2183).  Column pruning happens here — all
+    five input columns are genuinely consumed downstream."""
+    kwargs = {}
+    if num_blocks is not None:
+        kwargs["override_num_blocks"] = num_blocks
+    return rd.read_parquet(
+        pages_path,
+        columns=["url", "warc_ts", "html", "text", "lang"],
+        **kwargs,
+    )
+
+
+def load_done_urls_ref(done_manifest_path: str | None):
+    """Broadcast the done-url set once (ray.put) — never per batch."""
+    if not done_manifest_path or not os.path.exists(done_manifest_path):
+        return None
+    urls = frozenset(
+        pq.read_table(done_manifest_path, columns=["url"])["url"].to_pylist()
+    )
+    return ray.put(urls)
+
+
+def run_extraction(
+    pages_path: str | list[str],
+    done_manifest_path: str | None = None,
+    *,
+    run_id: str | None = None,
+    processed_at: datetime.datetime | None = None,
+    num_blocks: int | None = None,
+    repartition_blocks: int | None = None,
+    concurrency: int | None = None,
+    batch_size: int = 64,
+) -> rd.Dataset:
+    """The flagship pipeline: read → sniff → (rebalance) → extract.
+
+    Returns a lazy Dataset with :data:`pmocr_ray.schema.OUTPUT_SCHEMA`;
+    consume with ``write_parquet`` / ``iter_batches`` — nothing here
+    materializes the input.
+    """
+    cpus = _cluster_cpus()
+    if num_blocks is None:
+        # enough blocks that both parallelism levels saturate (≥2 waves)
+        num_blocks = max(2 * cpus, 16)
+    if concurrency is None:
+        concurrency = max(1, cpus - 1)  # leave headroom for read/write tasks
+
+    ds = read_pages(pages_path, num_blocks=num_blocks)
+    ds = ds.map_batches(sniff_stage, batch_format="pyarrow")
+    if repartition_blocks:
+        # Explicit skew rebalance before the heavy parse stage: spreads
+        # giant-payload rows across blocks.  Off by default — at scale,
+        # block splitting at the read (override_num_blocks /
+        # target_max_block_size) achieves the same without an exchange.
+        ds = ds.repartition(repartition_blocks)
+    ds = ds.map_batches(
+        ExtractStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+        fn_constructor_kwargs={
+            "done_urls_ref": load_done_urls_ref(done_manifest_path),
+            "run_id": run_id or f"run-{uuid.uuid4().hex[:8]}",
+            "processed_at": processed_at,
+        },
+    )
+    return ds
+
+
+def status_counts(result_ds: rd.Dataset) -> dict[str, int]:
+    """Per-run metrics rollup (reference: errorcount/failedPidsList
+    tallies, /root/reference/pmocr.sh:1047-1063) — a tiny groupby."""
+    rows = result_ds.groupby("status").count().take_all()
+    return {r["status"]: r["count()"] for r in rows}
+
+
+def write_output(result_ds: rd.Dataset, out_dir: str) -> None:
+    """Sink: partitioned Parquet, one directory per run/partition so a
+    failed run can be skipped/rerun wholesale (resumable output)."""
+    result_ds.write_parquet(out_dir)

@@ -1,0 +1,145 @@
+"""Ray Data batch transforms — the physical stages of the pipeline.
+
+Stage kinds mirror the reference's execution split (SURVEY §2.7/§4):
+
+* cheap, pure, vectorizable steps (sniffing, projections, status
+  predicates) are **stateless task** ``map_batches`` functions;
+* the extraction engines are a **callable class** run as an actor pool
+  (``map_batches(ExtractStage, concurrency=N)``) — registry/config
+  resolved once per actor in ``__init__``, amortized across batches,
+  mirroring the reference's long-lived OCR service processes
+  (/root/reference/pmocr.sh:1825-1852 resolves the engine once at
+  startup; pmocr-srv keeps it warm).
+
+All stages are Arrow in / Arrow out (``batch_format="pyarrow"``,
+zero-copy from the object store).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from pmocr_ray import schema as S
+from pmocr_ray.extract.registry import EXTRACTORS
+from pmocr_ray.extract.sniff import sniff_batch
+from pmocr_ray.state_machine import process_row
+
+
+def sniff_stage(batch: pa.Table) -> pa.Table:
+    """Append ``content_type`` + ``payload_bytes`` (cheap check before the
+    heavy stage — reference hoists its pdffonts check the same way,
+    /root/reference/CHANGELOG.md:15).
+
+    ``payload_bytes`` feeds skew decisions (giant rows) downstream.
+    """
+    ct = sniff_batch(batch["html"])
+    sizes = pc.binary_length(batch["html"]).cast(pa.int64())
+    return batch.append_column("content_type", ct).append_column(
+        "payload_bytes", sizes
+    )
+
+
+class ExtractStage:
+    """Actor-pool extraction engine stage.
+
+    One instance per actor; ``__init__`` resolves the extractor
+    registry, materializes the broadcast done-url set (``ray.put`` once
+    on the driver, ``ray.get`` once per actor — never re-shipped per
+    batch), and pins the run metadata.  ``__call__`` runs each row of a
+    batch through the shared state machine
+    (:func:`pmocr_ray.state_machine.process_row`).
+
+    Per-row Python here is the engine invocation itself (the reference
+    execs one OCR process per file, /root/reference/pmocr.sh:1923-1963);
+    everything around it — batching, routing, state columns — stays
+    columnar.  A poisoned document quarantines a *row*, never the task
+    (fault isolation, SURVEY §4).
+    """
+
+    def __init__(
+        self,
+        done_urls_ref=None,
+        run_id: str = "run-0",
+        processed_at: datetime.datetime | None = None,
+        max_attempts: int = S.MAX_ATTEMPTS,
+    ) -> None:
+        if done_urls_ref is not None:
+            import ray
+
+            obj = done_urls_ref
+            if isinstance(obj, ray.ObjectRef):
+                obj = ray.get(obj)
+            self.done_urls = frozenset(obj)
+        else:
+            self.done_urls = frozenset()
+        self.extractors = dict(EXTRACTORS)  # resolved once per actor
+        self.run_id = run_id
+        self.processed_at = processed_at or S.EPOCH
+        self.max_attempts = max_attempts
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        urls = batch["url"].to_pylist()
+        payloads = batch["html"].to_pylist()
+        pre_texts = batch["text"].to_pylist()
+
+        # content_type may already exist (sniff stage ran) — reuse it so
+        # sniffing isn't paid twice; otherwise it is computed in-row.
+        have_ct = "content_type" in batch.column_names
+
+        cts: list[str] = [None] * n  # type: ignore[list-item]
+        statuses: list[str] = [None] * n  # type: ignore[list-item]
+        attempts = [0] * n
+        errors: list[str | None] = [None] * n
+        extracted: list[str | None] = [None] * n
+
+        pre_ct = batch["content_type"].to_pylist() if have_ct else None
+        done = self.done_urls
+        for i in range(n):
+            ct, status, att, err, text = process_row(
+                payloads[i],
+                pre_texts[i],
+                urls[i] in done,
+                extractors=self.extractors,
+                max_attempts=self.max_attempts,
+            )
+            cts[i] = pre_ct[i] if pre_ct is not None else ct
+            statuses[i] = status
+            attempts[i] = att
+            errors[i] = err
+            extracted[i] = text
+
+        return pa.Table.from_arrays(
+            [
+                batch["url"].combine_chunks()
+                if isinstance(batch["url"], pa.ChunkedArray)
+                else batch["url"],
+                batch["warc_ts"].combine_chunks()
+                if isinstance(batch["warc_ts"], pa.ChunkedArray)
+                else batch["warc_ts"],
+                batch["lang"].combine_chunks()
+                if isinstance(batch["lang"], pa.ChunkedArray)
+                else batch["lang"],
+                pa.array(cts, pa.string()),
+                pa.array(statuses, pa.string()),
+                pa.array(attempts, pa.int32()),
+                pa.array(errors, pa.string()),
+                pa.array(extracted, pa.string()),
+                pa.array([self.processed_at] * n, pa.timestamp("us")),
+            ],
+            schema=S.OUTPUT_SCHEMA,
+        )
+
+
+def csv_hack(batch: pa.Table, column: str = "extracted_text",
+             out_column: str = "csv_text") -> pa.Table:
+    """The reference's CSV hack as a vectorized kernel.
+
+    ``sed 's/   */;/g'`` — 3+ consecutive spaces become one ``;`` to turn
+    fixed-width engine output into CSV (/root/reference/pmocr.sh:2013-2043).
+    """
+    out = pc.replace_substring_regex(batch[column], pattern="   +", replacement=";")
+    return batch.append_column(out_column, out)

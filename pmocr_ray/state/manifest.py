@@ -1,0 +1,175 @@
+"""Per-partition lineage manifest + incremental (service-mode) driver.
+
+The reference keeps all cross-run state in the filesystem: renamed
+files are the done/failed sets (/root/reference/pmocr.sh:2126-2144),
+an event-log file is the change feed (pmocr.sh:1640,2183), a heartbeat
+file is liveness (pmocr.sh:2446,2503).  Here the same roles are played
+by a **lineage manifest**: one small JSON entry per input partition,
+committed atomically (write tmp → rename) after that partition's
+output parquet is atomically in place.
+
+Resume semantics (idempotent restart, the reference's core property):
+a rerun processes exactly the partitions without a committed manifest
+entry; a partition killed mid-run left only a ``.tmp`` output dir,
+which is discarded and rewritten.  Output is therefore exactly-once
+per url across crashes/restarts.
+
+Service mode (pmocr.sh:2226-2281 — inotify / poller + debounced
+dispatch) becomes :func:`poll_once`: snapshot-diff the partition
+listing against the manifest, process what's new.  A loop around it
+with an interval is the poller (`_InotifyWaitPoller`,
+pmocr.sh:1567-1670); bursts coalesce for free because each round
+processes *all* pending partitions (DispatchRunner's DISPATCH_NEEDED
+cap, pmocr.sh:2195-2224).
+
+Scale note: at 10^12 documents this manifest is metadata-only — one
+entry per multi-GB partition, listed and diffed on the driver without
+touching row data.  Row-level done-sets are only consulted for
+partitions not yet committed (see pipeline.py).
+"""
+
+from __future__ import annotations
+
+import datetime
+import glob
+import hashlib
+import json
+import os
+import shutil
+import time
+
+import pyarrow.parquet as pq
+
+
+def _partition_key(path: str) -> str:
+    return hashlib.md5(os.path.basename(path).encode()).hexdigest()[:16]
+
+
+class LineageManifest:
+    """Directory of per-partition commit records with atomic writes."""
+
+    def __init__(self, manifest_dir: str) -> None:
+        self.dir = manifest_dir
+        os.makedirs(manifest_dir, exist_ok=True)
+
+    def _path(self, key: str) -> str:
+        return os.path.join(self.dir, f"{key}.json")
+
+    def is_committed(self, key: str) -> bool:
+        return os.path.exists(self._path(key))
+
+    def committed(self) -> dict[str, dict]:
+        out = {}
+        for p in sorted(glob.glob(os.path.join(self.dir, "*.json"))):
+            with open(p) as f:
+                entry = json.load(f)
+            out[os.path.splitext(os.path.basename(p))[0]] = entry
+        return out
+
+    def commit(self, key: str, entry: dict) -> None:
+        """Atomic: tmp write + rename — a crash never leaves a partial
+        entry (the reference's rename-based state flips are atomic the
+        same way, pmocr.sh:2088-2096)."""
+        tmp = self._path(key) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(entry, f, sort_keys=True)
+        os.replace(tmp, self._path(key))
+
+    def heartbeat(self) -> None:
+        """Liveness stamp (reference: SERVICE_MONITOR_FILE refresh,
+        pmocr.sh:2279)."""
+        with open(os.path.join(self.dir, "_heartbeat"), "w") as f:
+            f.write(str(time.time()))
+
+
+def list_partitions(pages_dir: str) -> list[str]:
+    return sorted(glob.glob(os.path.join(pages_dir, "*.parquet")))
+
+
+def run_incremental(
+    pages_dir: str,
+    out_dir: str,
+    manifest_dir: str,
+    done_manifest_path: str | None = None,
+    *,
+    run_id: str | None = None,
+    batch_size: int = 64,
+    concurrency: int | None = None,
+) -> dict:
+    """Process every input partition lacking a committed lineage entry.
+
+    Each partition runs as its own (cluster-parallel) Dataset pipeline,
+    writes ``out_dir/part-<key>/`` atomically, then commits its
+    manifest entry with per-status counts.  Returns a summary dict.
+    """
+    from pmocr_ray.pipeline import run_extraction  # local import: no ray at module load
+
+    manifest = LineageManifest(manifest_dir)
+    manifest.heartbeat()
+    run_id = run_id or f"run-{int(time.time())}"
+    summary = {"processed": [], "skipped": [], "counts": {}}
+
+    for path in list_partitions(pages_dir):
+        key = _partition_key(path)
+        if manifest.is_committed(key):
+            summary["skipped"].append(key)
+            continue
+        part_out = os.path.join(out_dir, f"part-{key}")
+        tmp_out = part_out + ".tmp"
+        shutil.rmtree(tmp_out, ignore_errors=True)   # discard a torn run
+        shutil.rmtree(part_out, ignore_errors=True)
+
+        ds = run_extraction(
+            path,
+            done_manifest_path,
+            run_id=run_id,
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
+        ds.write_parquet(tmp_out)
+        os.replace(tmp_out, part_out)
+
+        # per-partition metrics from the written output (columnar read
+        # of one small column, not a second pipeline run)
+        counts: dict[str, int] = {}
+        for f in glob.glob(os.path.join(part_out, "*.parquet")):
+            col = pq.read_table(f, columns=["status"])["status"]
+            for s in col.to_pylist():
+                counts[s] = counts.get(s, 0) + 1
+        entry = {
+            "partition": os.path.basename(path),
+            "key": key,
+            "run_id": run_id,
+            "completed_at": datetime.datetime.now(datetime.timezone.utc).isoformat(),
+            "num_rows": sum(counts.values()),
+            "counts": counts,
+        }
+        manifest.commit(key, entry)
+        manifest.heartbeat()
+        summary["processed"].append(key)
+        for s, c in counts.items():
+            summary["counts"][s] = summary["counts"].get(s, 0) + c
+    return summary
+
+
+def poll_once(pages_dir: str, out_dir: str, manifest_dir: str,
+              done_manifest_path: str | None = None) -> dict:
+    """One service-mode round: diff listing vs manifest, process the new.
+
+    Equivalent of one wake of the reference's watcher → DispatchRunner
+    chain (pmocr.sh:2268-2277 → 2195-2224)."""
+    return run_incremental(pages_dir, out_dir, manifest_dir, done_manifest_path)
+
+
+def serve(pages_dir: str, out_dir: str, manifest_dir: str,
+          done_manifest_path: str | None = None,
+          interval_s: float = 30.0, max_rounds: int | None = None) -> None:
+    """Poller service loop (reference: INOTIFY_POLLER_INTERVAL=30,
+    /root/reference/default.conf:33; forced-run period pmocr.sh:24-26).
+    ``max_rounds`` bounds the loop for tests."""
+    rounds = 0
+    while max_rounds is None or rounds < max_rounds:
+        poll_once(pages_dir, out_dir, manifest_dir, done_manifest_path)
+        rounds += 1
+        if max_rounds is None or rounds < max_rounds:
+            time.sleep(interval_s)

@@ -1,0 +1,108 @@
+"""Unit tests for the extraction engines (Ray-free).
+
+Mirrors the reference's per-target assertions over its 4-file corpus
+(/root/reference/dev/tests/run_tests.sh:165-314): ordinary documents
+convert, the searchable PDF is detected, broken input fails loudly.
+"""
+
+import pytest
+
+from pmocr_ray.extract import (
+    extract_html,
+    extract_pdf,
+    pdf_has_text_layer,
+    sniff_content_type,
+)
+from pmocr_ray.fixtures import (
+    POISON_HTML,
+    POISON_PDF,
+    build_html_page,
+    build_pdf_page,
+)
+
+TEXT = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
+
+
+class TestSniff:
+    def test_pdf_magic(self):
+        assert sniff_content_type(b"%PDF-1.4\nrest") == "pdf"
+
+    def test_html_doctype(self):
+        assert sniff_content_type(b"<!DOCTYPE html><html>") == "html"
+
+    def test_html_leading_whitespace(self):
+        assert sniff_content_type(b"  \n\t <html><body>") == "html"
+
+    def test_unknown(self):
+        assert sniff_content_type(b"\x89PNG\r\n") == "unknown"
+        assert sniff_content_type(b"") == "unknown"
+
+
+class TestHtmlExtractor:
+    @pytest.mark.parametrize("variant", [0, 1, 2])
+    def test_recovers_article_exactly(self, variant):
+        page = build_html_page(TEXT, site=42, lang="en", variant=variant, giant=False)
+        assert extract_html(page) == TEXT
+
+    def test_giant_page(self):
+        page = build_html_page(TEXT, site=1, lang="en", variant=0, giant=True)
+        out = extract_html(page)
+        assert out == " ".join([TEXT] * 200)
+
+    def test_boilerplate_stripped(self):
+        page = build_html_page(TEXT, site=7, lang="en", variant=2, giant=False)
+        out = extract_html(page)
+        for chrome_word in ("politics", "newsletter", "privacy", "subscriber"):
+            assert chrome_word not in out
+
+    def test_entities_unescaped(self):
+        html = b"<html><body><nav><a href='/'>x</a></nav><div><p>a &amp; b &lt;c&gt;</p></div></body></html>"
+        assert extract_html(html) == "a & b <c>"
+
+    def test_script_style_skipped(self):
+        html = (b"<html><body><div><p>real words here</p>"
+                b"<script>var x = 'fake words';</script>"
+                b"<style>.c{content:'nope'}</style></div></body></html>")
+        assert extract_html(html) == "real words here"
+
+    def test_invalid_utf8_raises(self):
+        with pytest.raises(UnicodeDecodeError):
+            extract_html(POISON_HTML)
+
+    def test_empty_raises(self):
+        with pytest.raises(ValueError):
+            extract_html(b"<html><body></body></html>")
+
+    def test_misnested_markup_tolerated(self):
+        html = b"<html><body><div><p>one <b>two</p> three</div></body></html>"
+        assert "one two" in extract_html(html)
+
+    def test_deterministic(self):
+        page = build_html_page(TEXT, site=3, lang="fr", variant=1, giant=False)
+        assert extract_html(page) == extract_html(page)
+
+
+class TestPdfExtractor:
+    def test_recovers_text_exactly(self):
+        page = build_pdf_page(TEXT, searchable=False)
+        assert extract_pdf(page) == TEXT
+
+    def test_text_layer_predicate(self):
+        assert pdf_has_text_layer(build_pdf_page(TEXT, searchable=True))
+        assert not pdf_has_text_layer(build_pdf_page(TEXT, searchable=False))
+
+    def test_escaped_pdf_strings(self):
+        page = build_pdf_page("with (parens) and \\ backslash", searchable=False)
+        assert extract_pdf(page) == "with (parens) and \\ backslash"
+
+    def test_poison_raises(self):
+        with pytest.raises(ValueError):
+            extract_pdf(POISON_PDF)
+
+    def test_non_pdf_raises(self):
+        with pytest.raises(ValueError):
+            extract_pdf(b"not a pdf at all")
+
+    def test_no_text_operators_raises(self):
+        with pytest.raises(ValueError):
+            extract_pdf(b"%PDF-1.4\nstream\nnothing here\nendstream")

@@ -1,0 +1,117 @@
+"""Lineage manifest + incremental/service-mode tests.
+
+Reference parity: idempotent restart via filename-suffix state
+(pmocr.sh:2126-2144), service mode processing only new arrivals
+(pmocr.sh:2226-2281), atomic state flips (rename, pmocr.sh:2088-2096).
+"""
+
+import glob
+import json
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+from pmocr_ray.state.manifest import (
+    LineageManifest,
+    _partition_key,
+    list_partitions,
+    poll_once,
+    run_incremental,
+)
+
+
+@pytest.fixture()
+def tmp_env(tmp_path, pages_fixture):
+    """Copy a few fixture partitions into a fresh monitored dir."""
+    pages, done_manifest = pages_fixture
+    src = sorted(glob.glob(os.path.join(pages, "*.parquet")))
+    monitored = tmp_path / "incoming"
+    monitored.mkdir()
+    for f in src[:2]:
+        shutil.copy(f, monitored / os.path.basename(f))
+    return {
+        "monitored": str(monitored),
+        "out": str(tmp_path / "out"),
+        "manifest": str(tmp_path / "manifest"),
+        "done": done_manifest,
+        "remaining": src[2:],
+    }
+
+
+def _output_urls(out_dir):
+    urls = []
+    for f in glob.glob(os.path.join(out_dir, "part-*", "*.parquet")):
+        urls.extend(pq.read_table(f, columns=["url"])["url"].to_pylist())
+    return urls
+
+
+def test_incremental_processes_then_skips(tmp_env):
+    s1 = run_incremental(tmp_env["monitored"], tmp_env["out"], tmp_env["manifest"],
+                         tmp_env["done"])
+    assert len(s1["processed"]) == 2 and not s1["skipped"]
+    urls1 = _output_urls(tmp_env["out"])
+    assert len(urls1) == len(set(urls1))  # exactly-once per url
+
+    # second run: nothing new -> all skipped, output unchanged
+    s2 = run_incremental(tmp_env["monitored"], tmp_env["out"], tmp_env["manifest"],
+                         tmp_env["done"])
+    assert not s2["processed"] and len(s2["skipped"]) == 2
+    assert sorted(_output_urls(tmp_env["out"])) == sorted(urls1)
+
+
+def test_new_partition_picked_up_by_poll(tmp_env):
+    run_incremental(tmp_env["monitored"], tmp_env["out"], tmp_env["manifest"],
+                    tmp_env["done"])
+    # a new partition "arrives" (service-mode event)
+    new = tmp_env["remaining"][0]
+    shutil.copy(new, os.path.join(tmp_env["monitored"], os.path.basename(new)))
+    s = poll_once(tmp_env["monitored"], tmp_env["out"], tmp_env["manifest"],
+                  tmp_env["done"])
+    assert len(s["processed"]) == 1 and len(s["skipped"]) == 2
+
+
+def test_torn_run_is_discarded_and_redone(tmp_env):
+    """Kill-mid-run: a partition with output but no manifest commit is
+    rerun from scratch; exactly-once per url still holds."""
+    run_incremental(tmp_env["monitored"], tmp_env["out"], tmp_env["manifest"],
+                    tmp_env["done"])
+    parts = list_partitions(tmp_env["monitored"])
+    key = _partition_key(parts[0])
+    # simulate the crash: manifest entry lost, torn tmp dir left behind
+    os.remove(os.path.join(tmp_env["manifest"], f"{key}.json"))
+    os.makedirs(os.path.join(tmp_env["out"], f"part-{key}.tmp"), exist_ok=True)
+    s = run_incremental(tmp_env["monitored"], tmp_env["out"], tmp_env["manifest"],
+                        tmp_env["done"])
+    assert s["processed"] == [key]
+    urls = _output_urls(tmp_env["out"])
+    assert len(urls) == len(set(urls))
+    assert not os.path.exists(os.path.join(tmp_env["out"], f"part-{key}.tmp"))
+
+
+def test_manifest_commit_atomic_and_counted(tmp_env):
+    s = run_incremental(tmp_env["monitored"], tmp_env["out"], tmp_env["manifest"],
+                        tmp_env["done"])
+    m = LineageManifest(tmp_env["manifest"])
+    entries = m.committed()
+    assert len(entries) == 2
+    for e in entries.values():
+        assert e["num_rows"] == sum(e["counts"].values()) > 0
+        assert set(e["counts"]) <= {
+            "done", "failed", "skipped_existing_text", "skipped_suffix"}
+    assert not glob.glob(os.path.join(tmp_env["manifest"], "*.tmp"))
+    # summary counts aggregate the per-partition counts
+    total = {}
+    for e in entries.values():
+        for k, v in e["counts"].items():
+            total[k] = total.get(k, 0) + v
+    assert s["counts"] == total
+
+
+def test_heartbeat_written(tmp_env):
+    run_incremental(tmp_env["monitored"], tmp_env["out"], tmp_env["manifest"],
+                    tmp_env["done"])
+    hb = os.path.join(tmp_env["manifest"], "_heartbeat")
+    assert os.path.exists(hb)
+    float(open(hb).read())  # parseable timestamp
