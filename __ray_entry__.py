@@ -1,44 +1,563 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the pmocr_ray engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship extraction pipeline on sf0.001.
+``queries()`` exposes one callable per implemented operator/pipeline
+(SURVEY.md §2 + the training-data ops); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible one.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+The extraction-family oracles do NOT re-run the extractor: the pages
+fixture is a pure arithmetic function of the ``documents`` table
+(pmocr_ray/schema.py row-class rules), so the SQL reconstructs the
+expected extracted text independently — true golden spans.
+
+Ray is initialised by the caller; nothing here calls ray.init/shutdown.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+REPS = 8  # pages per document row; must match the SQL below
+
+
+# ------------------------------------------------------------------ helpers
+
+_extract_cache: dict[str, str] = {}
+
+
+def _pages(sf_dir: str):
+    from pmocr_ray.fixtures import ensure_pages_fixture
+
+    return ensure_pages_fixture(sf_dir, reps=REPS)
+
+
+def _extraction_output_dir(sf_dir: str) -> str:
+    """Run the flagship pipeline once per sf_dir; serve the family of
+    extraction queries from its parquet output (cached, deterministic)."""
+    if sf_dir in _extract_cache:
+        return _extract_cache[sf_dir]
+    from pmocr_ray.fixtures import fixture_dir
+    from pmocr_ray.pipeline import run_extraction
+
+    pages_dir, manifest = _pages(sf_dir)
+    out_dir = os.path.join(fixture_dir(sf_dir, REPS), "extract_out")
+    if not os.path.exists(os.path.join(out_dir, "_DONE")):
+        ds = run_extraction(pages_dir, manifest, run_id="driver-run")
+        tmp = out_dir + ".tmp"
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
+        ds.write_parquet(tmp)
+        os.replace(tmp, out_dir)
+        with open(os.path.join(out_dir, "_DONE"), "w") as f:
+            f.write("ok")
+    _extract_cache[sf_dir] = out_dir
+    return out_dir
+
+
+def _read_output(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(_extraction_output_dir(sf_dir))
+
+
+def _docs(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _sel(ds, cols, flt=None):
+    if flt is not None:
+        ds = ds.map_batches(lambda t: t.filter(flt(t)), batch_format="pyarrow")
+    return ds.select_columns(cols)
+
+
+# ---------------------------------------------------------------- entry
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline over sf0.001 (driver smoke check)."""
+    pages_dir, manifest = _pages("/root/testdata/sf0.001")
+    from pmocr_ray.pipeline import run_extraction
+
+    return run_extraction(pages_dir, manifest, run_id="entry-run")
+
+
+# --------------------------------------------------------------- queries
+
+
+def _q_pages_gen(sf_dir: str):
+    import ray.data as rd
+
+    pages_dir, _ = _pages(sf_dir)
+    return rd.read_parquet(pages_dir, columns=["url", "warc_ts", "lang"])
+
+
+def _q_sniff_route(sf_dir: str):
+    import ray.data as rd
+
+    from pmocr_ray.stages import sniff_stage
+
+    pages_dir, _ = _pages(sf_dir)
+    ds = rd.read_parquet(pages_dir, columns=["url", "html"])
+    return ds.map_batches(sniff_stage, batch_format="pyarrow").select_columns(
+        ["url", "content_type"]
+    )
+
+
+def _q_flagship(sf_dir: str):
+    return _sel(
+        _read_output(sf_dir),
+        ["url", "lang", "content_type", "status", "attempts", "extracted_text"],
+    )
+
+
+def _q_extract_html(sf_dir: str):
+    return _sel(
+        _read_output(sf_dir), ["url", "extracted_text"],
+        lambda t: pc.and_(pc.equal(t["content_type"], "html"),
+                          pc.equal(t["status"], "done")),
+    )
+
+
+def _q_extract_pdf(sf_dir: str):
+    return _sel(
+        _read_output(sf_dir), ["url", "extracted_text"],
+        lambda t: pc.and_(pc.equal(t["content_type"], "pdf"),
+                          pc.equal(t["status"], "done")),
+    )
+
+
+def _q_skip_existing(sf_dir: str):
+    return _sel(
+        _read_output(sf_dir), ["url", "status", "extracted_text"],
+        lambda t: pc.equal(t["status"], "skipped_existing_text"),
+    )
+
+
+def _q_quarantine(sf_dir: str):
+    return _sel(
+        _read_output(sf_dir), ["url", "content_type", "status", "attempts"],
+        lambda t: pc.equal(t["status"], "failed"),
+    )
+
+
+def _q_done_skip(sf_dir: str):
+    return _sel(
+        _read_output(sf_dir), ["url", "status"],
+        lambda t: pc.equal(t["status"], "skipped_suffix"),
+    )
+
+
+def _q_status_counts(sf_dir: str):
+    from pmocr_ray.pipeline import status_counts
+
+    counts = status_counts(_read_output(sf_dir))
+    import pyarrow as pa
+
+    items = sorted(counts.items())
+    return pa.table({
+        "status": pa.array([k for k, _ in items], pa.string()),
+        "n": pa.array([v for _, v in items], pa.int64()),
+    })
+
+
+def _q_csv_hack(sf_dir: str):
+    import pyarrow as pa
+
+    from pmocr_ray.stages import csv_hack
+
+    def prep(t: pa.Table) -> pa.Table:
+        joined = pc.binary_join_element_wise(
+            t["text"], t["lang"], t["source"], "   "
+        )
+        return pa.table({"doc_id": t["doc_id"], "extracted_text": joined})
+
+    ds = _docs(sf_dir).map_batches(prep, batch_format="pyarrow")
+    ds = ds.map_batches(csv_hack, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "csv_text"])
+
+
+def _q_text_stats(sf_dir: str):
+    from pmocr_ray.ops.text import text_stats
+
+    ds = _docs(sf_dir).map_batches(text_stats, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "n_tokens", "n_chars_total", "n_chars_nospace"])
+
+
+def _q_fingerprint(sf_dir: str):
+    from pmocr_ray.ops.text import fingerprint
+
+    ds = _docs(sf_dir).map_batches(fingerprint, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "fp"])
+
+
+def _q_dedup_exact(sf_dir: str):
+    from pmocr_ray.ops.dedup import exact_dedup
+
+    return exact_dedup(_docs(sf_dir))
+
+
+def _q_dedup_pairs_exact(sf_dir: str):
+    import pandas as pd
+
+    from pmocr_ray.ops.text import fingerprint
+
+    # (pd used below for the schema-stable empty result)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g["doc_id"].tolist())
+        out = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]]
+        return pd.DataFrame({"a": pd.Series([p[0] for p in out], dtype="int64"),
+                             "b": pd.Series([p[1] for p in out], dtype="int64")})
+
+    ds = _docs(sf_dir).map_batches(fingerprint, batch_format="pyarrow")
+    out = ds.groupby("fp").map_groups(pairs, batch_format="pandas").to_pandas()
+    if out.empty:  # schema-stable empty result (all-singleton corpora)
+        out = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                            "b": pd.Series(dtype="int64")})
+    return out[["a", "b"]]
+
+
+def _q_knn(sf_dir: str):
+    import ray.data as rd
+
+    from pmocr_ray.ops.knn import knn_cosine
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    q = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    q0 = np.asarray(
+        q.filter(pc.equal(q["vec_id"], 0))["embedding"].to_pylist(), dtype=np.float64
+    )
+    out = knn_cosine(rd.read_parquet(emb_path), q0, k=10)
+    return out.select(["vec_id", "rank"])
+
+
+def _q_knn_ivf(sf_dir: str):
+    import ray.data as rd
+
+    from pmocr_ray.ops.knn import knn_cosine_ivf
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    q = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    q0 = np.asarray(
+        q.filter(pc.equal(q["vec_id"], 0))["embedding"].to_pylist(), dtype=np.float64
+    )
+    out = knn_cosine_ivf(rd.read_parquet(emb_path), q0, k=10)
+    return out.select(["vec_id", "rank"])
+
+
+def _q_events_window(sf_dir: str):
+    import ray.data as rd
+
+    from pmocr_ray.ops.events import events_window
+
+    return events_window(rd.read_parquet(os.path.join(sf_dir, "events.parquet")))
+
+
+def _q_top_users(sf_dir: str):
+    import ray.data as rd
+
+    from pmocr_ray.ops.events import top_users_by_value
+
+    return top_users_by_value(
+        rd.read_parquet(os.path.join(sf_dir, "events.parquet")), k=10
+    )
+
+
+def _q_sessionize(sf_dir: str):
+    import ray.data as rd
+
+    from pmocr_ray.ops.events import sessionize
+
+    return sessionize(rd.read_parquet(os.path.join(sf_dir, "events.parquet")))
+
+
+def _q_lineitem_agg(sf_dir: str):
+    import pyarrow as pa
+
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        qty = t["l_quantity"].cast(pa.int64())
+        tt = pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "qty": qty,
+        })
+        g = tt.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("qty", "count")]
+        )
+        return pa.table({
+            "l_returnflag": g["l_returnflag"],
+            "l_linestatus": g["l_linestatus"],
+            "qty": g["qty_sum"],
+            "cnt": g["qty_count"],
+        })
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    ).map_batches(partial, batch_format="pyarrow")
+    return ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("qty", alias_name="sum_qty"), Sum("cnt", alias_name="n")
+    )
+
+
+def _q_media_meta(sf_dir: str):
+    import pyarrow as pa
+
+    from pmocr_ray.ops.media import MediaDecodeStage, encode_fake_image
+
+    def attach(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        media = [
+            encode_fake_image(d % 640 + 16, d % 480 + 16, d % 3 + 1, seed=d)
+            for d in ids
+        ]
+        return pa.table({"doc_id": t["doc_id"], "media": pa.array(media, pa.binary())})
+
+    ds = _docs(sf_dir).map_batches(attach, batch_format="pyarrow")
+    ds = ds.map_batches(MediaDecodeStage, batch_format="pyarrow",
+                        batch_size=64, concurrency=2,
+                        fn_constructor_kwargs={"column": "media"})
+    return ds.select_columns(["doc_id", "width", "height", "channels", "media_bytes"])
+
+
+def _q_lang_id(sf_dir: str):
+    from pmocr_ray.ops.text import LangIdStage
+
+    ds = _docs(sf_dir).map_batches(LangIdStage, batch_format="pyarrow",
+                                   concurrency=2)
+    return ds.select_columns(["doc_id", "lang_pred"])
+
+
+def _q_quality(sf_dir: str):
+    from pmocr_ray.ops.text import quality_score
+
+    ds = _docs(sf_dir).map_batches(quality_score, batch_format="pyarrow")
+    return ds.select_columns(
+        ["doc_id", "punct_ratio", "stopword_ratio", "mean_token_len", "quality"]
+    )
+
+
+def _q_dedup_minhash(sf_dir: str):
+    from pmocr_ray.ops.dedup import minhash_dedup_pairs
+
+    return minhash_dedup_pairs(_docs(sf_dir), threshold=0.8)
+
+
+def _q_dedup_simhash(sf_dir: str):
+    from pmocr_ray.ops.dedup import simhash_dedup_pairs
+
+    return simhash_dedup_pairs(_docs(sf_dir), max_distance=3)
+
+
+def _q_dedup_embedding(sf_dir: str):
+    import ray.data as rd
+
+    from pmocr_ray.ops.dedup import embedding_dedup_pairs
+
+    return embedding_dedup_pairs(
+        rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet")),
+        threshold=0.45,
+    ).select_columns(["a", "b"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        # extraction pipeline family (pages fixture derived from documents)
+        "pages_gen": _q_pages_gen,
+        "sniff_route": _q_sniff_route,
+        "extract_flagship": _q_flagship,
+        "extract_html": _q_extract_html,
+        "extract_pdf": _q_extract_pdf,
+        "skip_existing": _q_skip_existing,
+        "quarantine": _q_quarantine,
+        "done_skip": _q_done_skip,
+        "status_counts": _q_status_counts,
+        "csv_hack": _q_csv_hack,
+        # text analysis
+        "text_stats": _q_text_stats,
+        "doc_fingerprint": _q_fingerprint,
+        "lang_id": _q_lang_id,
+        "quality_score": _q_quality,
+        # dedup
+        "dedup_exact": _q_dedup_exact,
+        "dedup_pairs_exact": _q_dedup_pairs_exact,
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_embedding": _q_dedup_embedding,
+        # similarity search
+        "knn_cosine": _q_knn,
+        "knn_ivf": _q_knn_ivf,
+        # events / aggregates
+        "events_window": _q_events_window,
+        "top_users": _q_top_users,
+        "sessionize": _q_sessionize,
+        "lineitem_agg": _q_lineitem_agg,
+        # multimodal
+        "media_meta": _q_media_meta,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ------------------------------------------------------------- oracle SQL
+
+# Shared fragment: the page universe — documents × rep, with class and url
+# derived exactly as in pmocr_ray/schema.py.
+_PAGE_CTE = f"""
+WITH p AS (
+  SELECT d.doc_id, d.text, d.lang,
+         (d.doc_id * {REPS} + r.range) AS seq, r.range AS rep
+  FROM documents d CROSS JOIN range({REPS}) r
+), c AS (
+  SELECT doc_id, text, lang, seq, rep, seq % 20 AS cls,
+         'https://site' || (seq % 997) || '.example/page/' || doc_id || '-' || rep AS url
+  FROM p
+)
+"""
+
+_CT_EXPR = """
+  CASE WHEN cls BETWEEN 11 AND 15 THEN 'pdf'
+       WHEN cls = 18 THEN (CASE WHEN (doc_id + rep) % 2 = 0 THEN 'pdf' ELSE 'html' END)
+       ELSE 'html' END
+"""
+
+_STATUS_EXPR = """
+  CASE WHEN cls BETWEEN 14 AND 15 THEN 'skipped_existing_text'
+       WHEN cls BETWEEN 16 AND 17 THEN 'skipped_suffix'
+       WHEN cls = 18 THEN 'failed'
+       ELSE 'done' END
+"""
+
+_ATTEMPTS_EXPR = """
+  CASE WHEN cls <= 13 OR cls = 19 THEN 1 WHEN cls = 18 THEN 2 ELSE 0 END
+"""
+
+_EXTRACTED_EXPR = """
+  CASE WHEN cls <= 15 THEN text
+       WHEN cls = 19 THEN rtrim(repeat(text || ' ', 200))
+       ELSE NULL END
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pages_gen": _PAGE_CTE + """
+            SELECT url,
+                   TIMESTAMP '2024-01-01 00:00:00' + seq * INTERVAL 1 SECOND AS warc_ts,
+                   lang
+            FROM c""",
+        "sniff_route": _PAGE_CTE + f"""
+            SELECT url, {_CT_EXPR} AS content_type FROM c""",
+        "extract_flagship": _PAGE_CTE + f"""
+            SELECT url, lang,
+                   {_CT_EXPR} AS content_type,
+                   {_STATUS_EXPR} AS status,
+                   CAST({_ATTEMPTS_EXPR} AS INTEGER) AS attempts,
+                   {_EXTRACTED_EXPR} AS extracted_text
+            FROM c""",
+        "extract_html": _PAGE_CTE + f"""
+            SELECT url,
+                   CASE WHEN cls = 19 THEN rtrim(repeat(text || ' ', 200))
+                        ELSE text END AS extracted_text
+            FROM c
+            WHERE ({_CT_EXPR}) = 'html' AND ({_STATUS_EXPR}) = 'done'""",
+        "extract_pdf": _PAGE_CTE + f"""
+            SELECT url, text AS extracted_text
+            FROM c
+            WHERE ({_CT_EXPR}) = 'pdf' AND ({_STATUS_EXPR}) = 'done'""",
+        "skip_existing": _PAGE_CTE + """
+            SELECT url, 'skipped_existing_text' AS status, text AS extracted_text
+            FROM c WHERE cls BETWEEN 14 AND 15""",
+        "quarantine": _PAGE_CTE + f"""
+            SELECT url, {_CT_EXPR} AS content_type,
+                   'failed' AS status, CAST(2 AS INTEGER) AS attempts
+            FROM c WHERE cls = 18""",
+        "done_skip": _PAGE_CTE + """
+            SELECT url, 'skipped_suffix' AS status
+            FROM c WHERE cls BETWEEN 16 AND 17""",
+        "status_counts": _PAGE_CTE + f"""
+            SELECT ({_STATUS_EXPR}) AS status, count(*) AS n
+            FROM c GROUP BY 1""",
+        "csv_hack": """
+            SELECT doc_id,
+                   regexp_replace(text || '   ' || lang || '   ' || source,
+                                  '   +', ';', 'g') AS csv_text
+            FROM documents""",
+        "text_stats": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars_total,
+                   CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) AS n_chars_nospace
+            FROM documents""",
+        "doc_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "dedup_exact": """
+            SELECT md5(text) AS fp, min(doc_id) AS keep_id,
+                   count(*) AS n_dups
+            FROM documents GROUP BY md5(text)""",
+        "dedup_pairs_exact": """
+            SELECT d1.doc_id AS a, d2.doc_id AS b
+            FROM documents d1 JOIN documents d2
+              ON d1.text = d2.text AND d1.doc_id < d2.doc_id""",
+        "knn_cosine": """
+            SELECT vec_id, CAST(rank AS INTEGER) AS rank FROM (
+              SELECT vec_id,
+                     row_number() OVER (
+                       ORDER BY list_cosine_similarity(
+                         embedding,
+                         (SELECT embedding FROM embeddings WHERE vec_id = 0)
+                       ) DESC, vec_id ASC) AS rank
+              FROM embeddings)
+            WHERE rank <= 10""",
+        "events_window": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*) AS n_events,
+                   min(value) AS min_value, max(value) AS max_value
+            FROM events GROUP BY 1, 2""",
+        "top_users": """
+            SELECT user_id,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+            FROM events GROUP BY user_id
+            ORDER BY total_cents DESC, user_id ASC LIMIT 10""",
+        "sessionize": """
+            WITH o AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                               > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+              FROM events),
+            s AS (
+              SELECT user_id, ts, event_id,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sess
+              FROM o)
+            SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events
+            FROM s GROUP BY user_id, sess""",
+        "lineitem_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+                   count(*) AS n
+            FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        "media_meta": """
+            SELECT doc_id,
+                   CAST(doc_id % 640 + 16 AS INTEGER) AS width,
+                   CAST(doc_id % 480 + 16 AS INTEGER) AS height,
+                   CAST(doc_id % 3 + 1 AS INTEGER) AS channels,
+                   CAST(18 + least((doc_id % 640 + 16) * (doc_id % 480 + 16)
+                                   * (doc_id % 3 + 1), 4096) AS BIGINT) AS media_bytes
+            FROM documents""",
+        # lang_id / quality_score: heuristic float/pred outputs — rows-only.
+        # dedup_minhash / dedup_simhash / knn_ivf: approximate (LSH recall,
+        # IVF probes) — validated against exact baselines in tests instead.
+        # dedup_embedding: float-threshold boundary — rows-only by design.
+    }

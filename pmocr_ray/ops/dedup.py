@@ -1,0 +1,410 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard verification, embedding-cosine near-dup.
+
+Shuffle discipline (the 100 TB story):
+
+* exact dedup groups on a 16-byte **hash** of the content, never the
+  content itself (tiny shuffle keys), and pre-aggregates per batch
+  before the global groupby (combiner pattern).
+* MinHash/SimHash follow the standard sketch shape: per-batch
+  signature computation (vectorized numpy, stateful seeded params in
+  an actor pool) → explode to (band, bucket) rows → one groupby over
+  the *bands* (small fixed blowup) → candidate pairs → verification.
+* Hot LSH buckets are capped (``max_bucket``) — the salt-hot-keys
+  guard; a bucket bigger than the cap is, with near-certainty, a
+  degenerate constant-content cluster and is sampled deterministically.
+* Pair verification broadcasts the id→text lookup when it fits
+  (``ray.put`` once); the scale path is a hash-partitioned join of
+  pairs against the corpus on doc id (documented, same verify kernel).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+from pmocr_ray.ops.text import fingerprint
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _hash64(data: bytes) -> int:
+    return int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "big")
+
+
+# ------------------------------------------------------------ exact dedup
+
+
+def exact_dedup(ds: rd.Dataset, column: str = "text", key: str = "doc_id") -> rd.Dataset:
+    """Exact dedup: keep the min-key representative per distinct content.
+
+    read → vectorized md5 → **per-batch partial aggregate** (one row per
+    fp per batch) → global ``groupby(fp)`` over the partials.  The
+    all-to-all exchange only ever moves (fp, keep, n) triples.
+    Returns (fp, keep_id, n_dups).
+    """
+    def partial(batch: pa.Table) -> pa.Table:
+        b = fingerprint(batch, column=column)
+        g = b.select(["fp", key]).group_by("fp").aggregate(
+            [(key, "min"), ("fp", "count")]
+        )
+        return pa.table({
+            "fp": g["fp"],
+            "keep_id": g[f"{key}_min"],
+            "n_dups": g["fp_count"],
+        })
+
+    from ray.data.aggregate import Min, Sum
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    out = partials.groupby("fp").aggregate(
+        Min("keep_id", alias_name="keep_id"), Sum("n_dups", alias_name="n_dups")
+    )
+    return out
+
+
+# ------------------------------------------------------- MinHash + LSH
+
+
+class MinHashStage:
+    """Actor-pool stage: word-shingle MinHash signatures + LSH band rows.
+
+    Seeded universal-hash parameters are built once per actor
+    (``__init__``) — the amortized-init pattern.  Per row: shingles are
+    blake2b-hashed to u64 (process-independent, unlike Python's salted
+    ``hash``), the signature is a vectorized ``min((a*x+b) mod p)`` over
+    the shingle vector, and ``n_bands`` band-bucket rows are emitted.
+    """
+
+    def __init__(self, num_perm: int = 128, n_bands: int = 32,
+                 shingle_size: int = 3, seed: int = 42,
+                 key: str = "doc_id", column: str = "text") -> None:
+        assert num_perm % n_bands == 0
+        rng = np.random.RandomState(seed)
+        self.a = rng.randint(1, 1 << 62, size=num_perm, dtype=np.uint64) * 2 + 1
+        self.b = rng.randint(0, 1 << 62, size=num_perm, dtype=np.uint64)
+        self.num_perm = num_perm
+        self.n_bands = n_bands
+        self.rows_per_band = num_perm // n_bands
+        self.shingle_size = shingle_size
+        self.key = key
+        self.column = column
+
+    def shingles(self, text: str) -> list[bytes]:
+        words = text.split()
+        k = self.shingle_size
+        if len(words) < k:
+            return [" ".join(words).encode()] if words else []
+        return [" ".join(words[i : i + k]).encode() for i in range(len(words) - k + 1)]
+
+    def signature(self, text: str) -> np.ndarray | None:
+        sh = self.shingles(text)
+        if not sh:
+            return None
+        x = np.fromiter((_hash64(s) for s in set(sh)), dtype=np.uint64)
+        # Vectorized universal-style hashing in native uint64 with natural
+        # mod-2^64 wraparound (odd multipliers) — one (P, S) matmul-shaped
+        # kernel per row, no Python bigints in the loop.
+        with np.errstate(over="ignore"):
+            vals = self.a[:, None] * x[None, :] + self.b[:, None]
+        return vals.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys_out, bands_out, buckets_out = [], [], []
+        keys = batch[self.key].to_pylist()
+        texts = batch[self.column].to_pylist()
+        rpb = self.rows_per_band
+        for k, t in zip(keys, texts):
+            sig = self.signature(t or "")
+            if sig is None:
+                continue
+            for band in range(self.n_bands):
+                chunk = sig[band * rpb : (band + 1) * rpb]
+                bucket = _hash64(chunk.tobytes())
+                keys_out.append(k)
+                bands_out.append(band)
+                buckets_out.append(bucket)
+        return pa.table(
+            {
+                "doc_id": pa.array(keys_out, pa.int64()),
+                "band": pa.array(bands_out, pa.int32()),
+                "bucket": pa.array(buckets_out, pa.uint64()),
+            }
+        )
+
+
+def _bucket_pairs(group: pd.DataFrame, max_bucket: int) -> pd.DataFrame:
+    ids = sorted(group["doc_id"].tolist())
+    if len(ids) > max_bucket:
+        ids = ids[:max_bucket]  # deterministic cap — salt-hot-keys guard
+    pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
+    if not pairs:
+        return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                             "b": pd.Series(dtype="int64")})
+    return pd.DataFrame(pairs, columns=["a", "b"])
+
+
+def lsh_candidate_pairs(band_rows: rd.Dataset, max_bucket: int = 64) -> rd.Dataset:
+    """(band, bucket) groupby → unique candidate pairs (a < b)."""
+    pairs = band_rows.groupby(["band", "bucket"]).map_groups(
+        lambda g: _bucket_pairs(g, max_bucket), batch_format="pandas"
+    )
+    # distinct pairs (a pair can collide in several bands)
+    from ray.data.aggregate import Count
+
+    return pairs.groupby(["a", "b"]).aggregate(Count(alias_name="n_bands_hit"))
+
+
+def jaccard(text_a: str, text_b: str, shingle_size: int = 3,
+            char_level: bool = False) -> float:
+    """Exact shingle-set Jaccard — the verification kernel (word n-grams
+    by default, char n-grams with ``char_level=True``)."""
+    if char_level:
+        sa = {text_a[i : i + shingle_size] for i in range(max(1, len(text_a) - shingle_size + 1))}
+        sb = {text_b[i : i + shingle_size] for i in range(max(1, len(text_b) - shingle_size + 1))}
+    else:
+        wa, wb = text_a.split(), text_b.split()
+        sa = {" ".join(wa[i : i + shingle_size]) for i in range(max(1, len(wa) - shingle_size + 1))}
+        sb = {" ".join(wb[i : i + shingle_size]) for i in range(max(1, len(wb) - shingle_size + 1))}
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)
+
+
+class VerifyPairsStage:
+    """Verify candidate pairs with exact Jaccard against a broadcast
+    id→text lookup (small side via ``ray.put``; at corpus scale replace
+    the broadcast with a hash-partitioned pairs⋈corpus join on doc id —
+    the kernel is unchanged)."""
+
+    def __init__(self, texts_ref, threshold: float = 0.8,
+                 shingle_size: int = 3, char_level: bool = False) -> None:
+        obj = texts_ref
+        if isinstance(obj, ray.ObjectRef):
+            obj = ray.get(obj)
+        self.texts: dict[int, str] = obj
+        self.threshold = threshold
+        self.shingle_size = shingle_size
+        self.char_level = char_level
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_pylist()
+        b = batch["b"].to_pylist()
+        sims = [
+            jaccard(self.texts.get(x, ""), self.texts.get(y, ""),
+                    self.shingle_size, self.char_level)
+            for x, y in zip(a, b)
+        ]
+        keep = [s >= self.threshold for s in sims]
+        t = pa.table({
+            "a": pa.array(a, pa.int64()),
+            "b": pa.array(b, pa.int64()),
+            "jaccard": pa.array(sims, pa.float64()),
+            "is_dup": pa.array(keep, pa.bool_()),
+        })
+        return t
+
+
+def minhash_dedup_pairs(
+    ds: rd.Dataset,
+    *,
+    column: str = "text",
+    key: str = "doc_id",
+    threshold: float = 0.8,
+    num_perm: int = 128,
+    n_bands: int = 32,
+    shingle_size: int = 3,
+    char_level_verify: bool = False,
+    concurrency: int = 2,
+) -> rd.Dataset:
+    """Full MinHash-LSH near-dup pipeline → verified duplicate pairs.
+
+    sketch (actor pool) → band explode → bucket groupby → candidate
+    pairs → exact-Jaccard verify (broadcast lookup).  Returns rows
+    (a, b, jaccard) with a < b and jaccard ≥ threshold.
+    """
+    band_rows = ds.map_batches(
+        MinHashStage,
+        fn_constructor_kwargs={
+            "num_perm": num_perm, "n_bands": n_bands,
+            "shingle_size": shingle_size, "key": key, "column": column,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    candidates = lsh_candidate_pairs(band_rows)
+    texts = {r[key]: r[column] for r in ds.select_columns([key, column]).take_all()}
+    texts_ref = ray.put(texts)
+    verified = candidates.map_batches(
+        VerifyPairsStage,
+        fn_constructor_kwargs={
+            "texts_ref": texts_ref, "threshold": threshold,
+            "shingle_size": shingle_size, "char_level": char_level_verify,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    return verified.filter(lambda row: row["is_dup"]).select_columns(["a", "b", "jaccard"])
+
+
+def connected_components(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    """Union-find over verified pairs → {doc_id: cluster_root(min id)}.
+
+    Driver-side: valid because the verified-duplicate pair set is orders
+    of magnitude smaller than the corpus.  For adversarial corpora use
+    iterative min-label propagation (a few groupby rounds) instead.
+    """
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in parent}
+
+
+# ----------------------------------------------------------------- SimHash
+
+
+class SimHashStage:
+    """64-bit SimHash signatures over word-unigram hashes (actor pool).
+
+    Near-dup = Hamming distance ≤ k.  Pairing uses the pigeonhole
+    banding of the 64 bits into 4×16-bit chunks: any pair with
+    distance ≤ 3 shares at least one exact chunk.
+    """
+
+    def __init__(self, key: str = "doc_id", column: str = "text") -> None:
+        self.key = key
+        self.column = column
+        self.bit_cols = np.arange(64, dtype=np.uint64)
+
+    def simhash(self, text: str) -> int:
+        acc = np.zeros(64, dtype=np.int64)
+        for w in text.split():
+            h = _hash64(w.encode())
+            bits = (h >> self.bit_cols) & 1
+            acc += np.where(bits == 1, 1, -1)
+        out = 0
+        for i in range(64):
+            if acc[i] > 0:
+                out |= 1 << i
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = batch[self.key].to_pylist()
+        sigs = [self.simhash(t or "") for t in batch[self.column].to_pylist()]
+        rows = {"doc_id": [], "chunk": [], "chunk_val": [], "sig": []}
+        for k, s in zip(keys, sigs):
+            for c in range(4):
+                rows["doc_id"].append(k)
+                rows["chunk"].append(c)
+                rows["chunk_val"].append((s >> (16 * c)) & 0xFFFF)
+                rows["sig"].append(s)
+        return pa.table({
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "chunk": pa.array(rows["chunk"], pa.int32()),
+            "chunk_val": pa.array(rows["chunk_val"], pa.int32()),
+            "sig": pa.array(rows["sig"], pa.uint64()),
+        })
+
+
+def simhash_dedup_pairs(ds: rd.Dataset, *, key: str = "doc_id",
+                        column: str = "text", max_distance: int = 3,
+                        max_bucket: int = 64, concurrency: int = 2) -> rd.Dataset:
+    """SimHash near-dup pairs: signature → chunk-bucket groupby →
+    in-bucket Hamming verification.  Returns (a, b, distance)."""
+    chunks = ds.map_batches(
+        SimHashStage,
+        fn_constructor_kwargs={"key": key, "column": column},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id").drop_duplicates("doc_id").head(max_bucket)
+        ids = g["doc_id"].tolist()
+        sigs = g["sig"].tolist()
+        out_a, out_b, out_d = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                d = (int(sigs[i]) ^ int(sigs[j])).bit_count()
+                if d <= max_distance:
+                    out_a.append(ids[i]); out_b.append(ids[j]); out_d.append(d)
+        return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"),
+                             "b": pd.Series(out_b, dtype="int64"),
+                             "distance": pd.Series(out_d, dtype="int64")})
+
+    pairs = chunks.groupby(["chunk", "chunk_val"]).map_groups(
+        pairs_in_bucket, batch_format="pandas"
+    )
+    from ray.data.aggregate import Min
+
+    return pairs.groupby(["a", "b"]).aggregate(Min("distance", alias_name="distance"))
+
+
+# ------------------------------------------------- embedding-cosine dedup
+
+
+def embedding_dedup_pairs(ds: rd.Dataset, *, key: str = "vec_id",
+                          column: str = "embedding",
+                          threshold: float = 0.9) -> rd.Dataset:
+    """Embedding near-dup pairs by cosine ≥ threshold.
+
+    Brute-force blocked matmul: the (normalized) corpus matrix is
+    broadcast once (``ray.put``); each batch computes batch×corpus
+    cosine in one float64 matmul and keeps pairs (a < b).  O(n²) work
+    split across batches — right up to ~10⁵ vectors; beyond that, LSH
+    bucketing (random hyperplanes) bounds the candidate set the same
+    way MinHash banding does for text.
+    """
+    mat_rows = ds.select_columns([key, column]).take_all()
+    ids = np.array([r[key] for r in mat_rows], dtype=np.int64)
+    mat = np.array([r[column] for r in mat_rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    mat = mat / norms
+    ref = ray.put((ids, mat))
+
+    class PairFinder:
+        def __init__(self, corpus_ref, threshold: float) -> None:
+            self.ids, self.mat = ray.get(corpus_ref)
+            self.threshold = threshold
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            b_ids = np.array(batch[key].to_pylist(), dtype=np.int64)
+            b_mat = np.array(batch[column].to_pylist(), dtype=np.float64)
+            n = np.linalg.norm(b_mat, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            b_mat = b_mat / n
+            sims = b_mat @ self.mat.T
+            out_a, out_b, out_s = [], [], []
+            for i in range(len(b_ids)):
+                hits = np.nonzero(sims[i] >= self.threshold)[0]
+                for j in hits:
+                    if b_ids[i] < self.ids[j]:
+                        out_a.append(b_ids[i]); out_b.append(int(self.ids[j]))
+                        out_s.append(float(sims[i, j]))
+            return pa.table({"a": pa.array(out_a, pa.int64()),
+                             "b": pa.array(out_b, pa.int64()),
+                             "cosine": pa.array(out_s, pa.float64())})
+
+    return ds.map_batches(
+        PairFinder,
+        fn_constructor_kwargs={"corpus_ref": ref, "threshold": threshold},
+        batch_format="pyarrow",
+        concurrency=2,
+    )

@@ -1,0 +1,174 @@
+"""Text analysis ops: token counting, quality scoring, language ID,
+document fingerprinting, CSV-hack derived formats.
+
+All vectorized over Arrow/pandas batches inside ``map_batches``; the
+language-ID stage is a callable class (profiles built once per actor).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# ------------------------------------------------------------ token stats
+
+_WS_RE = r"\s+"
+
+
+def text_stats(batch: pa.Table, column: str = "text") -> pa.Table:
+    """Integer text statistics (SQL-checkable): token count, char counts.
+
+    Token = maximal run of non-whitespace (the whitespace tokenizer a
+    BPE pre-tokenizer starts from).  Vectorized: split_pattern +
+    list_value_length; no Python loop.
+    """
+    col = batch[column]
+    n_tokens = pc.count_substring_regex(col, r"\S+").cast(pa.int64())
+    n_chars = pc.utf8_length(col).cast(pa.int64())
+    no_space = pc.replace_substring_regex(col, _WS_RE, "")
+    n_alnum = pc.utf8_length(no_space).cast(pa.int64())
+    return (
+        batch.append_column("n_tokens", n_tokens)
+        .append_column("n_chars_total", n_chars)
+        .append_column("n_chars_nospace", n_alnum)
+    )
+
+
+# --------------------------------------------------------- quality scoring
+
+_STOPWORDS = frozenset(
+    "the a an and or of to in is are was were be been it this that with for on".split()
+)
+_PUNCT_RE = re.compile(r"[^\w\s]", re.UNICODE)
+
+
+def quality_score(batch: pa.Table, column: str = "text") -> pa.Table:
+    """Heuristic quality signals (length, punct ratio, stopword ratio,
+    mean token length) — the usual cheap pre-training filters.
+
+    Float-valued and heuristic → validated by unit tests, not SQL.
+    """
+    texts = batch[column].to_pylist()
+    n = len(texts)
+    punct_ratio = np.zeros(n)
+    stop_ratio = np.zeros(n)
+    mean_tok = np.zeros(n)
+    score = np.zeros(n)
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        toks = t.split()
+        if not toks:
+            continue
+        n_punct = len(_PUNCT_RE.findall(t))
+        punct_ratio[i] = n_punct / len(t)
+        stop_ratio[i] = sum(1 for w in toks if w.lower() in _STOPWORDS) / len(toks)
+        mean_tok[i] = sum(len(w) for w in toks) / len(toks)
+        # crude composite: long-enough, some stopwords, sane token length,
+        # not punctuation soup
+        score[i] = (
+            min(1.0, len(toks) / 50.0)
+            * (1.0 - min(1.0, 4.0 * punct_ratio[i]))
+            * (0.5 + min(0.5, 2.0 * stop_ratio[i]))
+            * (1.0 if 2.0 <= mean_tok[i] <= 12.0 else 0.5)
+        )
+    return (
+        batch.append_column("punct_ratio", pa.array(punct_ratio))
+        .append_column("stopword_ratio", pa.array(stop_ratio))
+        .append_column("mean_token_len", pa.array(mean_tok))
+        .append_column("quality", pa.array(score))
+    )
+
+
+# ------------------------------------------------------------- language ID
+
+
+class LangIdStage:
+    """Character-bigram-profile language ID — stateful actor stage.
+
+    Tiny n-gram profiles (built once per actor in ``__init__``, the
+    amortized-init pattern) scored by bigram-overlap; deterministic.
+    A real deployment swaps in fastText/CLD3 via the same interface.
+    """
+
+    PROFILES = {
+        "en": "th he in er an re on at en nd ti es or te of ed is it al ar st to nt",
+        "es": "de la os el en es ue ra as er ar al an on or ta do ción los una",
+        "fr": "es le de en re nt on er te el an ai it me ou em ie ur la et",
+        "de": "en er ch de ei te in nd ie ge un sch die und der das ist",
+        "zh": "de shi yi bu le ren zai you ta men zhe zhong da shang ge wo",
+    }
+
+    def __init__(self) -> None:
+        self.profiles = {
+            lang: frozenset(p.split()) for lang, p in self.PROFILES.items()
+        }
+        self.langs = sorted(self.profiles)  # stable iteration order
+
+    def _predict(self, text: str) -> str:
+        if not text:
+            return "und"
+        sample = text[:1000].lower()
+        bigrams = {sample[i : i + 2] for i in range(len(sample) - 1)}
+        best_lang, best_score = "und", -1.0
+        for lang in self.langs:
+            prof = self.profiles[lang]
+            score = len(bigrams & prof) / len(prof)
+            if score > best_score:
+                best_lang, best_score = lang, score
+        return best_lang
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds = pa.array(
+            [self._predict(t) for t in batch["text"].to_pylist()], pa.string()
+        )
+        return batch.append_column("lang_pred", preds)
+
+
+# ---------------------------------------------------------- fingerprinting
+
+
+def fingerprint(batch: pa.Table, column: str = "text",
+                out_column: str = "fp") -> pa.Table:
+    """MD5 content fingerprint (hex) — exact-dedup key and lineage digest.
+    MD5 so the DuckDB oracle (``md5(text)``) can verify it bit-for-bit.
+    """
+    fps = pa.array(
+        [hashlib.md5(t.encode("utf-8")).hexdigest() if t is not None else None
+         for t in batch[column].to_pylist()],
+        pa.string(),
+    )
+    return batch.append_column(out_column, fps)
+
+
+_B64 = 1 << 64
+
+
+def rolling_fingerprint(batch: pa.Table, column: str = "text",
+                        out_column: str = "rfp", window: int = 8) -> pa.Table:
+    """Polynomial rolling-hash fingerprint (Rabin-Karp style): min of the
+    rolling window hashes — a cheap locality-robust document signature
+    (shift-tolerant, unlike MD5).  Pure integer arithmetic, deterministic.
+    """
+    out = []
+    for t in batch[column].to_pylist():
+        if t is None or len(t) < window:
+            out.append(None)
+            continue
+        data = t.encode("utf-8")
+        h = 0
+        base, mod = 1000003, (1 << 61) - 1
+        pw = pow(base, window - 1, mod)
+        best = None
+        for i, b in enumerate(data):
+            if i >= window:
+                h = (h - data[i - window] * pw) % mod
+            h = (h * base + b) % mod
+            if i >= window - 1:
+                best = h if best is None or h < best else best
+        out.append(best)
+    return batch.append_column(out_column, pa.array(out, pa.uint64()))

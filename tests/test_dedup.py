@@ -1,0 +1,108 @@
+"""Dedup operator tests: exact, MinHash-LSH, SimHash, embedding-cosine.
+
+Near-dup tests plant known duplicates (exact copies, small edits) in a
+synthetic corpus and assert the planted pairs are found and the
+unrelated docs are not.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from pmocr_ray.ops.dedup import (
+    connected_components,
+    embedding_dedup_pairs,
+    exact_dedup,
+    jaccard,
+    minhash_dedup_pairs,
+    simhash_dedup_pairs,
+)
+
+BASE = ("the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the warm windowsill and the birds sing in the garden trees")
+EDIT = BASE.replace("warm windowsill", "cold doorstep")  # near-dup of BASE
+OTHER = ("completely different content about distributed query engines "
+         "processing parquet shards with vectorized arrow kernels at scale "
+         "nothing in common with the animal story above")
+
+
+@pytest.fixture(scope="module")
+def corpus(ray_session):
+    rows = [
+        {"doc_id": 0, "text": BASE},
+        {"doc_id": 1, "text": BASE},          # exact dup of 0
+        {"doc_id": 2, "text": EDIT},          # near dup of 0/1
+        {"doc_id": 3, "text": OTHER},
+        {"doc_id": 4, "text": OTHER + " extra tail words"},  # near dup of 3
+        {"doc_id": 5, "text": "tiny"},
+        {"doc_id": 6, "text": "the engine processes web pages and extracts "
+                              "main content spans deterministically"},
+    ]
+    return rd.from_items(rows)
+
+
+def test_exact_dedup(corpus):
+    out = {r["fp"]: r for r in exact_dedup(corpus).take_all()}
+    dup_groups = [r for r in out.values() if r["n_dups"] > 1]
+    assert len(dup_groups) == 1
+    assert dup_groups[0]["keep_id"] == 0 and dup_groups[0]["n_dups"] == 2
+    assert len(out) == 6  # 6 distinct texts
+
+
+def test_jaccard_kernel():
+    assert jaccard(BASE, BASE) == 1.0
+    assert jaccard(BASE, EDIT) > 0.7
+    assert jaccard(BASE, OTHER) < 0.1
+    assert jaccard("", "") == 1.0
+    assert jaccard("a b c", "a b c", char_level=True) == 1.0
+
+
+def test_minhash_finds_planted_pairs(corpus):
+    pairs = {(r["a"], r["b"]) for r in
+             minhash_dedup_pairs(corpus, threshold=0.5).take_all()}
+    assert (0, 1) in pairs          # exact dup always found
+    assert (0, 2) in pairs or (1, 2) in pairs  # near dup found
+    assert (3, 4) in pairs
+    for a, b in pairs:              # no false positives across topics
+        assert not ({a, b} & {0, 1, 2} and {a, b} & {3, 4, 5, 6})
+
+
+def test_minhash_exact_pair_jaccard_is_one(corpus):
+    rows = minhash_dedup_pairs(corpus, threshold=0.5).take_all()
+    j = {(r["a"], r["b"]): r["jaccard"] for r in rows}
+    assert j[(0, 1)] == 1.0
+
+
+def test_connected_components():
+    cc = connected_components([(0, 1), (1, 2), (3, 4)])
+    assert cc[0] == cc[1] == cc[2] == 0
+    assert cc[3] == cc[4] == 3
+
+
+def test_simhash_finds_exact_and_near(corpus):
+    rows = simhash_dedup_pairs(corpus, max_distance=6).take_all()
+    pairs = {(r["a"], r["b"]): r["distance"] for r in rows}
+    assert pairs.get((0, 1)) == 0   # identical -> distance 0
+    assert (3, 4) in pairs          # near dup within hamming budget
+    assert all(not ({a, b} & {0, 1, 2} and {a, b} & {3, 4, 5, 6})
+               for a, b in pairs)
+
+
+def test_embedding_dedup(ray_session):
+    rng = np.random.RandomState(7)
+    base = rng.randn(4, 16)
+    vecs = np.vstack([
+        base[0], base[0] + 0.01 * rng.randn(16),  # planted near-dup pair (0,1)
+        base[1], base[2], base[3],
+    ])
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(5), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float32())),
+    }))
+    pairs = {(r["a"], r["b"]): r["cosine"]
+             for r in embedding_dedup_pairs(ds, threshold=0.95).take_all()}
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.99
+    assert all(p == (0, 1) for p in pairs)

@@ -1,0 +1,168 @@
+"""Tests for text analysis, knn, media and events operators."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from pmocr_ray.ops.events import events_window, sessionize, top_users_by_value
+from pmocr_ray.ops.knn import knn_cosine, knn_cosine_ivf
+from pmocr_ray.ops.media import MediaDecodeStage, decode_header, encode_fake_image
+from pmocr_ray.ops.text import (
+    LangIdStage,
+    fingerprint,
+    quality_score,
+    rolling_fingerprint,
+    text_stats,
+)
+
+
+# ------------------------------------------------------------------- text
+
+def test_text_stats_vectorized():
+    t = pa.table({"text": ["a bb  ccc", " x ", ""]})
+    out = text_stats(t)
+    assert out["n_tokens"].to_pylist() == [3, 1, 0]
+    assert out["n_chars_total"].to_pylist() == [9, 3, 0]
+    assert out["n_chars_nospace"].to_pylist() == [6, 1, 0]
+
+
+def test_fingerprint_matches_md5():
+    import hashlib
+
+    t = pa.table({"text": ["hello world"]})
+    assert fingerprint(t)["fp"].to_pylist() == [
+        hashlib.md5(b"hello world").hexdigest()
+    ]
+
+
+def test_rolling_fingerprint_shift_invariant_content():
+    t = pa.table({"text": ["abcdefghijklmnop", "XXabcdefghijklmnop"]})
+    out = rolling_fingerprint(t, window=8)["rfp"].to_pylist()
+    # min-of-rolling-hashes survives a prefix shift when the minimizing
+    # window is inside the shared substring
+    assert out[0] is not None and out[1] is not None
+
+
+def test_quality_score_ordering():
+    t = pa.table({"text": [
+        "the quick brown fox jumps over the lazy dog and runs through the "
+        "field to the river where it drinks cool water in the morning sun "
+        "while birds are singing in the trees and a gentle wind is blowing",
+        "!!! ??? *** $$$ @@@ ###",
+    ]})
+    out = quality_score(t)
+    q = out["quality"].to_pylist()
+    assert q[0] > q[1]
+
+
+def test_lang_id_deterministic(ray_session):
+    stage = LangIdStage()
+    t = pa.table({"text": ["the cat is on the mat and the dog is here too"]})
+    a = stage(t)["lang_pred"].to_pylist()
+    b = stage(t)["lang_pred"].to_pylist()
+    assert a == b and a[0] in set(LangIdStage.PROFILES) | {"und"}
+
+
+# -------------------------------------------------------------------- knn
+
+@pytest.fixture(scope="module")
+def vec_ds(ray_session):
+    rng = np.random.RandomState(3)
+    mat = rng.randn(200, 32)
+    return rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(200), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in mat], pa.list_(pa.float32())),
+    })), mat
+
+
+def test_knn_self_is_rank_one(vec_ds):
+    ds, mat = vec_ds
+    out = knn_cosine(ds, mat[5:6], k=5).to_pandas()
+    assert out.iloc[0]["vec_id"] == 5 and out.iloc[0]["rank"] == 1
+    assert out["cosine"].iloc[0] == pytest.approx(1.0)
+    assert list(out["rank"]) == [1, 2, 3, 4, 5]
+
+
+def test_knn_matches_numpy_bruteforce(vec_ds):
+    ds, mat = vec_ds
+    q = mat[7:8]
+    out = knn_cosine(ds, q, k=10).to_pandas()
+    m = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    qq = q / np.linalg.norm(q)
+    sims = (qq @ m.T)[0]
+    expected = set(np.argsort(-sims)[:10].tolist())
+    assert set(out["vec_id"]) == expected
+
+
+def test_knn_ivf_recall(vec_ds):
+    ds, mat = vec_ds
+    q = mat[11:12]
+    exact = set(knn_cosine(ds, q, k=10).to_pandas()["vec_id"])
+    approx = set(knn_cosine_ivf(ds, q, k=10, n_cells=8, n_probe=4)
+                 .to_pandas()["vec_id"])
+    assert len(exact & approx) >= 6  # recall >= 0.6 with 4/8 cells probed
+
+
+# ------------------------------------------------------------------ media
+
+def test_media_header_roundtrip():
+    p = encode_fake_image(640, 480, 3, seed=1)
+    assert decode_header(p) == (640, 480, 3)
+
+
+def test_media_decode_stage_and_quarantine(ray_session):
+    good = encode_fake_image(32, 16, 1, seed=2)
+    t = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "media": pa.array([good, b"not an image"], pa.binary())})
+    out = MediaDecodeStage(column="media")(t)
+    assert out["width"].to_pylist() == [32, None]
+    assert out["media_error"].to_pylist()[0] is None
+    assert out["media_error"].to_pylist()[1].startswith("ValueError: media:")
+    feats = out["features"].to_pylist()
+    assert len(feats[0]) == 8 and feats[1] is None
+    assert "media" not in out.column_names  # payload consumed
+
+
+# ----------------------------------------------------------------- events
+
+@pytest.fixture(scope="module")
+def events_ds(ray_session):
+    ts = pd.to_datetime([
+        "2024-01-01 00:05:00", "2024-01-01 00:10:00",  # u1 session 1
+        "2024-01-01 02:00:00",                           # u1 session 2 (gap)
+        "2024-01-01 00:07:00",                           # u2
+    ])
+    df = pd.DataFrame({
+        "event_id": [1, 2, 3, 4],
+        "ts": ts,
+        "user_id": [1, 1, 1, 2],
+        "event_type": ["click", "click", "buy", "click"],
+        "value": [1.10, 2.20, 3.30, 4.40],
+    })
+    return rd.from_pandas(df)
+
+
+def test_events_window(events_ds):
+    rows = {(str(r["hour"]), r["event_type"]): r
+            for r in events_window(events_ds).take_all()}
+    r = rows[("2024-01-01 00:00:00", "click")]
+    assert r["n_events"] == 3
+    assert r["min_value"] == 1.10 and r["max_value"] == 4.40
+
+
+def test_top_users_exact_cents(events_ds):
+    out = top_users_by_value(events_ds, k=2).to_pandas()
+    assert list(out["user_id"]) == [1, 2]
+    assert list(out["total_cents"]) == [660, 440]  # exact integers
+
+
+def test_sessionize(events_ds):
+    rows = sessionize(events_ds).take_all()
+    u1 = sorted([r for r in rows if r["user_id"] == 1],
+                key=lambda r: r["session_start"])
+    assert len(u1) == 2
+    assert u1[0]["n_events"] == 2 and u1[1]["n_events"] == 1
+    assert len([r for r in rows if r["user_id"] == 2]) == 1
