@@ -356,6 +356,15 @@ def _q_dedup_minhash(sf_dir: str):
     return minhash_dedup_pairs(_docs(sf_dir), threshold=0.8)
 
 
+def _q_dedup_ngram(sf_dir: str):
+    """Char-5-gram Jaccard near-dup pairs: LSH candidates verified with
+    character-level n-gram Jaccard (robust to word-boundary edits)."""
+    from pmocr_ray.ops.dedup import minhash_dedup_pairs
+
+    return minhash_dedup_pairs(_docs(sf_dir), threshold=0.8,
+                               char_level_verify=True, shingle_size=5)
+
+
 def _q_dedup_simhash(sf_dir: str):
     from pmocr_ray.ops.dedup import simhash_dedup_pairs
 
@@ -395,6 +404,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_pairs_exact": _q_dedup_pairs_exact,
         "dedup_minhash": _q_dedup_minhash,
+        "dedup_ngram": _q_dedup_ngram,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding": _q_dedup_embedding,
         # similarity search

@@ -1,0 +1,120 @@
+"""CLI — the reference's two entry modes on the Ray pipeline.
+
+``--batch`` mirrors ``pmocr.sh --batch /path`` (one discovery +
+conversion pass, /root/reference/pmocr.sh:2546-2593); ``--service``
+mirrors the monitor daemon (pmocr.sh:2498-2544) as a poller loop over
+newly arrived Parquet partitions.  Flags override config
+(pmocr.sh:2462-2494): ``-k/--skip-txt-pdf`` toggles the
+already-has-text skip (pmocr.sh:2378-2380), ``--csv`` emits the
+CSV-hack derived format.
+
+Usage:
+    python -m pmocr_ray.cli --batch PAGES_DIR [--out DIR] [--config F] ...
+    python -m pmocr_ray.cli --service PAGES_DIR [--interval S] [--rounds N] ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import json
+import sys
+
+from pmocr_ray.config import PipelineConfig, apply_overrides, load_config
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="pmocr_ray", description=__doc__)
+    mode = p.add_mutually_exclusive_group(required=True)
+    mode.add_argument("--batch", metavar="PAGES", help="one conversion pass")
+    mode.add_argument("--service", metavar="PAGES",
+                      help="poll for new partitions and process them")
+    p.add_argument("--config", help="KEY=value config file")
+    p.add_argument("--out", dest="out_dir")
+    p.add_argument("--done-manifest", dest="done_manifest")
+    p.add_argument("-k", "--skip-txt-pdf", dest="check_existing_text",
+                   action="store_const", const=True,
+                   help="skip PDFs that already carry a text layer")
+    p.add_argument("--no-skip-txt-pdf", dest="check_existing_text",
+                   action="store_const", const=False)
+    p.add_argument("--csv", dest="emit_csv", action="store_const", const=True)
+    p.add_argument("--batch-size", dest="batch_size", type=int)
+    p.add_argument("--concurrency", dest="concurrency", type=int)
+    p.add_argument("--interval", dest="poll_interval_s", type=float)
+    p.add_argument("--rounds", type=int, default=None,
+                   help="service mode: stop after N poll rounds")
+    return p
+
+
+def run_batch(pages: str, cfg: PipelineConfig) -> dict:
+    from pmocr_ray.pipeline import run_extraction, status_counts
+    from pmocr_ray.stages import csv_hack
+
+    ds = run_extraction(
+        pages,
+        cfg.done_manifest,
+        processed_at=datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None),
+        num_blocks=cfg.num_blocks,
+        repartition_blocks=cfg.repartition_blocks,
+        concurrency=cfg.concurrency,
+        batch_size=cfg.batch_size,
+        check_existing_text=cfg.check_existing_text,
+        max_attempts=cfg.max_attempts,
+        max_payload_bytes=cfg.max_payload_bytes,
+    )
+    if cfg.emit_csv:
+        ds = ds.map_batches(csv_hack, batch_format="pyarrow")
+    ds.write_parquet(cfg.out_dir)
+    import ray.data as rd
+
+    return status_counts(rd.read_parquet(cfg.out_dir, columns=["status"]))
+
+
+def run_service(pages: str, cfg: PipelineConfig, rounds: int | None) -> dict:
+    from pmocr_ray.state.manifest import serve
+
+    serve(pages, cfg.out_dir, cfg.resolved_manifest_dir(), cfg.done_manifest,
+          interval_s=cfg.poll_interval_s, max_rounds=rounds)
+    from pmocr_ray.state.manifest import LineageManifest
+
+    entries = LineageManifest(cfg.resolved_manifest_dir()).committed()
+    return {"partitions": len(entries)}
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    cfg = load_config(args.config) if args.config else PipelineConfig()
+    cfg = apply_overrides(
+        cfg,
+        out_dir=args.out_dir,
+        done_manifest=args.done_manifest,
+        check_existing_text=args.check_existing_text,
+        emit_csv=args.emit_csv,
+        batch_size=args.batch_size,
+        concurrency=args.concurrency,
+        poll_interval_s=args.poll_interval_s,
+    )
+
+    import ray
+
+    owns_ray = not ray.is_initialized()
+    if owns_ray:
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        if args.batch:
+            out = run_batch(args.batch, cfg)
+        else:
+            out = run_service(args.service, cfg, args.rounds)
+        print(json.dumps(out))
+        return 0
+    finally:
+        if owns_ray:
+            ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -236,7 +236,7 @@ def minhash_dedup_pairs(
             "shingle_size": shingle_size, "key": key, "column": column,
         },
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=(1, concurrency),
     )
     candidates = lsh_candidate_pairs(band_rows)
     texts = {r[key]: r[column] for r in ds.select_columns([key, column]).take_all()}
@@ -248,7 +248,7 @@ def minhash_dedup_pairs(
             "shingle_size": shingle_size, "char_level": char_level_verify,
         },
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=(1, concurrency),
     )
     return verified.filter(lambda row: row["is_dup"]).select_columns(["a", "b", "jaccard"])
 
@@ -331,7 +331,7 @@ def simhash_dedup_pairs(ds: rd.Dataset, *, key: str = "doc_id",
         SimHashStage,
         fn_constructor_kwargs={"key": key, "column": column},
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=(1, concurrency),
     )
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -406,5 +406,5 @@ def embedding_dedup_pairs(ds: rd.Dataset, *, key: str = "vec_id",
         PairFinder,
         fn_constructor_kwargs={"corpus_ref": ref, "threshold": threshold},
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=(1, 2),
     )

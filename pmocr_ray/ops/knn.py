@@ -77,7 +77,7 @@ def knn_cosine(
         fn_constructor_kwargs={"query_ref": query_ref, "k": k,
                                "key": key, "column": column},
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=(1, concurrency),
     )
     # merge: tiny (k rows per batch per query) — driver-side final top-k
     t = pa.Table.from_pylist(partials.take_all())
@@ -143,7 +143,7 @@ def ivf_assign(ds: rd.Dataset, centroids: np.ndarray, *, key: str = "vec_id",
 
     return ds.map_batches(
         Assign, fn_constructor_kwargs={"cent_ref": cent_ref},
-        batch_format="pyarrow", concurrency=concurrency,
+        batch_format="pyarrow", concurrency=(1, concurrency),
     )
 
 

@@ -38,6 +38,39 @@ def text_stats(batch: pa.Table, column: str = "text") -> pa.Table:
     )
 
 
+# ------------------------------------------------------- url normalization
+
+
+def normalize_url(url: str) -> str:
+    """Canonicalize a url record key: lowercase scheme+host, strip default
+    ports and fragments, percent-decode unreserved chars, drop trailing
+    slash on bare paths.  (Reference has UrlEncode/UrlDecode helpers,
+    /root/reference/pmocr.sh:1347-1370; keys here are urls, not paths.)
+    Deterministic — safe to use upstream of the dedup/done-manifest keys.
+    """
+    from urllib.parse import unquote, urlsplit, urlunsplit
+
+    parts = urlsplit(url)
+    scheme = parts.scheme.lower()
+    host = parts.hostname.lower() if parts.hostname else ""
+    port = parts.port
+    if port and not (
+        (scheme == "http" and port == 80) or (scheme == "https" and port == 443)
+    ):
+        host = f"{host}:{port}"
+    path = unquote(parts.path) or "/"
+    if path != "/" and path.endswith("/"):
+        path = path[:-1]
+    return urlunsplit((scheme, host, path, parts.query, ""))
+
+
+def normalize_url_batch(batch: pa.Table, column: str = "url",
+                        out_column: str = "url_norm") -> pa.Table:
+    out = pa.array([normalize_url(u) for u in batch[column].to_pylist()],
+                   pa.string())
+    return batch.append_column(out_column, out)
+
+
 # --------------------------------------------------------- quality scoring
 
 _STOPWORDS = frozenset(

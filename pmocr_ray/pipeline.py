@@ -81,6 +81,9 @@ def run_extraction(
     repartition_blocks: int | None = None,
     concurrency: int | None = None,
     batch_size: int = 64,
+    check_existing_text: bool = True,
+    max_attempts: int = S.MAX_ATTEMPTS,
+    max_payload_bytes: int | None = None,
 ) -> rd.Dataset:
     """The flagship pipeline: read → sniff → (rebalance) → extract.
 
@@ -93,7 +96,10 @@ def run_extraction(
         # enough blocks that both parallelism levels saturate (≥2 waves)
         num_blocks = max(2 * cpus, 16)
     if concurrency is None:
-        concurrency = max(1, cpus - 1)  # leave headroom for read/write tasks
+        # Leave ~1/6 of the CPUs for the read/write task stages: a pool
+        # that pins every CPU starves its own feeder and sink (measured:
+        # 600k pages, 32 cpus — 31 actors 53-60s vs 24-28 actors 25-43s).
+        concurrency = max(1, cpus - max(2, cpus // 6))
 
     ds = read_pages(pages_path, num_blocks=num_blocks)
     ds = ds.map_batches(sniff_stage, batch_format="pyarrow")
@@ -113,6 +119,9 @@ def run_extraction(
             "done_urls_ref": load_done_urls_ref(done_manifest_path),
             "run_id": run_id or f"run-{uuid.uuid4().hex[:8]}",
             "processed_at": processed_at,
+            "check_existing_text": check_existing_text,
+            "max_attempts": max_attempts,
+            "max_payload_bytes": max_payload_bytes,
         },
     )
     return ds

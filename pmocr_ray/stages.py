@@ -65,6 +65,8 @@ class ExtractStage:
         run_id: str = "run-0",
         processed_at: datetime.datetime | None = None,
         max_attempts: int = S.MAX_ATTEMPTS,
+        check_existing_text: bool = True,
+        max_payload_bytes: int | None = None,
     ) -> None:
         if done_urls_ref is not None:
             import ray
@@ -79,6 +81,8 @@ class ExtractStage:
         self.run_id = run_id
         self.processed_at = processed_at or S.EPOCH
         self.max_attempts = max_attempts
+        self.check_existing_text = check_existing_text
+        self.max_payload_bytes = max_payload_bytes
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -105,6 +109,8 @@ class ExtractStage:
                 urls[i] in done,
                 extractors=self.extractors,
                 max_attempts=self.max_attempts,
+                check_existing_text=self.check_existing_text,
+                max_payload_bytes=self.max_payload_bytes,
             )
             cts[i] = pre_ct[i] if pre_ct is not None else ct
             statuses[i] = status

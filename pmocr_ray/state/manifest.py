@@ -95,6 +95,7 @@ def run_incremental(
     run_id: str | None = None,
     batch_size: int = 64,
     concurrency: int | None = None,
+    on_complete=None,
 ) -> dict:
     """Process every input partition lacking a committed lineage entry.
 
@@ -107,6 +108,9 @@ def run_incremental(
     manifest = LineageManifest(manifest_dir)
     manifest.heartbeat()
     run_id = run_id or f"run-{int(time.time())}"
+    from pmocr_ray.runlog import get_run_logger
+
+    log = get_run_logger(run_id, log_dir=manifest_dir)
     summary = {"processed": [], "skipped": [], "counts": {}}
 
     for path in list_partitions(pages_dir):
@@ -146,9 +150,15 @@ def run_incremental(
         }
         manifest.commit(key, entry)
         manifest.heartbeat()
+        log.info("partition %s committed: %s", key, counts)
         summary["processed"].append(key)
         for s, c in counts.items():
             summary["counts"][s] = summary["counts"].get(s, 0) + c
+    if on_complete is not None:
+        # Alert hook (reference: SendAlert on run outcome,
+        # /root/reference/pmocr.sh:428-480) — driver-side callback, not
+        # a dataflow operator.
+        on_complete(summary)
     return summary
 
 

@@ -37,11 +37,19 @@ def process_row(
     is_done: bool,
     extractors: dict | None = None,
     max_attempts: int = S.MAX_ATTEMPTS,
+    check_existing_text: bool = True,
+    max_payload_bytes: int | None = None,
 ) -> tuple[str, str, int, str | None, str | None]:
     """Run one row through sniff -> skip predicates -> engine -> state.
 
     Returns ``(content_type, status, attempts, error, extracted_text)``.
     Pure function of the inputs (byte-identical at any parallelism).
+
+    ``max_payload_bytes`` is the per-row resource guard standing in for
+    the reference's per-task soft/hard timeouts (ExecTasks,
+    /root/reference/pmocr.sh:1004-1038): a wall-clock kill would be
+    nondeterministic under distribution, so the guard is a deterministic
+    size cap — an oversize payload quarantines without being parsed.
     """
     extractors = extractors if extractors is not None else EXTRACTORS
     content_type = sniff_content_type(payload)
@@ -50,7 +58,7 @@ def process_row(
         # Previously processed -> never reprocessed (idempotent restart).
         return content_type, S.STATUS_SKIPPED_SUFFIX, 0, None, None
 
-    if content_type == S.CT_PDF and (
+    if check_existing_text and content_type == S.CT_PDF and (
         (pre_text is not None and pre_text != "") or pdf_has_text_layer(payload)
     ):
         # PDF already carries a text layer: skip the engine entirely,
@@ -58,6 +66,17 @@ def process_row(
         # stage — the reference hoisted this pre-dispatch in v1.8.0,
         # /root/reference/CHANGELOG.md:15).
         return content_type, S.STATUS_SKIPPED_TEXT, 0, None, pre_text or None
+
+    if max_payload_bytes is not None and len(payload) > max_payload_bytes:
+        return (
+            content_type,
+            S.STATUS_FAILED,
+            0,
+            truncate_error(
+                f"guard: payload {len(payload)} bytes exceeds cap {max_payload_bytes}"
+            ),
+            None,
+        )
 
     extractor = extractors.get(content_type)
     if extractor is None:

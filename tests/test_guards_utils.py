@@ -1,0 +1,70 @@
+"""Tests for the per-row size guard, size parsing, url normalization,
+and the run logger (SURVEY §2.3/§2.7 utility parity)."""
+
+import os
+
+import pyarrow as pa
+import pytest
+
+from pmocr_ray.config import parse_size
+from pmocr_ray.fixtures import build_html_page
+from pmocr_ray.ops.text import normalize_url, normalize_url_batch
+from pmocr_ray.state_machine import process_row
+
+TEXT = "guard test words one two three four five six seven eight nine ten"
+HTML = build_html_page(TEXT, site=1, lang="en", variant=0, giant=False)
+
+
+class TestPayloadGuard:
+    def test_oversize_payload_quarantined_without_parse(self):
+        ct, status, attempts, error, text = process_row(
+            HTML, None, False, max_payload_bytes=10
+        )
+        assert status == "failed" and attempts == 0
+        assert "exceeds cap" in error and text is None
+
+    def test_under_cap_processed_normally(self):
+        ct, status, attempts, error, text = process_row(
+            HTML, None, False, max_payload_bytes=10_000_000
+        )
+        assert status == "done" and text == TEXT
+
+    def test_guard_deterministic_vs_unguarded(self):
+        a = process_row(HTML, None, False, max_payload_bytes=None)
+        b = process_row(HTML, None, False, max_payload_bytes=len(HTML))
+        assert a == b
+
+
+class TestParseSize:
+    @pytest.mark.parametrize("s,expected", [
+        ("1024", 1024), ("64K", 64 * 1024), ("2M", 2 << 20),
+        ("1G", 1 << 30), ("1.5k", 1536), ("2MB", 2 << 20),
+    ])
+    def test_values(self, s, expected):
+        assert parse_size(s) == expected
+
+
+class TestNormalizeUrl:
+    @pytest.mark.parametrize("raw,norm", [
+        ("HTTPS://Example.COM:443/a/b/", "https://example.com/a/b"),
+        ("http://host:80/", "http://host/"),
+        ("http://host:8080/x", "http://host:8080/x"),
+        ("https://h/p%61th?q=1#frag", "https://h/path?q=1"),
+        ("https://site1.example/page/3-0", "https://site1.example/page/3-0"),
+    ])
+    def test_cases(self, raw, norm):
+        assert normalize_url(raw) == norm
+
+    def test_batch_kernel(self):
+        t = pa.table({"url": ["HTTP://A/x/", "https://b/"]})
+        out = normalize_url_batch(t)["url_norm"].to_pylist()
+        assert out == ["http://a/x", "https://b/"]
+
+
+def test_run_logger_writes_file(tmp_path):
+    from pmocr_ray.runlog import get_run_logger
+
+    log = get_run_logger("test-run-xyz", log_dir=str(tmp_path))
+    log.info("hello %s", "world")
+    content = open(os.path.join(tmp_path, "test-run-xyz.log")).read()
+    assert "hello world" in content and "INFO" in content
