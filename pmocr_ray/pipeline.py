@@ -84,6 +84,7 @@ def run_extraction(
     check_existing_text: bool = True,
     max_attempts: int = S.MAX_ATTEMPTS,
     max_payload_bytes: int | None = None,
+    actor_num_cpus: float = 0.75,
 ) -> rd.Dataset:
     """The flagship pipeline: read → sniff → (rebalance) → extract.
 
@@ -96,10 +97,13 @@ def run_extraction(
         # enough blocks that both parallelism levels saturate (≥2 waves)
         num_blocks = max(2 * cpus, 16)
     if concurrency is None:
-        # Leave ~1/6 of the CPUs for the read/write task stages: a pool
-        # that pins every CPU starves its own feeder and sink (measured:
-        # 600k pages, 32 cpus — 31 actors 53-60s vs 24-28 actors 25-43s).
-        concurrency = max(1, cpus - max(2, cpus // 6))
+        # Slightly oversubscribed pool at fractional num_cpus: the pool
+        # nominally reserves ~concurrency×actor_num_cpus CPUs, leaving a
+        # float share for the read/write task stages, and the OS
+        # time-slices the rest.  A pool that pins every CPU starves its
+        # own feeder and sink (measured: 600k pages, 32 cpus — 31
+        # pinned actors 53-60s vs balanced splits 18-26s).
+        concurrency = max(1, cpus - max(1, cpus // 8))
 
     ds = read_pages(pages_path, num_blocks=num_blocks)
     ds = ds.map_batches(sniff_stage, batch_format="pyarrow")
@@ -114,7 +118,7 @@ def run_extraction(
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
-        num_cpus=1,
+        num_cpus=actor_num_cpus,
         fn_constructor_kwargs={
             "done_urls_ref": load_done_urls_ref(done_manifest_path),
             "run_id": run_id or f"run-{uuid.uuid4().hex[:8]}",
