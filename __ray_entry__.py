@@ -382,6 +382,17 @@ def _q_dedup_embedding(sf_dir: str):
     ).select_columns(["a", "b"])
 
 
+def _q_dedup_embedding_lsh(sf_dir: str):
+    import ray.data as rd
+
+    from pmocr_ray.ops.dedup import embedding_dedup_pairs_lsh
+
+    return embedding_dedup_pairs_lsh(
+        rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet")),
+        threshold=0.45, n_planes=8, n_tables=16,
+    ).select_columns(["a", "b"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction pipeline family (pages fixture derived from documents)
@@ -407,6 +418,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram": _q_dedup_ngram,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding": _q_dedup_embedding,
+        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         # similarity search
         "knn_cosine": _q_knn,
         "knn_ivf": _q_knn_ivf,

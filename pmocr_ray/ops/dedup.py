@@ -154,26 +154,83 @@ def lsh_candidate_pairs(band_rows: rd.Dataset, max_bucket: int = 64,
                         num_partitions: int = 16) -> rd.Dataset:
     """(band, bucket) co-grouping → unique candidate pairs (a < b).
 
-    Implemented as a hash **self-join** on (band, bucket) rather than
-    ``groupby().map_groups``: band rows are overwhelmingly singleton
-    buckets, and per-group UDF overhead over ~32×N near-empty groups
-    dominates (measured 22s → 3.9s at 160k band rows).  The join output
-    for a bucket of size n is n² rows, so degenerate constant-content
-    buckets must be bounded — ``max_bucket`` caps emitted pairs per
-    bucket downstream; genuinely hot buckets should be salted upstream.
+    Skew-aware dual path:
+
+    * **Normal buckets** go through a hash **self-join** on
+      (band, bucket) — band rows are overwhelmingly singleton buckets,
+      and per-group UDF overhead over ~32×N near-empty groups dominates
+      a ``groupby().map_groups`` formulation (measured 22s → 3.9s at
+      160k band rows).
+    * **Hot buckets** (> ``max_bucket`` members — degenerate
+      constant-content clusters) would emit n² join rows; they are
+      detected by a pre-count and routed through a **star emit**
+      instead: every member pairs with the bucket minimum only — O(n)
+      pairs that preserve cluster connectivity for the union-find step.
+      This is the hot-key/salting guard as an operator, not a comment.
+
     Falls back to the map_groups formulation on Ray builds without
     ``Dataset.join``.
     """
     from ray.data.aggregate import Count
 
+    def _distinct(pairs: rd.Dataset) -> rd.Dataset:
+        return pairs.groupby(["a", "b"]).aggregate(Count(alias_name="n_bands_hit"))
+
     if not hasattr(rd.Dataset, "join"):  # pragma: no cover - older Ray
         pairs = band_rows.groupby(["band", "bucket"]).map_groups(
             lambda g: _bucket_pairs(g, max_bucket), batch_format="pandas"
         )
-        return pairs.groupby(["a", "b"]).aggregate(Count(alias_name="n_bands_hit"))
+        return _distinct(pairs)
 
-    joined = band_rows.join(
-        band_rows, join_type="inner", num_partitions=num_partitions,
+    # Three consumers (pre-count + both routes) — pin once rather than
+    # re-running the sketch stage; at extreme scale, checkpoint the band
+    # rows to parquet instead of the object store.
+    band_rows = band_rows.materialize()
+    # An all-empty hash partition reaches acero as a zero-column table
+    # and fails FieldRef resolution — keep partitions comfortably
+    # populated relative to the row count.
+    n_rows = band_rows.count()
+    num_partitions = max(1, min(num_partitions, n_rows // 2048 + 1))
+    counts = band_rows.groupby(["band", "bucket"]).count()
+    hot = counts.map_batches(
+        lambda t: t.filter(pa.compute.greater(t["count()"], max_bucket)),
+        batch_format="pyarrow",
+    ).take_all()
+
+    if hot:
+        hot_keys = frozenset((r["band"], int(r["bucket"])) for r in hot)
+        hot_ref = ray.put(hot_keys)
+
+        def split(t: pa.Table, keep_hot: bool) -> pa.Table:
+            keys = ray.get(hot_ref)
+            bands = t["band"].to_pylist()
+            buckets = t["bucket"].to_pylist()
+            mask = pa.array(
+                [((b, int(k)) in keys) == keep_hot
+                 for b, k in zip(bands, buckets)],
+                pa.bool_(),
+            )
+            return t.filter(mask)
+
+        normal_rows = band_rows.map_batches(
+            lambda t: split(t, False), batch_format="pyarrow")
+        hot_rows = band_rows.map_batches(
+            lambda t: split(t, True), batch_format="pyarrow")
+
+        def star(g: pd.DataFrame) -> pd.DataFrame:
+            ids = sorted(set(g["doc_id"].tolist()))
+            return pd.DataFrame({
+                "a": pd.Series([ids[0]] * (len(ids) - 1), dtype="int64"),
+                "b": pd.Series(ids[1:], dtype="int64"),
+            })
+
+        hot_pairs = hot_rows.groupby(["band", "bucket"]).map_groups(
+            star, batch_format="pandas")  # few groups — map_groups is fine here
+    else:
+        normal_rows, hot_pairs = band_rows, None
+
+    joined = normal_rows.join(
+        normal_rows, join_type="inner", num_partitions=num_partitions,
         on=("band", "bucket"), left_suffix="", right_suffix="_r",
     )
 
@@ -182,7 +239,9 @@ def lsh_candidate_pairs(band_rows: rd.Dataset, max_bucket: int = 64,
         return pa.table({"a": f["doc_id"], "b": f["doc_id_r"]})
 
     pairs = joined.map_batches(to_pairs, batch_format="pyarrow")
-    return pairs.groupby(["a", "b"]).aggregate(Count(alias_name="n_bands_hit"))
+    if hot_pairs is not None:
+        pairs = pairs.union(hot_pairs)
+    return _distinct(pairs)
 
 
 def jaccard(text_a: str, text_b: str, shingle_size: int = 3,
@@ -378,6 +437,111 @@ def simhash_dedup_pairs(ds: rd.Dataset, *, key: str = "doc_id",
     from ray.data.aggregate import Min
 
     return pairs.groupby(["a", "b"]).aggregate(Min("distance", alias_name="distance"))
+
+
+# ----------------------------------------- hyperplane-LSH embedding dedup
+
+
+class HyperplaneStage:
+    """Random-hyperplane (SRP) signatures for cosine LSH — actor pool.
+
+    ``n_tables`` independent tables of ``n_planes`` seeded hyperplanes;
+    a vector's bucket in a table is the sign-bit pattern of its
+    projections.  Two vectors at cosine θ collide in one table w.p.
+    ``(1 - acos(θ)/π)^n_planes``.  Plane matrices are generated
+    deterministically from (seed, table, dim) once per actor.
+    Emits (doc_id, band=table, bucket) rows — the same layout the
+    MinHash pipeline uses, so the skew-aware pair generation
+    (:func:`lsh_candidate_pairs`) is shared verbatim.
+    """
+
+    def __init__(self, n_planes: int = 16, n_tables: int = 8, seed: int = 42,
+                 key: str = "vec_id", column: str = "embedding") -> None:
+        self.n_planes = n_planes
+        self.n_tables = n_tables
+        self.seed = seed
+        self.key = key
+        self.column = column
+        self._planes: np.ndarray | None = None  # lazy: needs dim
+
+    def _get_planes(self, dim: int) -> np.ndarray:
+        if self._planes is None:
+            rng = np.random.RandomState(self.seed)
+            self._planes = rng.randn(self.n_tables, self.n_planes, dim)
+        return self._planes
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[self.key].to_pylist(), dtype=np.int64)
+        mat = np.asarray(batch[self.column].to_pylist(), dtype=np.float64)
+        planes = self._get_planes(mat.shape[1])
+        pows = (1 << np.arange(self.n_planes, dtype=np.uint64))
+        out_id, out_band, out_bucket = [], [], []
+        for t in range(self.n_tables):
+            bits = (mat @ planes[t].T) > 0  # (B, n_planes)
+            buckets = (bits.astype(np.uint64) * pows).sum(axis=1)
+            out_id.extend(ids.tolist())
+            out_band.extend([t] * len(ids))
+            out_bucket.extend(buckets.tolist())
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "band": pa.array(out_band, pa.int32()),
+            "bucket": pa.array(out_bucket, pa.uint64()),
+        })
+
+
+def embedding_dedup_pairs_lsh(
+    ds: rd.Dataset,
+    *,
+    key: str = "vec_id",
+    column: str = "embedding",
+    threshold: float = 0.9,
+    n_planes: int = 16,
+    n_tables: int = 8,
+    concurrency: int = 2,
+) -> rd.Dataset:
+    """Scale path for embedding near-dup: SRP-LSH bucketing bounds the
+    candidate set (vs the O(n²) brute force of
+    :func:`embedding_dedup_pairs`), then exact cosine verification over
+    a broadcast id→vector lookup.  Returns (a, b, cosine) with
+    cosine ≥ threshold.  Approximate: recall < 1 by construction,
+    validated against the brute-force baseline in tests."""
+    band_rows = ds.map_batches(
+        HyperplaneStage,
+        fn_constructor_kwargs={"n_planes": n_planes, "n_tables": n_tables,
+                               "key": key, "column": column},
+        batch_format="pyarrow",
+        concurrency=(1, concurrency),
+    )
+    candidates = lsh_candidate_pairs(band_rows)
+
+    rows = ds.select_columns([key, column]).take_all()
+    vecs = {r[key]: np.asarray(r[column], dtype=np.float64) for r in rows}
+    for k_, v in vecs.items():
+        n = np.linalg.norm(v)
+        if n > 0:
+            vecs[k_] = v / n
+    vec_ref = ray.put(vecs)
+
+    class VerifyCosine:
+        def __init__(self, vec_ref, threshold: float) -> None:
+            self.vecs = ray.get(vec_ref)
+            self.threshold = threshold
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            a = batch["a"].to_pylist()
+            b = batch["b"].to_pylist()
+            sims = [float(self.vecs[x] @ self.vecs[y]) for x, y in zip(a, b)]
+            t = pa.table({"a": pa.array(a, pa.int64()),
+                          "b": pa.array(b, pa.int64()),
+                          "cosine": pa.array(sims, pa.float64())})
+            return t.filter(pa.compute.greater_equal(t["cosine"], self.threshold))
+
+    return candidates.map_batches(
+        VerifyCosine,
+        fn_constructor_kwargs={"vec_ref": vec_ref, "threshold": threshold},
+        batch_format="pyarrow",
+        concurrency=(1, concurrency),
+    ).select_columns(["a", "b", "cosine"])
 
 
 # ------------------------------------------------- embedding-cosine dedup

@@ -138,7 +138,19 @@ def status_counts(result_ds: rd.Dataset) -> dict[str, int]:
     return {r["status"]: r["count()"] for r in rows}
 
 
-def write_output(result_ds: rd.Dataset, out_dir: str) -> None:
+def write_output(result_ds: rd.Dataset, out_dir: str,
+                 partition_by_status: bool = False) -> None:
     """Sink: partitioned Parquet, one directory per run/partition so a
-    failed run can be skipped/rerun wholesale (resumable output)."""
-    result_ds.write_parquet(out_dir)
+    failed run can be skipped/rerun wholesale (resumable output).
+
+    ``partition_by_status=True`` writes hive-style ``status=<v>/``
+    subdirectories — the literal analogue of the reference's
+    success-archive and failure-quarantine directories
+    (MOVE_ORIGINAL_ON_SUCCESS/FAILURE, /root/reference/pmocr.sh:
+    2067-2096,1986-2011): quarantined rows land in
+    ``status=failed/`` and future runs can prune whole directories.
+    """
+    if partition_by_status:
+        result_ds.write_parquet(out_dir, partition_cols=["status"])
+    else:
+        result_ds.write_parquet(out_dir)

@@ -14,6 +14,7 @@ import ray.data as rd
 from pmocr_ray.ops.dedup import (
     connected_components,
     embedding_dedup_pairs,
+    embedding_dedup_pairs_lsh,
     exact_dedup,
     jaccard,
     minhash_dedup_pairs,
@@ -75,6 +76,24 @@ def test_minhash_exact_pair_jaccard_is_one(corpus):
     assert j[(0, 1)] == 1.0
 
 
+def test_hot_bucket_star_emit(ray_session):
+    """A degenerate cluster (120 identical docs) must not explode into
+    n² pairs: hot buckets emit a star (min-id hub), preserving
+    connectivity for union-find at O(n) pairs."""
+    same = "identical degenerate content repeated everywhere " * 4
+    rows = [{"doc_id": i, "text": same} for i in range(120)]
+    rows += [{"doc_id": 200, "text": OTHER}]
+    ds = rd.from_items(rows)
+    pairs = [(r["a"], r["b"]) for r in
+             minhash_dedup_pairs(ds, threshold=0.8, concurrency=2).take_all()]
+    # star shape: exactly n-1 pairs, all anchored at the min id
+    assert len(pairs) == 119
+    assert all(a == 0 for a, b in pairs)
+    cc = connected_components(pairs)
+    assert len({cc[i] for i in range(120)}) == 1  # one cluster
+    assert 200 not in cc
+
+
 def test_connected_components():
     cc = connected_components([(0, 1), (1, 2), (3, 4)])
     assert cc[0] == cc[1] == cc[2] == 0
@@ -88,6 +107,25 @@ def test_simhash_finds_exact_and_near(corpus):
     assert (3, 4) in pairs          # near dup within hamming budget
     assert all(not ({a, b} & {0, 1, 2} and {a, b} & {3, 4, 5, 6})
                for a, b in pairs)
+
+
+def test_embedding_dedup_lsh_matches_bruteforce(ray_session):
+    """SRP-LSH path finds the planted near-dup pairs the brute-force
+    baseline finds (exact dups always collide in every table)."""
+    rng = np.random.RandomState(11)
+    base = rng.randn(30, 24)
+    vecs = np.vstack([base, base[3] + 1e-4 * rng.randn(24)])  # 30 == near-dup of 3
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(31), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+    }))
+    brute = {(r["a"], r["b"]) for r in
+             embedding_dedup_pairs(ds, threshold=0.98).take_all()}
+    lsh = {(r["a"], r["b"]) for r in
+           embedding_dedup_pairs_lsh(ds, threshold=0.98,
+                                     n_planes=8, n_tables=8).take_all()}
+    assert (3, 30) in brute
+    assert lsh == brute  # near-identical vectors collide w.h.p. in 8 tables
 
 
 def test_embedding_dedup(ray_session):
