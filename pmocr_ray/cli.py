@@ -38,6 +38,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-skip-txt-pdf", dest="check_existing_text",
                    action="store_const", const=False)
     p.add_argument("--csv", dest="emit_csv", action="store_const", const=True)
+    p.add_argument("--update-done", action="store_true",
+                   help="after a batch run, fold terminal rows into the "
+                        "done manifest (the reference's mark-as-done rename)")
     p.add_argument("--batch-size", dest="batch_size", type=int)
     p.add_argument("--concurrency", dest="concurrency", type=int)
     p.add_argument("--interval", dest="poll_interval_s", type=float)
@@ -46,7 +49,7 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def run_batch(pages: str, cfg: PipelineConfig) -> dict:
+def run_batch(pages: str, cfg: PipelineConfig, update_done: bool = False) -> dict:
     from pmocr_ray.pipeline import run_extraction, status_counts
     from pmocr_ray.stages import csv_hack
 
@@ -65,6 +68,10 @@ def run_batch(pages: str, cfg: PipelineConfig) -> dict:
     if cfg.emit_csv:
         ds = ds.map_batches(csv_hack, batch_format="pyarrow")
     ds.write_parquet(cfg.out_dir)
+    if update_done and cfg.done_manifest:
+        from pmocr_ray.state.manifest import update_done_manifest
+
+        update_done_manifest(cfg.out_dir, cfg.done_manifest)
     import ray.data as rd
 
     return status_counts(rd.read_parquet(cfg.out_dir, columns=["status"]))
@@ -106,7 +113,7 @@ def main(argv: list[str] | None = None) -> int:
     DataContext.get_current().enable_progress_bars = False
     try:
         if args.batch:
-            out = run_batch(args.batch, cfg)
+            out = run_batch(args.batch, cfg, update_done=args.update_done)
         else:
             out = run_service(args.service, cfg, args.rounds)
         print(json.dumps(out))

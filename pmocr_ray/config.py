@@ -50,7 +50,7 @@ class PipelineConfig:
                                           # analogue; accepts 64K/2M/1G)
     # execution (NUMBER_OF_PROCESSES default.conf:16-17)
     concurrency: int | None = None       # None -> auto from cluster CPUs
-    batch_size: int = 64
+    batch_size: int = 256
     num_blocks: int | None = None
     repartition_blocks: int | None = None
     # service mode (INOTIFY_POLLER_INTERVAL default.conf:33)

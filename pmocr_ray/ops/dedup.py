@@ -284,14 +284,13 @@ class VerifyPairsStage:
                     self.shingle_size, self.char_level)
             for x, y in zip(a, b)
         ]
-        keep = [s >= self.threshold for s in sims]
         t = pa.table({
             "a": pa.array(a, pa.int64()),
             "b": pa.array(b, pa.int64()),
             "jaccard": pa.array(sims, pa.float64()),
-            "is_dup": pa.array(keep, pa.bool_()),
         })
-        return t
+        # filter inside the stage (vectorized) — no per-row ds.filter
+        return t.filter(pa.compute.greater_equal(t["jaccard"], self.threshold))
 
 
 def minhash_dedup_pairs(
@@ -333,7 +332,7 @@ def minhash_dedup_pairs(
         batch_format="pyarrow",
         concurrency=(1, concurrency),
     )
-    return verified.filter(lambda row: row["is_dup"]).select_columns(["a", "b", "jaccard"])
+    return verified.select_columns(["a", "b", "jaccard"])
 
 
 def connected_components(pairs: list[tuple[int, int]]) -> dict[int, int]:

@@ -80,7 +80,7 @@ def run_extraction(
     num_blocks: int | None = None,
     repartition_blocks: int | None = None,
     concurrency: int | None = None,
-    batch_size: int = 64,
+    batch_size: int = 256,
     check_existing_text: bool = True,
     max_attempts: int = S.MAX_ATTEMPTS,
     max_payload_bytes: int | None = None,

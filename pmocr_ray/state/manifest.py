@@ -93,7 +93,7 @@ def run_incremental(
     done_manifest_path: str | None = None,
     *,
     run_id: str | None = None,
-    batch_size: int = 64,
+    batch_size: int = 256,
     concurrency: int | None = None,
     on_complete=None,
 ) -> dict:
@@ -160,6 +160,57 @@ def run_incremental(
         # a dataflow operator.
         on_complete(summary)
     return summary
+
+
+def update_done_manifest(output_path: str, done_manifest_path: str,
+                         run_id: str = "update") -> int:
+    """Fold a run's output into the row-level done manifest — the
+    reference's mark-as-done/mark-as-failed renames (``_OCR`` /
+    ``_OCR_ERR`` suffixes, /root/reference/pmocr.sh:2088-2096,
+    1999-2011) as a manifest union: every row that reached a terminal
+    state (done, failed, skipped_existing_text) is recorded so future
+    batch runs skip it (both suffixes are excluded from future
+    discovery in the reference, pmocr.sh:2126-2144).
+
+    Idempotent (union by url, first writer wins), atomic (tmp +
+    rename).  Returns the new manifest row count.  At 10^12 scale this
+    manifest is per-partition-sharded; here one file mirrors the
+    single done-set semantics.
+    """
+    import pyarrow as pa
+
+    from pmocr_ray import schema as S
+
+    terminal = {S.STATUS_DONE, S.STATUS_FAILED, S.STATUS_SKIPPED_TEXT}
+    files = ([output_path] if output_path.endswith(".parquet")
+             else sorted(glob.glob(os.path.join(output_path, "**", "*.parquet"),
+                                   recursive=True)))
+    seen: dict[str, tuple] = {}
+    if os.path.exists(done_manifest_path):
+        t = pq.read_table(done_manifest_path)
+        for r in t.to_pylist():
+            seen[r["url"]] = (r["status"], r["processed_at"], r["run_id"])
+    for f in files:
+        t = pq.read_table(f, columns=["url", "status", "processed_at"])
+        for url, status, ts in zip(t["url"].to_pylist(),
+                                   t["status"].to_pylist(),
+                                   t["processed_at"].to_pylist()):
+            if status in terminal and url not in seen:
+                seen[url] = (status, ts, run_id)
+    urls = sorted(seen)
+    table = pa.Table.from_pydict(
+        {
+            "url": urls,
+            "status": [seen[u][0] for u in urls],
+            "processed_at": [seen[u][1] for u in urls],
+            "run_id": [seen[u][2] for u in urls],
+        },
+        schema=S.DONE_MANIFEST_SCHEMA,
+    )
+    tmp = done_manifest_path + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, done_manifest_path)
+    return table.num_rows
 
 
 def poll_once(pages_dir: str, out_dir: str, manifest_dir: str,

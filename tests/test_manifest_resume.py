@@ -109,6 +109,32 @@ def test_manifest_commit_atomic_and_counted(tmp_env):
     assert s["counts"] == total
 
 
+def test_update_done_manifest_round_trip(tmp_path, pages_fixture):
+    """Mark-as-done semantics: after folding a run's output into the
+    done manifest, a full rerun skips every terminal row (the
+    reference's idempotent-restart property, pmocr.sh:2126-2144)."""
+    from pmocr_ray.pipeline import run_extraction, status_counts, write_output
+    from pmocr_ray.state.manifest import update_done_manifest
+
+    pages, seed_manifest = pages_fixture
+    out1 = str(tmp_path / "run1")
+    write_output(run_extraction(pages, seed_manifest, run_id="r1"), out1)
+
+    new_manifest = str(tmp_path / "done.parquet")
+    import shutil
+
+    shutil.copy(seed_manifest, new_manifest)
+    n = update_done_manifest(out1, new_manifest, run_id="r1")
+    # 400 seeded + 3000 done + 400 skipped_existing + 200 failed
+    assert n == 4000
+
+    counts = status_counts(run_extraction(pages, new_manifest, run_id="r2"))
+    assert counts == {"skipped_suffix": 4000}  # nothing reprocessed
+
+    # idempotent: folding the same output again changes nothing
+    assert update_done_manifest(out1, new_manifest, run_id="r3") == 4000
+
+
 def test_heartbeat_written(tmp_env):
     run_incremental(tmp_env["monitored"], tmp_env["out"], tmp_env["manifest"],
                     tmp_env["done"])
