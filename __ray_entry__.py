@@ -113,6 +113,26 @@ def _q_sniff_route(sf_dir: str):
     )
 
 
+def _q_pages_lang_en(sf_dir: str):
+    """Predicate pushdown demo: the lang filter is applied AT THE READ
+    (pyarrow dataset expression → row-group pruning + row filtering),
+    so non-matching rows never enter the pipeline."""
+    import ray.data as rd
+
+    pages_dir, _ = _pages(sf_dir)
+    ds = rd.read_parquet(pages_dir, columns=["url", "lang"],
+                         filter=(pc.field("lang") == "en"))
+    return ds
+
+
+def _q_distinct_langs(sf_dir: str):
+    """Distinct values via Dataset.unique (a shuffle — tiny key domain)."""
+    import pyarrow as pa
+
+    langs = sorted(_docs(sf_dir).unique("lang"))
+    return pa.table({"lang": pa.array(langs, pa.string())})
+
+
 def _q_flagship(sf_dir: str):
     return _sel(
         _read_output(sf_dir),
@@ -397,6 +417,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction pipeline family (pages fixture derived from documents)
         "pages_gen": _q_pages_gen,
+        "pages_lang_en": _q_pages_lang_en,
+        "distinct_langs": _q_distinct_langs,
         "sniff_route": _q_sniff_route,
         "extract_flagship": _q_flagship,
         "extract_html": _q_extract_html,
@@ -479,6 +501,9 @@ def oracle_sql() -> dict[str, str]:
                    TIMESTAMP '2024-01-01 00:00:00' + seq * INTERVAL 1 SECOND AS warc_ts,
                    lang
             FROM c""",
+        "pages_lang_en": _PAGE_CTE + """
+            SELECT url, lang FROM c WHERE lang = 'en'""",
+        "distinct_langs": "SELECT DISTINCT lang FROM documents",
         "sniff_route": _PAGE_CTE + f"""
             SELECT url, {_CT_EXPR} AS content_type FROM c""",
         "extract_flagship": _PAGE_CTE + f"""
