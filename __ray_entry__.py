@@ -333,6 +333,45 @@ def _q_lineitem_agg(sf_dir: str):
     )
 
 
+def _q_top_docs_by_len(sf_dir: str):
+    """Global sort + limit: top 20 documents by length (ties by id)."""
+    out = (
+        _docs(sf_dir)
+        .select_columns(["doc_id", "n_chars"])
+        .sort(["n_chars", "doc_id"], descending=[True, False])
+        .limit(20)
+    )
+    return out
+
+
+def _q_orders_by_segment(sf_dir: str):
+    """Distributed hash join (Dataset.join, partitioned on the key) +
+    grouped exact-cents aggregate: order volume per market segment."""
+    import pyarrow as pa
+
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_custkey", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = np.rint(np.asarray(t["o_totalprice"].to_numpy(zero_copy_only=False))
+                    * 100).astype(np.int64)
+        return pa.table({"o_custkey": t["o_custkey"],
+                         "price_cents": pa.array(c, pa.int64())})
+
+    orders = orders.map_batches(cents, batch_format="pyarrow")
+    customer = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                               columns=["c_custkey", "c_mktsegment"])
+    joined = orders.join(customer, join_type="inner", num_partitions=8,
+                         on=("o_custkey",), right_on=("c_custkey",))
+    return joined.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_orders"),
+        Sum("price_cents", alias_name="total_cents"),
+    )
+
+
 def _q_media_meta(sf_dir: str):
     import pyarrow as pa
 
@@ -449,6 +488,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_users": _q_top_users,
         "sessionize": _q_sessionize,
         "lineitem_agg": _q_lineitem_agg,
+        "top_docs_by_len": _q_top_docs_by_len,
+        "orders_by_segment": _q_orders_by_segment,
         # multimodal
         "media_meta": _q_media_meta,
     }
@@ -595,6 +636,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
                    count(*) AS n
             FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        "top_docs_by_len": """
+            SELECT doc_id, n_chars FROM documents
+            ORDER BY n_chars DESC, doc_id ASC LIMIT 20""",
+        "orders_by_segment": """
+            SELECT c.c_mktsegment,
+                   count(*) AS n_orders,
+                   CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                     AS total_cents
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment""",
         "media_meta": """
             SELECT doc_id,
                    CAST(doc_id % 640 + 16 AS INTEGER) AS width,
