@@ -96,12 +96,20 @@ def run_incremental(
     batch_size: int = 256,
     concurrency: int | None = None,
     on_complete=None,
+    update_row_manifest: bool = False,
 ) -> dict:
     """Process every input partition lacking a committed lineage entry.
 
     Each partition runs as its own (cluster-parallel) Dataset pipeline,
     writes ``out_dir/part-<key>/`` atomically, then commits its
     manifest entry with per-status counts.  Returns a summary dict.
+
+    ``update_row_manifest=True`` additionally folds each committed
+    partition's terminal rows into ``done_manifest_path`` as it goes —
+    the reference's rename-as-you-process behavior (a file is renamed
+    ``_OCR`` the moment its conversion lands, pmocr.sh:2088-2096), so a
+    url appearing in a *later* partition of the same run is skipped.
+    Requires ``done_manifest_path``.
     """
     from pmocr_ray.pipeline import run_extraction  # local import: no ray at module load
 
@@ -149,6 +157,8 @@ def run_incremental(
             "counts": counts,
         }
         manifest.commit(key, entry)
+        if update_row_manifest and done_manifest_path:
+            update_done_manifest(part_out, done_manifest_path, run_id=run_id)
         manifest.heartbeat()
         log.info("partition %s committed: %s", key, counts)
         summary["processed"].append(key)

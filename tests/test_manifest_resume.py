@@ -109,6 +109,40 @@ def test_manifest_commit_atomic_and_counted(tmp_env):
     assert s["counts"] == total
 
 
+def test_rename_as_you_go_cross_partition_skip(tmp_path, pages_fixture):
+    """update_row_manifest: a url already processed in an earlier
+    partition of the SAME run is skipped in later partitions (the
+    reference renames files the moment they convert, so a duplicate
+    arriving later is never reprocessed)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq2
+
+    from pmocr_ray import schema as S
+    from pmocr_ray.state.manifest import run_incremental
+
+    pages, _ = pages_fixture
+    src = sorted(glob.glob(os.path.join(pages, "*.parquet")))[0]
+    monitored = tmp_path / "in"
+    monitored.mkdir()
+    # partition A and an identical copy B (same urls, later name)
+    shutil.copy(src, monitored / "a.parquet")
+    shutil.copy(src, monitored / "b.parquet")
+    done_path = str(tmp_path / "done.parquet")
+    pq2.write_table(
+        pa.Table.from_pydict(
+            {"url": [], "status": [], "processed_at": [], "run_id": []},
+            schema=S.DONE_MANIFEST_SCHEMA),
+        done_path)
+
+    s = run_incremental(str(monitored), str(tmp_path / "out"),
+                        str(tmp_path / "mani"), done_path,
+                        update_row_manifest=True)
+    assert len(s["processed"]) == 2
+    n_rows = pq2.read_metadata(src).num_rows
+    # partition B contributed only skipped_suffix rows
+    assert s["counts"]["skipped_suffix"] >= n_rows
+
+
 def test_update_done_manifest_round_trip(tmp_path, pages_fixture):
     """Mark-as-done semantics: after folding a run's output into the
     done manifest, a full rerun skips every terminal row (the

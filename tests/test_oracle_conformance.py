@@ -1,0 +1,51 @@
+"""In-suite DuckDB oracle conformance for key driver-contract queries.
+
+The driver compares every ``queries()[k]`` against ``oracle_sql()[k]``
+at sf=0.01; this test runs the same comparison for a representative
+subset at sf=0.001 so `python -m pytest -x -q` itself proves the
+contract (row count + column names + order-insensitive value hash).
+"""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+KEYS = [
+    "extract_flagship",
+    "status_counts",
+    "sniff_route",
+    "csv_hack",
+    "text_stats",
+    "dedup_exact",
+    "top_users",
+    "lineitem_agg",
+    "media_meta",
+]
+
+
+@pytest.fixture(scope="module")
+def duck(sf_small):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem events "
+              "documents embeddings").split():
+        p = os.path.join(sf_small, f"{t}.parquet")
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+@pytest.mark.parametrize("key", KEYS)
+def test_query_matches_oracle(key, duck, sf_small, ray_session):
+    import __ray_entry__ as E
+    from scripts.selfcheck import to_pandas, value_hash
+
+    got = to_pandas(E.queries()[key](sf_small))
+    exp = duck.sql(E.oracle_sql()[key]).df()
+    assert len(got) == len(exp)
+    assert sorted(got.columns) == sorted(exp.columns)
+    assert value_hash(got) == value_hash(exp)
