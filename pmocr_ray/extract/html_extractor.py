@@ -159,10 +159,17 @@ def _scan(text: str, acc: _Accumulator) -> None:
         m = token(text, pos)
         if m is None:  # pragma: no cover - _TOKEN_RE matches at any pos
             break
-        end_name, open_name, attrs = m.group(1), m.group(2), m.group(3)
         pos = m.end()
-        if open_name is not None:
-            tag = open_name.lower()
+        li = m.lastindex  # which alternative matched: 1=close, 2/3=open, None=text/markup
+        if li is None:
+            tok = m.group(0)
+            if tok[0] != "<":
+                acc.text(_unescape(tok) if "&" in tok else tok)
+            elif tok == "<":
+                acc.text("<")
+            # comments / doctype / cdata / PI: no visible text
+        elif li >= 2:  # opening tag
+            tag = m.group(2).lower()
             if tag in _VOID:
                 continue
             if tag in _SKIP_CONTENT:
@@ -170,21 +177,15 @@ def _scan(text: str, acc: _Accumulator) -> None:
                 close = _RAW_END[tag].search(text, pos)
                 pos = close.end() if close else n
                 continue
+            attrs = m.group(3)
             if attrs and attrs.rstrip().endswith("/"):
                 continue  # self-closing: no content
             acc.start(tag)
-        elif end_name is not None:
-            tag = end_name.lower()
+        else:  # closing tag
+            tag = m.group(1).lower()
             if tag in _VOID or tag in _SKIP_CONTENT:
                 continue
             acc.end(tag)
-        else:
-            tok = m.group(0)
-            if tok[0] != "<":
-                acc.text(_unescape(tok) if "&" in tok else tok)
-            elif tok == "<":
-                acc.text("<")
-            # comments / doctype / cdata / PI: no visible text
 
 
 def extract_html(payload: bytes) -> str:
