@@ -31,6 +31,8 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_REPS = int(os.environ.get("PMOCR_BENCH_REPS", "360"))
+HEADLINE_RUNS = int(os.environ.get("PMOCR_BENCH_HEADLINE_RUNS", "2"))
+SKIP_OPS = os.environ.get("PMOCR_BENCH_SKIP_OPS", "") == "1"
 SCALING_LEVELS = (8, 32)
 
 
@@ -81,7 +83,7 @@ def run_bench() -> dict:
     # run (page cache, cpu warm-up); the min is the stable estimator of
     # steady-state throughput at a given parallelism.
     times = []
-    for rep in range(2):
+    for rep in range(HEADLINE_RUNS):
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.perf_counter()
         ds = run_extraction(pages_dir, manifest, run_id=f"bench-c{NUM_CPUS}-{rep}")
@@ -92,6 +94,16 @@ def run_bench() -> dict:
     extract_runs = [round(t, 3) for t in times]
 
     # ---- operator benches over the driver tables ----
+    if SKIP_OPS:
+        ray.shutdown()
+        return {
+            "metric": "headline extraction wall-clock (scaling leg)",
+            "value": round(headline, 3), "unit": "sec", "queries": queries,
+            "sf": sf_tag, "num_cpus": NUM_CPUS, "pages": n_pages,
+            "docs_per_sec": round(n_pages / headline, 1),
+            "extract_runs": extract_runs,
+        }
+
     docs_path = os.path.join(SF_DIR, "documents.parquet")
     emb_path = os.path.join(SF_DIR, "embeddings.parquet")
     events_path = os.path.join(SF_DIR, "events.parquet")
@@ -161,18 +173,30 @@ def run_scaling() -> dict:
         env=env, check=True, cwd=os.path.dirname(os.path.abspath(__file__)),
     )
 
+    # Interleave the levels (lo,hi,lo,hi): single-machine wall clock
+    # drifts over minutes, so paired samples from the same time window
+    # beat sequential per-level blocks; min per level is the
+    # steady-state estimate.  Each leg runs warm-up + one headline run,
+    # no op benches.
+    lo, hi = SCALING_LEVELS
+    samples = {lo: [], hi: []}
     results = {}
-    for ncpu in SCALING_LEVELS:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+    for ncpu in (lo, hi, lo, hi):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   PMOCR_BENCH_HEADLINE_RUNS="1", PMOCR_BENCH_SKIP_OPS="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)], env=env,
             capture_output=True, text=True, check=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         ).stdout
-        results[ncpu] = json.loads(out.strip().splitlines()[-1])
-
-    lo, hi = SCALING_LEVELS
-    t_lo, t_hi = results[lo]["value"], results[hi]["value"]
+        r = json.loads(out.strip().splitlines()[-1])
+        samples[ncpu].append(r["value"])
+        results[ncpu] = r
+    t_lo, t_hi = min(samples[lo]), min(samples[hi])
+    for ncpu, t in ((lo, t_lo), (hi, t_hi)):
+        results[ncpu]["value"] = t
+        results[ncpu]["docs_per_sec"] = round(results[ncpu]["pages"] / t, 1)
+        results[ncpu]["extract_runs"] = samples[ncpu]
     eff = (t_lo / t_hi) / (hi / lo)
     summary = {
         "metric": f"scaling efficiency {lo}→{hi} cpus (fresh processes, same input)",
@@ -184,6 +208,8 @@ def run_scaling() -> dict:
         "docs_per_sec_hi": results[hi]["docs_per_sec"],
         "pages": results[hi]["pages"],
         "scaling_efficiency": round(eff, 3),
+        "samples_lo": samples[lo],
+        "samples_hi": samples[hi],
         "sf": results[hi]["sf"],
     }
     _update_baseline_md(summary, results)
