@@ -106,3 +106,43 @@ class TestPdfExtractor:
     def test_no_text_operators_raises(self):
         with pytest.raises(ValueError):
             extract_pdf(b"%PDF-1.4\nstream\nnothing here\nendstream")
+
+
+class TestHtmlExtractorEdgeCases:
+    def test_cdata_and_pi_skipped(self):
+        html = (b"<html><body><?php echo 'x'; ?><![CDATA[ raw cdata ]]>"
+                b"<div><p>visible words only</p></div></body></html>")
+        assert extract_html(html) == "visible words only"
+
+    def test_comment_with_fake_tags_skipped(self):
+        html = (b"<html><body><!-- <p>ghost words</p> -->"
+                b"<div><p>actual content here</p></div></body></html>")
+        assert extract_html(html) == "actual content here"
+
+    def test_unterminated_comment_swallows_rest(self):
+        html = b"<html><body><p>kept words</p><!-- never closed <p>lost</p>"
+        assert extract_html(html) == "kept words"
+
+    def test_deeply_nested_containers(self):
+        inner = b"<p>deep content words</p>"
+        html = b"<html><body>" + b"<div>" * 30 + inner + b"</div>" * 30 + b"</body></html>"
+        assert extract_html(html) == "deep content words"
+
+    def test_self_closing_container_no_content(self):
+        html = b"<html><body><div/><p>after self close</p></body></html>"
+        assert "after self close" in extract_html(html)
+
+    def test_raw_text_end_tag_case_insensitive(self):
+        html = (b"<html><body><script>var a=1;</SCRIPT>"
+                b"<p>post script words</p></body></html>")
+        assert extract_html(html) == "post script words"
+
+    def test_attr_quoted_gt_does_not_break_tag(self):
+        html = (b'<html><body><div data-x="a>b"><p>quoted attr safe</p>'
+                b"</div></body></html>")
+        assert extract_html(html) == "quoted attr safe"
+
+    def test_multibyte_utf8_content(self):
+        html = ("<html><body><div><p>café naïve 中文 words"
+                "</p></div></body></html>").encode("utf-8")
+        assert extract_html(html) == "café naïve 中文 words"
