@@ -372,6 +372,15 @@ def _q_orders_by_segment(sf_dir: str):
     )
 
 
+def _q_curate(sf_dir: str):
+    """Composed curation pipeline: lang-ID + quality + near-dup dedup
+    over the documents table (rows-only: heuristic + approximate)."""
+    from pmocr_ray.pipelines import curate
+
+    out = curate(_docs(sf_dir), min_quality=0.0, dedup_threshold=0.8)
+    return out.select_columns(["doc_id", "lang_pred", "quality", "keep"])
+
+
 def _q_media_meta(sf_dir: str):
     import pyarrow as pa
 
@@ -490,6 +499,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_agg": _q_lineitem_agg,
         "top_docs_by_len": _q_top_docs_by_len,
         "orders_by_segment": _q_orders_by_segment,
+        # composed curation
+        "curate": _q_curate,
         # multimodal
         "media_meta": _q_media_meta,
     }

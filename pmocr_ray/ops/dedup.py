@@ -335,6 +335,41 @@ def minhash_dedup_pairs(
     return verified.select_columns(["a", "b", "jaccard"])
 
 
+def minhash_dedup_keep(
+    ds: rd.Dataset,
+    *,
+    column: str = "text",
+    key: str = "doc_id",
+    threshold: float = 0.8,
+    **minhash_kwargs,
+) -> rd.Dataset:
+    """End-to-end near-dup dedup decision: every input row annotated with
+    ``keep`` (cluster representative = min id) and ``dup_of`` (cluster
+    root; equals own id for kept rows).
+
+    pairs (MinHash-LSH, skew-aware) → union-find on the verified pair
+    set (orders of magnitude smaller than the corpus) → broadcast the
+    root map → one vectorized annotation pass.  The corpus itself is
+    never collected.
+    """
+    pairs = [(r["a"], r["b"]) for r in
+             minhash_dedup_pairs(ds, column=column, key=key,
+                                 threshold=threshold, **minhash_kwargs)
+             .select_columns(["a", "b"]).take_all()]
+    roots = connected_components(pairs)
+    roots_ref = ray.put(roots)
+
+    def annotate(t: pa.Table) -> pa.Table:
+        m = ray.get(roots_ref)
+        ids = t[key].to_pylist()
+        dup_of = [m.get(i, i) for i in ids]
+        keep = [r == i for i, r in zip(ids, dup_of)]
+        return (t.append_column("dup_of", pa.array(dup_of, pa.int64()))
+                 .append_column("keep", pa.array(keep, pa.bool_())))
+
+    return ds.map_batches(annotate, batch_format="pyarrow")
+
+
 def connected_components(pairs: list[tuple[int, int]]) -> dict[int, int]:
     """Union-find over verified pairs → {doc_id: cluster_root(min id)}.
 

@@ -1,0 +1,56 @@
+"""Composed training-data curation pipeline.
+
+The "what the engine is for at 100 TB" composition: extracted pages →
+language ID → quality scoring → near-dup dedup → filtered corpus.
+Every stage is one of the engine's existing operators; this module
+only wires them (the reference's per-target dispatch loop shape,
+/root/reference/pmocr.sh:2546-2593 — one pipeline per output, stages
+shared).
+
+Shuffle budget: lang-ID and quality are map-only; dedup contributes
+the MinHash band exchange + candidate join; the final filter is
+map-only against a broadcast decision map.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from pmocr_ray.ops.dedup import minhash_dedup_keep
+from pmocr_ray.ops.text import LangIdStage, quality_score
+
+
+def curate(
+    docs: rd.Dataset,
+    *,
+    key: str = "doc_id",
+    column: str = "text",
+    min_quality: float = 0.1,
+    keep_langs: tuple[str, ...] | None = None,
+    dedup_threshold: float = 0.8,
+    concurrency: int = 2,
+) -> rd.Dataset:
+    """Curated corpus: quality-scored, language-tagged, near-dup-free.
+
+    Returns the surviving rows with added columns ``lang_pred``,
+    ``quality``, ``dup_of``, ``keep``.
+    """
+    ds = docs.map_batches(LangIdStage, batch_format="pyarrow",
+                          concurrency=(1, concurrency))
+    ds = ds.map_batches(quality_score, batch_format="pyarrow")
+    ds = minhash_dedup_keep(ds, column=column, key=key,
+                            threshold=dedup_threshold,
+                            concurrency=concurrency)
+
+    lang_set = pa.array(list(keep_langs)) if keep_langs else None
+
+    def keep_filter(t: pa.Table) -> pa.Table:
+        mask = pc.and_(t["keep"], pc.greater_equal(t["quality"], min_quality))
+        if lang_set is not None:
+            mask = pc.and_(mask, pc.is_in(t["lang_pred"], value_set=lang_set))
+        return t.filter(mask)
+
+    return ds.map_batches(keep_filter, batch_format="pyarrow")

@@ -1,0 +1,44 @@
+"""Composed curation pipeline + dedup-keep tests."""
+
+import ray.data as rd
+
+from pmocr_ray.ops.dedup import minhash_dedup_keep
+from pmocr_ray.pipelines import curate
+
+GOOD = ("the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the windowsill and the birds are singing in the garden and it "
+        "is a long enough document to score well on the quality heuristics")
+JUNK = "!!! ??? *** $$$"
+
+
+def _corpus(ray_session):
+    return rd.from_items([
+        {"doc_id": 0, "text": GOOD},
+        {"doc_id": 1, "text": GOOD},              # exact dup of 0
+        {"doc_id": 2, "text": GOOD + " extra"},   # near dup of 0
+        {"doc_id": 3, "text": JUNK},              # low quality
+        {"doc_id": 4, "text": "another perfectly fine and rather long "
+                              "document about data engines processing web "
+                              "pages with the arrow format and it keeps "
+                              "going for a while to be long enough"},
+    ])
+
+
+def test_minhash_dedup_keep(ray_session):
+    rows = {r["doc_id"]: r for r in
+            minhash_dedup_keep(_corpus(ray_session), threshold=0.5).take_all()}
+    assert len(rows) == 5                       # every row annotated
+    assert rows[0]["keep"] and rows[0]["dup_of"] == 0
+    assert not rows[1]["keep"] and rows[1]["dup_of"] == 0
+    assert not rows[2]["keep"] and rows[2]["dup_of"] == 0
+    assert rows[3]["keep"] and rows[4]["keep"]  # singletons kept
+
+
+def test_curate_pipeline(ray_session):
+    out = {r["doc_id"]: r for r in
+           curate(_corpus(ray_session), min_quality=0.1,
+                  dedup_threshold=0.5).take_all()}
+    assert set(out) == {0, 4}                   # dups and junk removed
+    for r in out.values():
+        assert {"lang_pred", "quality", "dup_of", "keep"} <= set(r)
+        assert r["keep"] and r["quality"] >= 0.1
