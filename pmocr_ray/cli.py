@@ -50,9 +50,16 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def run_batch(pages: str, cfg: PipelineConfig, update_done: bool = False) -> dict:
+    """One conversion pass.  ``cfg.out_dir`` is owned by the run and is
+    REPLACED: Ray's write_parquet appends uuid-named files, so writing
+    beside a previous run's output would double-count rows in
+    status_counts and fold stale rows into the done manifest."""
+    import shutil
+
     from pmocr_ray.pipeline import run_extraction, status_counts
     from pmocr_ray.stages import csv_hack
 
+    shutil.rmtree(cfg.out_dir, ignore_errors=True)
     ds = run_extraction(
         pages,
         cfg.done_manifest,

@@ -188,8 +188,11 @@ def _scan(text: str, acc: _Accumulator) -> None:
             acc.end(tag)
 
 
-def extract_html(payload: bytes) -> str:
-    """Extract main-content text from HTML bytes.
+def extract_html(payload) -> str:
+    """Extract main-content text from HTML bytes (any bytes-like view —
+    the hot path passes a zero-copy memoryview into the Arrow buffer;
+    ``str(view, "utf-8")`` decodes straight from it without an
+    intermediate ``bytes`` copy).
 
     Raises ``UnicodeDecodeError`` on non-UTF-8 payloads and
     ``ValueError`` when no visible text exists — both are *data*
@@ -197,7 +200,7 @@ def extract_html(payload: bytes) -> str:
     quarantined row (reference analogue: engine exit code != 0 ->
     ``_OCR_ERR`` rename, /root/reference/pmocr.sh:1981-2011).
     """
-    text = payload.decode("utf-8", errors="strict")
+    text = str(payload, "utf-8", "strict")
     acc = _Accumulator()
     _scan(text, acc)
     acc.finish()

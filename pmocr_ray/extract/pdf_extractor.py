@@ -26,6 +26,7 @@ import re
 
 _TJ_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)\s*Tj")
 _FONTFILE_MARKER = b"/FontFile"
+_FONTFILE_RE = re.compile(re.escape(_FONTFILE_MARKER))
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.DOTALL)
 
 _UNESCAPE = {
@@ -47,15 +48,18 @@ def pdf_has_text_layer(payload: bytes) -> bool:
     font object marker.  Cheap (single scan, no parse) and deterministic,
     run *before* the heavy stage.
     """
-    return _FONTFILE_MARKER in payload
+    # re.search accepts any bytes-like view (memoryview from the Arrow
+    # buffer) — `in` would require a bytes copy
+    return _FONTFILE_RE.search(payload) is not None
 
 
 def _unescape_pdf_string(raw: bytes) -> bytes:
     return _UNESCAPE_RE.sub(lambda m: _UNESCAPE[m.group(0)], raw)
 
 
-def extract_pdf(payload: bytes) -> str:
-    """Extract text from a PDF payload's content streams.
+def extract_pdf(payload) -> str:
+    """Extract text from a PDF payload's content streams (any bytes-like
+    view; the regex kernels below run directly on a memoryview).
 
     Collects every ``(string) Tj`` show-text operand inside
     ``stream...endstream`` sections, unescapes, splits on whitespace and
@@ -65,7 +69,7 @@ def extract_pdf(payload: bytes) -> str:
     Raises ``ValueError`` for structurally broken payloads (no content
     stream / no text operators) — a data failure routed to quarantine.
     """
-    if not payload.startswith(b"%PDF-"):
+    if bytes(payload[:5]) != b"%PDF-":
         raise ValueError("pdf extractor: missing %PDF- header")
     streams = _STREAM_RE.findall(payload)
     if not streams:

@@ -16,7 +16,6 @@ the single-process oracle so both agree byte-for-byte.
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 
 from pmocr_ray.schema import CT_HTML, CT_PDF, CT_UNKNOWN
@@ -25,12 +24,14 @@ _WS = b" \t\r\n\f"
 _PDF_MAGIC = b"%PDF-"
 
 
-def sniff_content_type(payload: bytes) -> str:
-    """Scalar sniff: pure function of the payload prefix."""
-    if payload.startswith(_PDF_MAGIC):
+def sniff_content_type(payload) -> str:
+    """Scalar sniff: pure function of the payload prefix.  Accepts any
+    bytes-like view (bytes / memoryview) — only the first 256 bytes are
+    ever materialized."""
+    head = bytes(payload[:256])
+    if head.startswith(_PDF_MAGIC):
         return CT_PDF
-    head = payload[:256].lstrip(_WS)
-    if head.startswith(b"<"):
+    if head.lstrip(_WS).startswith(b"<"):
         return CT_HTML
     return CT_UNKNOWN
 
@@ -40,19 +41,24 @@ def sniff_batch(html_col: pa.Array | pa.ChunkedArray) -> pa.Array:
 
     Only the first 256 bytes of each payload are touched (cheap check
     before the heavy stage, mirroring the reference hoisting the
-    pdffonts check before dispatch, /root/reference/CHANGELOG.md:15).
+    pdffonts check before dispatch, /root/reference/CHANGELOG.md:15),
+    and classification stays inside Arrow kernels end-to-end:
+    ``binary_slice`` → ``starts_with`` / trimmed-``<`` check → two
+    nested ``if_else``.  No per-row Python.
     """
+    import pyarrow.compute as pc
+
     if isinstance(html_col, pa.ChunkedArray):
         html_col = html_col.combine_chunks()
     # Slice prefixes inside Arrow (zero-copy of the tails: only the first
-    # 256 bytes per row leave the buffer), then classify the small prefixes.
-    try:
-        import pyarrow.compute as pc
-
-        prefixes = pc.binary_slice(html_col, 0, 256)
-    except (AttributeError, pa.lib.ArrowNotImplementedError):  # pragma: no cover
-        prefixes = html_col
-    out = np.empty(len(prefixes), dtype=object)
-    for i, v in enumerate(prefixes.to_pylist()):
-        out[i] = sniff_content_type(v if v is not None else b"")
-    return pa.array(out, type=pa.string())
+    # 256 bytes per row leave the buffer), then classify the prefixes.
+    prefixes = pc.binary_slice(html_col, 0, 256)
+    is_pdf = pc.starts_with(prefixes, pattern="%PDF-")
+    # RE2 over raw bytes: ascii-whitespace-trimmed '<' (same rule as the
+    # scalar sniff; safe on non-UTF-8 binary payloads)
+    is_html = pc.match_substring_regex(prefixes, r"^[ \t\r\n\f]*<")
+    out = pc.if_else(
+        is_pdf, CT_PDF,
+        pc.if_else(pc.fill_null(is_html, False), CT_HTML, CT_UNKNOWN),
+    )
+    return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out

@@ -13,9 +13,10 @@ Shuffle discipline (the 100 TB story):
 * Hot LSH buckets are capped (``max_bucket``) — the salt-hot-keys
   guard; a bucket bigger than the cap is, with near-certainty, a
   degenerate constant-content cluster and is sampled deterministically.
-* Pair verification broadcasts the id→text lookup when it fits
-  (``ray.put`` once); the scale path is a hash-partitioned join of
-  pairs against the corpus on doc id (documented, same verify kernel).
+* Pair verification is a **hash-partitioned join** of the candidate
+  pairs against the corpus on doc id (twice: once per pair side), so
+  the corpus text/vectors never leave the cluster — no driver-side
+  ``take_all`` of a corpus column anywhere in the near-dup family.
 """
 
 from __future__ import annotations
@@ -51,13 +52,15 @@ def exact_dedup(ds: rd.Dataset, column: str = "text", key: str = "doc_id") -> rd
     """
     def partial(batch: pa.Table) -> pa.Table:
         b = fingerprint(batch, column=column)
+        # count_all (not count of "fp"): rows with null content hash to a
+        # null fp and must still be counted, matching the oracle's count(*)
         g = b.select(["fp", key]).group_by("fp").aggregate(
-            [(key, "min"), ("fp", "count")]
+            [(key, "min"), ([], "count_all")]
         )
         return pa.table({
             "fp": g["fp"],
             "keep_id": g[f"{key}_min"],
-            "n_dups": g["fp_count"],
+            "n_dups": g["count_all"],
         })
 
     from ray.data.aggregate import Min, Sum
@@ -151,7 +154,8 @@ def _bucket_pairs(group: pd.DataFrame, max_bucket: int) -> pd.DataFrame:
 
 
 def lsh_candidate_pairs(band_rows: rd.Dataset, max_bucket: int = 64,
-                        num_partitions: int = 16) -> rd.Dataset:
+                        num_partitions: int = 16,
+                        checkpoint_dir: str | None = None) -> rd.Dataset:
     """(band, bucket) co-grouping → unique candidate pairs (a < b).
 
     Skew-aware dual path:
@@ -183,9 +187,20 @@ def lsh_candidate_pairs(band_rows: rd.Dataset, max_bucket: int = 64,
         return _distinct(pairs)
 
     # Three consumers (pre-count + both routes) — pin once rather than
-    # re-running the sketch stage; at extreme scale, checkpoint the band
-    # rows to parquet instead of the object store.
-    band_rows = band_rows.materialize()
+    # re-running the sketch stage.  ``checkpoint_dir`` spills the band
+    # rows to parquet instead of pinning ~n_bands×N rows in the object
+    # store — the scale path for corpora whose band rows exceed
+    # aggregate object-store memory.
+    if checkpoint_dir is not None:
+        import os
+        import shutil
+
+        shutil.rmtree(checkpoint_dir, ignore_errors=True)
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        band_rows.write_parquet(checkpoint_dir)
+        band_rows = rd.read_parquet(checkpoint_dir)
+    else:
+        band_rows = band_rows.materialize()
     # An all-empty hash partition reaches acero as a zero-column table
     # and fails FieldRef resolution — keep partitions comfortably
     # populated relative to the row count.
@@ -260,37 +275,85 @@ def jaccard(text_a: str, text_b: str, shingle_size: int = 3,
     return len(sa & sb) / len(sa | sb)
 
 
-class VerifyPairsStage:
-    """Verify candidate pairs with exact Jaccard against a broadcast
-    id→text lookup (small side via ``ray.put``; at corpus scale replace
-    the broadcast with a hash-partitioned pairs⋈corpus join on doc id —
-    the kernel is unchanged)."""
+def attach_pair_sides(
+    candidates: rd.Dataset,
+    corpus: rd.Dataset,
+    *,
+    key: str,
+    column: str,
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """Hash-partitioned pairs⋈corpus join — the scale path for pair
+    verification: attach the corpus ``column`` for both sides of each
+    (a, b) candidate pair as ``<column>_a`` / ``<column>_b``.
 
-    def __init__(self, texts_ref, threshold: float = 0.8,
-                 shingle_size: int = 3, char_level: bool = False) -> None:
-        obj = texts_ref
-        if isinstance(obj, ray.ObjectRef):
-            obj = ray.get(obj)
-        self.texts: dict[int, str] = obj
-        self.threshold = threshold
-        self.shingle_size = shingle_size
-        self.char_level = char_level
+    Two hash joins on the doc id (once per side); the corpus never
+    passes through the driver or a broadcast.  The reference discipline
+    being matched is anti-join-not-rescan
+    (/root/reference/pmocr.sh:2126-2144).  The verified-pair set is
+    orders of magnitude smaller than the corpus, so the joins'
+    exchanges move ~|pairs| rows of corpus payload, not the corpus.
+    """
+    side = corpus.select_columns([key, column])
+    # Pin the (tiny) pair set: count + two join passes would otherwise
+    # re-run the whole candidate pipeline per consumer.
+    candidates = candidates.materialize()
+    n_cand = candidates.count()
+    if n_cand == 0:
+        # stable empty schema without running a join on an empty side
+        ctype = side.schema().field(column).type
+        return rd.from_arrow(pa.table({
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            f"{column}_a": pa.array([], ctype),
+            f"{column}_b": pa.array([], ctype),
+        }))
+    # keep hash partitions comfortably populated (acero rejects
+    # all-empty zero-column partitions)
+    parts = max(1, min(num_partitions, n_cand // 2048 + 1))
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        a = batch["a"].to_pylist()
-        b = batch["b"].to_pylist()
+    def _take(t: pa.Table, names: list[str], renames: dict[str, str]) -> pa.Table:
+        return pa.table({renames.get(c, c): t[c] for c in names})
+
+    j = candidates.select_columns(["a", "b"]).join(
+        side, join_type="inner", num_partitions=parts,
+        on=("a",), right_on=(key,),
+    )
+    j = j.map_batches(
+        lambda t: _take(t, ["a", "b", column], {column: f"{column}_a"}),
+        batch_format="pyarrow",
+    )
+    j = j.join(
+        side, join_type="inner", num_partitions=parts,
+        on=("b",), right_on=(key,),
+    )
+    return j.map_batches(
+        lambda t: _take(t, ["a", "b", f"{column}_a", column],
+                        {column: f"{column}_b"}),
+        batch_format="pyarrow",
+    )
+
+
+def _jaccard_verify_fn(column: str, threshold: float, shingle_size: int,
+                       char_level: bool):
+    """Exact-Jaccard verification kernel over joined pair rows
+    (a, b, <column>_a, <column>_b) — stateless task stage."""
+    ca, cb = f"{column}_a", f"{column}_b"
+
+    def verify(batch: pa.Table) -> pa.Table:
         sims = [
-            jaccard(self.texts.get(x, ""), self.texts.get(y, ""),
-                    self.shingle_size, self.char_level)
-            for x, y in zip(a, b)
+            jaccard(x or "", y or "", shingle_size, char_level)
+            for x, y in zip(batch[ca].to_pylist(), batch[cb].to_pylist())
         ]
         t = pa.table({
-            "a": pa.array(a, pa.int64()),
-            "b": pa.array(b, pa.int64()),
+            "a": batch["a"].combine_chunks().cast(pa.int64()),
+            "b": batch["b"].combine_chunks().cast(pa.int64()),
             "jaccard": pa.array(sims, pa.float64()),
         })
         # filter inside the stage (vectorized) — no per-row ds.filter
-        return t.filter(pa.compute.greater_equal(t["jaccard"], self.threshold))
+        return t.filter(pa.compute.greater_equal(t["jaccard"], threshold))
+
+    return verify
 
 
 def minhash_dedup_pairs(
@@ -304,12 +367,14 @@ def minhash_dedup_pairs(
     shingle_size: int = 3,
     char_level_verify: bool = False,
     concurrency: int = 2,
+    checkpoint_dir: str | None = None,
 ) -> rd.Dataset:
     """Full MinHash-LSH near-dup pipeline → verified duplicate pairs.
 
     sketch (actor pool) → band explode → bucket groupby → candidate
-    pairs → exact-Jaccard verify (broadcast lookup).  Returns rows
-    (a, b, jaccard) with a < b and jaccard ≥ threshold.
+    pairs → hash-partitioned pairs⋈corpus join → exact-Jaccard verify.
+    Returns rows (a, b, jaccard) with a < b and jaccard ≥ threshold.
+    The corpus text is never collected to the driver or broadcast.
     """
     band_rows = ds.map_batches(
         MinHashStage,
@@ -320,17 +385,11 @@ def minhash_dedup_pairs(
         batch_format="pyarrow",
         concurrency=(1, concurrency),
     )
-    candidates = lsh_candidate_pairs(band_rows)
-    texts = {r[key]: r[column] for r in ds.select_columns([key, column]).take_all()}
-    texts_ref = ray.put(texts)
-    verified = candidates.map_batches(
-        VerifyPairsStage,
-        fn_constructor_kwargs={
-            "texts_ref": texts_ref, "threshold": threshold,
-            "shingle_size": shingle_size, "char_level": char_level_verify,
-        },
+    candidates = lsh_candidate_pairs(band_rows, checkpoint_dir=checkpoint_dir)
+    paired = attach_pair_sides(candidates, ds, key=key, column=column)
+    verified = paired.map_batches(
+        _jaccard_verify_fn(column, threshold, shingle_size, char_level_verify),
         batch_format="pyarrow",
-        concurrency=(1, concurrency),
     )
     return verified.select_columns(["a", "b", "jaccard"])
 
@@ -548,33 +607,42 @@ def embedding_dedup_pairs_lsh(
     )
     candidates = lsh_candidate_pairs(band_rows)
 
-    rows = ds.select_columns([key, column]).take_all()
-    vecs = {r[key]: np.asarray(r[column], dtype=np.float64) for r in rows}
-    for k_, v in vecs.items():
-        n = np.linalg.norm(v)
-        if n > 0:
-            vecs[k_] = v / n
-    vec_ref = ray.put(vecs)
+    # acero hash joins cannot carry list<float> non-key fields — encode
+    # each vector as a float64 binary blob for the join, decode with
+    # np.frombuffer in the verify kernel (zero semantic change)
+    def _enc(t: pa.Table) -> pa.Table:
+        blobs = [np.asarray(v, dtype=np.float64).tobytes()
+                 for v in t[column].to_pylist()]
+        return pa.table({key: t[key], column: pa.array(blobs, pa.binary())})
 
-    class VerifyCosine:
-        def __init__(self, vec_ref, threshold: float) -> None:
-            self.vecs = ray.get(vec_ref)
-            self.threshold = threshold
+    side = ds.map_batches(_enc, batch_format="pyarrow")
+    paired = attach_pair_sides(candidates, side, key=key, column=column)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            a = batch["a"].to_pylist()
-            b = batch["b"].to_pylist()
-            sims = [float(self.vecs[x] @ self.vecs[y]) for x, y in zip(a, b)]
-            t = pa.table({"a": pa.array(a, pa.int64()),
-                          "b": pa.array(b, pa.int64()),
-                          "cosine": pa.array(sims, pa.float64())})
-            return t.filter(pa.compute.greater_equal(t["cosine"], self.threshold))
+    ca, cb = f"{column}_a", f"{column}_b"
 
-    return candidates.map_batches(
-        VerifyCosine,
-        fn_constructor_kwargs={"vec_ref": vec_ref, "threshold": threshold},
-        batch_format="pyarrow",
-        concurrency=(1, concurrency),
+    def _dec(raw: list) -> np.ndarray:
+        if not raw:
+            return np.zeros((0, 1))
+        return np.frombuffer(b"".join(raw), dtype=np.float64).reshape(
+            len(raw), -1)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        # vectorized: one row-wise dot product over the joined pair batch
+        va = _dec(batch[ca].to_pylist())
+        vb = _dec(batch[cb].to_pylist())
+        if len(va):
+            na = np.linalg.norm(va, axis=1); na[na == 0] = 1.0
+            nb = np.linalg.norm(vb, axis=1); nb[nb == 0] = 1.0
+            sims = np.einsum("ij,ij->i", va / na[:, None], vb / nb[:, None])
+        else:
+            sims = np.zeros(0)
+        t = pa.table({"a": batch["a"].combine_chunks().cast(pa.int64()),
+                      "b": batch["b"].combine_chunks().cast(pa.int64()),
+                      "cosine": pa.array(sims, pa.float64())})
+        return t.filter(pa.compute.greater_equal(t["cosine"], threshold))
+
+    return paired.map_batches(
+        verify, batch_format="pyarrow",
     ).select_columns(["a", "b", "cosine"])
 
 
@@ -583,16 +651,25 @@ def embedding_dedup_pairs_lsh(
 
 def embedding_dedup_pairs(ds: rd.Dataset, *, key: str = "vec_id",
                           column: str = "embedding",
-                          threshold: float = 0.9) -> rd.Dataset:
+                          threshold: float = 0.9,
+                          max_rows: int = 100_000) -> rd.Dataset:
     """Embedding near-dup pairs by cosine ≥ threshold.
 
     Brute-force blocked matmul: the (normalized) corpus matrix is
     broadcast once (``ray.put``); each batch computes batch×corpus
     cosine in one float64 matmul and keeps pairs (a < b).  O(n²) work
-    split across batches — right up to ~10⁵ vectors; beyond that, LSH
-    bucketing (random hyperplanes) bounds the candidate set the same
-    way MinHash banding does for text.
+    split across batches — a *small-corpus exact baseline only*: a hard
+    ``max_rows`` guard refuses corpora whose broadcast matrix would not
+    fit (beyond it, use :func:`embedding_dedup_pairs_lsh`, whose SRP
+    bucketing bounds the candidate set the way MinHash banding does
+    for text).
     """
+    n = ds.count()
+    if n > max_rows:
+        raise ValueError(
+            f"embedding_dedup_pairs is the O(n²) exact baseline; corpus has "
+            f"{n} rows > max_rows={max_rows}. Use embedding_dedup_pairs_lsh."
+        )
     mat_rows = ds.select_columns([key, column]).take_all()
     ids = np.array([r[key] for r in mat_rows], dtype=np.int64)
     mat = np.array([r[column] for r in mat_rows], dtype=np.float64)

@@ -46,8 +46,11 @@ class _BatchTopK:
         out_q, out_id, out_sim = [], [], []
         k = min(self.k, sims.shape[1])
         for qi in range(sims.shape[0]):
-            # partial top-k within the batch (argpartition: O(B))
-            idx = np.argpartition(-sims[qi], k - 1)[:k]
+            # partial top-k within the batch, selected with the SAME
+            # lexicographic (-sim, vec_id) order as the final merge so a
+            # tie straddling the k boundary keeps the lowest vec_id at
+            # any partitioning (argpartition would pick arbitrarily)
+            idx = np.lexsort((ids, -sims[qi]))[:k]
             for j in idx:
                 out_q.append(qi)
                 out_id.append(int(ids[j]))

@@ -28,11 +28,15 @@ def _read_pages(pages_path: str) -> pa.Table:
 
 
 def load_done_urls(done_manifest_path: str | None) -> frozenset[str]:
-    if not done_manifest_path or not os.path.exists(done_manifest_path):
+    """Reads a legacy single-file manifest or a sharded directory."""
+    from pmocr_ray.state.manifest import _manifest_shard_files
+
+    if not done_manifest_path:
         return frozenset()
-    return frozenset(
-        pq.read_table(done_manifest_path, columns=["url"])["url"].to_pylist()
-    )
+    urls: set[str] = set()
+    for f in _manifest_shard_files(done_manifest_path):
+        urls.update(pq.read_table(f, columns=["url"])["url"].to_pylist())
+    return frozenset(urls)
 
 
 def run_oracle(pages_path: str, done_manifest_path: str | None = None) -> pa.Table:

@@ -37,7 +37,7 @@ import ray
 import ray.data as rd
 
 from pmocr_ray import schema as S
-from pmocr_ray.stages import ExtractStage, sniff_stage
+from pmocr_ray.stages import ExtractStage
 
 
 def _cluster_cpus() -> int:
@@ -62,13 +62,23 @@ def read_pages(pages_path: str | list[str], num_blocks: int | None = None) -> rd
 
 
 def load_done_urls_ref(done_manifest_path: str | None):
-    """Broadcast the done-url set once (ray.put) — never per batch."""
-    if not done_manifest_path or not os.path.exists(done_manifest_path):
+    """Broadcast the done-url set once (ray.put) — never per batch.
+
+    Accepts a legacy single parquet file or a sharded manifest
+    directory (see :func:`pmocr_ray.state.manifest.update_done_manifest`
+    — shards are appended per partition, so this read is the only place
+    the union is ever formed)."""
+    from pmocr_ray.state.manifest import _manifest_shard_files
+
+    if not done_manifest_path:
         return None
-    urls = frozenset(
-        pq.read_table(done_manifest_path, columns=["url"])["url"].to_pylist()
-    )
-    return ray.put(urls)
+    files = _manifest_shard_files(done_manifest_path)
+    if not files:
+        return None
+    urls: set[str] = set()
+    for f in files:
+        urls.update(pq.read_table(f, columns=["url"])["url"].to_pylist())
+    return ray.put(frozenset(urls))
 
 
 def run_extraction(
@@ -109,7 +119,12 @@ def run_extraction(
         concurrency = max(1, cpus - max(1, cpus // 8))
 
     ds = read_pages(pages_path, num_blocks=num_blocks)
-    ds = ds.map_batches(sniff_stage, batch_format="pyarrow")
+    # NOTE: no separate sniff pass here — ExtractStage sniffs each row
+    # exactly once in-row (process_row), so the payload column crosses
+    # the object store once (read → extract), not twice.  The standalone
+    # sniff_stage remains for routing-only pipelines (see
+    # __ray_entry__._q_sniff_route) and is reused automatically when a
+    # ``content_type`` column is already present.
     if repartition_blocks:
         # Explicit skew rebalance before the heavy parse stage: spreads
         # giant-payload rows across blocks.  Off by default — at scale,

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import datetime
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -87,11 +88,26 @@ class ExtractStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         urls = batch["url"].to_pylist()
-        payloads = batch["html"].to_pylist()
         pre_texts = batch["text"].to_pylist()
 
-        # content_type may already exist (sniff stage ran) — reuse it so
-        # sniffing isn't paid twice; otherwise it is computed in-row.
+        # Zero-copy payload access: slice each row's bytes as a
+        # memoryview straight out of the Arrow data buffer (the batch is
+        # plasma-shared-memory backed) — no per-row `bytes` copy of the
+        # payload column.  The engine kernels accept bytes-like views;
+        # decode/regex read directly from the buffer.
+        html = batch["html"].combine_chunks()
+        if pa.types.is_large_binary(html.type):  # pragma: no cover - 64-bit offsets
+            offs = np.frombuffer(html.buffers()[1], dtype=np.int64,
+                                 count=len(html) + 1, offset=html.offset * 8)
+        else:
+            offs = np.frombuffer(html.buffers()[1], dtype=np.int32,
+                                 count=len(html) + 1, offset=html.offset * 4)
+        data = (memoryview(html.buffers()[2])
+                if html.buffers()[2] is not None else memoryview(b""))
+
+        # content_type may already exist (an upstream sniff stage ran) —
+        # reuse it so sniffing isn't paid twice; otherwise process_row
+        # sniffs once in-row.
         have_ct = "content_type" in batch.column_names
 
         cts: list[str] = [None] * n  # type: ignore[list-item]
@@ -104,15 +120,16 @@ class ExtractStage:
         done = self.done_urls
         for i in range(n):
             ct, status, att, err, text = process_row(
-                payloads[i],
+                data[offs[i]:offs[i + 1]],
                 pre_texts[i],
                 urls[i] in done,
                 extractors=self.extractors,
                 max_attempts=self.max_attempts,
                 check_existing_text=self.check_existing_text,
                 max_payload_bytes=self.max_payload_bytes,
+                content_type=pre_ct[i] if pre_ct is not None else None,
             )
-            cts[i] = pre_ct[i] if pre_ct is not None else ct
+            cts[i] = ct
             statuses[i] = status
             attempts[i] = att
             errors[i] = err

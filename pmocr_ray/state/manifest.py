@@ -142,12 +142,14 @@ def run_incremental(
         os.replace(tmp_out, part_out)
 
         # per-partition metrics from the written output (columnar read
-        # of one small column, not a second pipeline run)
+        # of one small column, not a second pipeline run; vectorized)
+        import pyarrow.compute as _pc
+
         counts: dict[str, int] = {}
         for f in glob.glob(os.path.join(part_out, "*.parquet")):
-            col = pq.read_table(f, columns=["status"])["status"]
-            for s in col.to_pylist():
-                counts[s] = counts.get(s, 0) + 1
+            for s in _pc.value_counts(
+                    pq.read_table(f, columns=["status"])["status"]).to_pylist():
+                counts[s["values"]] = counts.get(s["values"], 0) + s["counts"]
         entry = {
             "partition": os.path.basename(path),
             "key": key,
@@ -156,9 +158,16 @@ def run_incremental(
             "num_rows": sum(counts.values()),
             "counts": counts,
         }
-        manifest.commit(key, entry)
+        # Fold the partition's terminal rows into the done manifest
+        # BEFORE committing its lineage entry: a crash between the two
+        # leaves an uncommitted partition that a rerun reprocesses, and
+        # the fold's idempotent shard union absorbs the rerun — the
+        # reverse order could commit a partition whose urls were never
+        # recorded (exactly-once-per-url would then be violated by a
+        # duplicate url in a later partition).
         if update_row_manifest and done_manifest_path:
             update_done_manifest(part_out, done_manifest_path, run_id=run_id)
+        manifest.commit(key, entry)
         manifest.heartbeat()
         log.info("partition %s committed: %s", key, counts)
         summary["processed"].append(key)
@@ -172,55 +181,106 @@ def run_incremental(
     return summary
 
 
+def _read_terminal_rows(output_path: str):
+    """Columnar read of a run output's terminal rows (url, status,
+    processed_at) — handles a single file, a flat/nested directory, and
+    hive ``status=<v>/`` partitioned layouts (the partition column is
+    materialized by ``pyarrow.dataset`` with hive inference)."""
+    import pyarrow.dataset as pads
+
+    from pmocr_ray import schema as S
+
+    dset = pads.dataset(output_path, format="parquet",
+                        partitioning="hive")
+    cols = ["url", "status", "processed_at"]
+    flt = pads.field("status").isin(
+        [S.STATUS_DONE, S.STATUS_FAILED, S.STATUS_SKIPPED_TEXT])
+    t = dset.to_table(columns=cols, filter=flt)
+    # hive partition columns materialize as dictionary — decode for a
+    # stable manifest schema
+    if hasattr(t["status"].type, "value_type"):
+        import pyarrow as pa
+
+        t = t.set_column(t.column_names.index("status"), "status",
+                         t["status"].cast(pa.string()))
+    return t
+
+
+def _manifest_shard_files(done_manifest_path: str) -> list[str]:
+    if os.path.isdir(done_manifest_path):
+        return sorted(glob.glob(os.path.join(done_manifest_path, "*.parquet")))
+    if os.path.exists(done_manifest_path):
+        return [done_manifest_path]
+    return []
+
+
 def update_done_manifest(output_path: str, done_manifest_path: str,
                          run_id: str = "update") -> int:
     """Fold a run's output into the row-level done manifest — the
     reference's mark-as-done/mark-as-failed renames (``_OCR`` /
     ``_OCR_ERR`` suffixes, /root/reference/pmocr.sh:2088-2096,
-    1999-2011) as a manifest union: every row that reached a terminal
-    state (done, failed, skipped_existing_text) is recorded so future
-    batch runs skip it (both suffixes are excluded from future
-    discovery in the reference, pmocr.sh:2126-2144).
+    1999-2011): every row that reached a terminal state (done, failed,
+    skipped_existing_text) is recorded so future batch runs skip it
+    (both suffixes are excluded from future discovery in the reference,
+    pmocr.sh:2126-2144).
 
-    Idempotent (union by url, first writer wins), atomic (tmp +
-    rename).  Returns the new manifest row count.  At 10^12 scale this
-    manifest is per-partition-sharded; here one file mirrors the
-    single done-set semantics.
+    **Sharded**: the manifest is a *directory* of parquet shards; each
+    fold appends/overwrites exactly one shard named deterministically
+    from ``output_path`` — commit cost is O(partition), independent of
+    manifest history (the reference's per-file rename is O(1) the same
+    way).  History is never rewritten.  Idempotent: re-folding the same
+    output unions with its own previous shard (monotone — a rerun whose
+    rows all skip cannot erase earlier records).  Atomic per shard
+    (tmp + rename).  A legacy single-file manifest at this path is
+    migrated into a directory in place.
+
+    Returns the distinct-url count across the manifest (reporting only
+    — reads one column; the commit itself never touches other shards).
     """
+    import hashlib as _hl
+
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     from pmocr_ray import schema as S
 
-    terminal = {S.STATUS_DONE, S.STATUS_FAILED, S.STATUS_SKIPPED_TEXT}
-    files = ([output_path] if output_path.endswith(".parquet")
-             else sorted(glob.glob(os.path.join(output_path, "**", "*.parquet"),
-                                   recursive=True)))
-    seen: dict[str, tuple] = {}
-    if os.path.exists(done_manifest_path):
-        t = pq.read_table(done_manifest_path)
-        for r in t.to_pylist():
-            seen[r["url"]] = (r["status"], r["processed_at"], r["run_id"])
-    for f in files:
-        t = pq.read_table(f, columns=["url", "status", "processed_at"])
-        for url, status, ts in zip(t["url"].to_pylist(),
-                                   t["status"].to_pylist(),
-                                   t["processed_at"].to_pylist()):
-            if status in terminal and url not in seen:
-                seen[url] = (status, ts, run_id)
-    urls = sorted(seen)
+    # -- legacy migration: single parquet file -> directory of shards
+    if os.path.isfile(done_manifest_path):
+        tmp_dir = done_manifest_path + ".migrate.tmp"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        os.makedirs(tmp_dir)
+        os.replace(done_manifest_path, os.path.join(tmp_dir, "seed.parquet"))
+        os.replace(tmp_dir, done_manifest_path)
+    os.makedirs(done_manifest_path, exist_ok=True)
+
+    shard_key = _hl.md5(os.path.abspath(output_path).encode()).hexdigest()[:16]
+    shard_path = os.path.join(done_manifest_path, f"shard-{shard_key}.parquet")
+
+    t = _read_terminal_rows(output_path)
     table = pa.Table.from_pydict(
         {
-            "url": urls,
-            "status": [seen[u][0] for u in urls],
-            "processed_at": [seen[u][1] for u in urls],
-            "run_id": [seen[u][2] for u in urls],
+            "url": t["url"].cast(pa.string()),
+            "status": t["status"],
+            "processed_at": t["processed_at"],
+            "run_id": pa.array([run_id] * t.num_rows, pa.string()),
         },
         schema=S.DONE_MANIFEST_SCHEMA,
     )
-    tmp = done_manifest_path + ".tmp"
+    if os.path.exists(shard_path):
+        # union with this shard's own previous content (monotone): a
+        # crash-rerun that skipped every row must not erase the record
+        prev = pq.read_table(shard_path)
+        mask = pc.invert(pc.is_in(prev["url"], value_set=table["url"]))
+        table = pa.concat_tables([table, prev.filter(mask)])
+    table = table.sort_by("url")
+    tmp = shard_path + ".tmp"
     pq.write_table(table, tmp)
-    os.replace(tmp, done_manifest_path)
-    return table.num_rows
+    os.replace(tmp, shard_path)
+
+    distinct: set = set()
+    for f in _manifest_shard_files(done_manifest_path):
+        distinct.update(pq.read_table(f, columns=["url"])["url"].to_pylist())
+    return len(distinct)
 
 
 def poll_once(pages_dir: str, out_dir: str, manifest_dir: str,

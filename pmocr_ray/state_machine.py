@@ -39,20 +39,27 @@ def process_row(
     max_attempts: int = S.MAX_ATTEMPTS,
     check_existing_text: bool = True,
     max_payload_bytes: int | None = None,
+    content_type: str | None = None,
 ) -> tuple[str, str, int, str | None, str | None]:
     """Run one row through sniff -> skip predicates -> engine -> state.
 
     Returns ``(content_type, status, attempts, error, extracted_text)``.
     Pure function of the inputs (byte-identical at any parallelism).
+    ``payload`` may be any bytes-like view (``bytes`` or a zero-copy
+    ``memoryview`` into an Arrow buffer — the hot path passes views).
 
     ``max_payload_bytes`` is the per-row resource guard standing in for
     the reference's per-task soft/hard timeouts (ExecTasks,
     /root/reference/pmocr.sh:1004-1038): a wall-clock kill would be
     nondeterministic under distribution, so the guard is a deterministic
     size cap — an oversize payload quarantines without being parsed.
+
+    ``content_type`` may be passed pre-computed (a prior sniff stage) so
+    sniffing is never paid twice for the same row.
     """
     extractors = extractors if extractors is not None else EXTRACTORS
-    content_type = sniff_content_type(payload)
+    if content_type is None:
+        content_type = sniff_content_type(payload)
 
     if is_done:
         # Previously processed -> never reprocessed (idempotent restart).
