@@ -418,6 +418,48 @@ def _q_quality(sf_dir: str):
     )
 
 
+def _q_jsonl_format(sf_dir: str):
+    """Derived JSONL target: one compact JSON object per row (the
+    multi-format fan-out's jsonl sink, byte-compatible with DuckDB's
+    to_json so the format itself is oracle-checked)."""
+    from pmocr_ray.targets import json_row_transform
+
+    ds = _read_output(sf_dir).map_batches(json_row_transform,
+                                          batch_format="pyarrow")
+    return ds.select_columns(["url", "json_row"])
+
+
+def _q_retry_redrive(sf_dir: str):
+    """--retry-failed semantics end-to-end: run 1 quarantines the poison
+    rows (attempts=2) and folds into the done manifest; run 2 re-drives
+    exactly those with the counter carried forward (attempts=3) and
+    skips everything else.  Returns run 2's (url, status, attempts)."""
+    import shutil
+
+    import ray.data as rd
+
+    from pmocr_ray.fixtures import fixture_dir
+    from pmocr_ray.pipeline import run_extraction
+    from pmocr_ray.state.manifest import update_done_manifest
+
+    pages_dir, seed_manifest = _pages(sf_dir)
+    root = os.path.join(fixture_dir(sf_dir, REPS), "retry_demo")
+    out2 = os.path.join(root, "run2")
+    if not os.path.exists(os.path.join(root, "_DONE")):
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root)
+        done = os.path.join(root, "done.parquet")
+        shutil.copy(seed_manifest, done)
+        out1 = os.path.join(root, "run1")
+        run_extraction(pages_dir, done, run_id="rr1").write_parquet(out1)
+        update_done_manifest(out1, done, run_id="rr1")
+        run_extraction(pages_dir, done, run_id="rr2",
+                       retry_failed=True).write_parquet(out2)
+        with open(os.path.join(root, "_DONE"), "w") as f:
+            f.write("ok")
+    return rd.read_parquet(out2).select_columns(["url", "status", "attempts"])
+
+
 def _q_dedup_minhash(sf_dir: str):
     from pmocr_ray.ops.dedup import minhash_dedup_pairs
 
@@ -476,6 +518,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "done_skip": _q_done_skip,
         "status_counts": _q_status_counts,
         "csv_hack": _q_csv_hack,
+        "jsonl_format": _q_jsonl_format,
+        "retry_redrive": _q_retry_redrive,
         # text analysis
         "text_stats": _q_text_stats,
         "doc_fingerprint": _q_fingerprint,
@@ -546,6 +590,122 @@ _EXTRACTED_EXPR = """
 """
 
 
+# Word-3-gram / char-5-gram shingle CTEs: the exact shingle sets the
+# Jaccard verify kernel builds (pmocr_ray/ops/dedup.py jaccard()), so
+# DuckDB recomputes the SAME verified pair set + jaccard values.
+_WORD_SHINGLES_CTE = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3
+              THEN list_distinct(list_transform(range(1, len(w) - 1),
+                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+              ELSE list_value(array_to_string(w, ' ')) END AS s
+  FROM toks WHERE len(w) > 0
+)
+"""
+
+_CHAR_SHINGLES_CTE = r"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(length(text) - 4, 1) + 1),
+           i -> substring(text, i, 5))) AS s
+  FROM documents WHERE text IS NOT NULL AND text <> ''
+)
+"""
+
+_PAIR_JACCARD_SQL = """
+SELECT a, b, jaccard FROM (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+         CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+           / len(list_distinct(list_concat(x.s, y.s))) AS jaccard
+  FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+) WHERE jaccard >= 0.8
+"""
+
+# quality_score arithmetic, reproduced term-for-term (same IEEE ops in
+# the same order as pmocr_ray/ops/text.py quality_score)
+_QUALITY_CTE = r"""
+WITH q AS (
+  SELECT doc_id, text,
+         regexp_extract_all(text, '\S+') AS toks,
+         len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+         length(text) AS n_chars
+  FROM documents
+), m AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) = 0 THEN 0.0
+         ELSE CAST(n_punct AS DOUBLE) / n_chars END AS punct_ratio,
+    CASE WHEN len(toks) = 0 THEN 0.0
+         ELSE CAST(len(list_filter(toks,
+                t -> list_contains({stopwords}, lower(t)))) AS DOUBLE)
+              / len(toks) END AS stopword_ratio,
+    CASE WHEN len(toks) = 0 THEN 0.0
+         ELSE CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+              / len(toks) END AS mean_token_len,
+    len(toks) AS n_toks
+  FROM q
+), quality_m AS (
+  SELECT doc_id, punct_ratio, stopword_ratio, mean_token_len,
+    CASE WHEN n_toks = 0 THEN 0.0 ELSE
+      least(1.0, CAST(n_toks AS DOUBLE) / 50.0)
+      * (1.0 - least(1.0, 4.0 * punct_ratio))
+      * (0.5 + least(0.5, 2.0 * stopword_ratio))
+      * (CASE WHEN mean_token_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END)
+    END AS quality
+  FROM m
+)
+"""
+
+
+def _quality_cte() -> str:
+    from pmocr_ray.ops.text import _STOPWORDS
+
+    stop = "[" + ", ".join(f"'{w}'" for w in sorted(_STOPWORDS)) + "]"
+    return _QUALITY_CTE.replace("{stopwords}", stop)
+
+
+def _lang_id_sql() -> str:
+    """Generated from LangIdStage.PROFILES — the prediction is a pure
+    bigram-overlap argmax, so the SQL recomputes it exactly (ties keep
+    the first language in sorted order, matching the strict-> update)."""
+    from pmocr_ray.ops.text import LangIdStage
+
+    profs = {lang: sorted(frozenset(p.split()))
+             for lang, p in LangIdStage.PROFILES.items()}
+    langs = sorted(profs)
+    score = {
+        lang: (f"(CAST(len(list_intersect(bg, ["
+               + ", ".join(f"'{t}'" for t in profs[lang])
+               + f"])) AS DOUBLE) / {len(profs[lang])})")
+        for lang in langs
+    }
+    cases = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(f"{score[lang]} >= {score[o]}"
+                             for o in langs[i + 1:])
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    case_sql = "\n      ".join(cases)
+    return f"""
+WITH s0 AS (
+  SELECT doc_id, text, lower(substring(text, 1, 1000)) AS s FROM documents
+), b AS (
+  SELECT doc_id, text,
+         CASE WHEN length(s) >= 2
+              THEN list_distinct(list_transform(range(1, length(s)),
+                     i -> substring(s, i, 2)))
+              ELSE CAST([] AS VARCHAR[]) END AS bg
+  FROM s0
+)
+SELECT doc_id,
+  CASE WHEN text IS NULL OR text = '' THEN 'und'
+      {case_sql}
+      ELSE '{langs[-1]}' END AS lang_pred
+FROM b"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "pages_gen": _PAGE_CTE + """
@@ -593,6 +753,20 @@ def oracle_sql() -> dict[str, str]:
                    regexp_replace(text || '   ' || lang || '   ' || source,
                                   '   +', ';', 'g') AS csv_text
             FROM documents""",
+        "jsonl_format": _PAGE_CTE + f"""
+            SELECT url,
+                   to_json(struct_pack(
+                     url := url,
+                     status := ({_STATUS_EXPR}),
+                     extracted_text := ({_EXTRACTED_EXPR}))) AS json_row
+            FROM c""",
+        "retry_redrive": _PAGE_CTE + """
+            SELECT url,
+                   CASE WHEN cls = 18 THEN 'failed'
+                        ELSE 'skipped_suffix' END AS status,
+                   CAST(CASE WHEN cls = 18 THEN 3 ELSE 0 END AS INTEGER)
+                     AS attempts
+            FROM c""",
         "text_stats": """
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
@@ -665,8 +839,55 @@ def oracle_sql() -> dict[str, str]:
                    CAST(18 + least((doc_id % 640 + 16) * (doc_id % 480 + 16)
                                    * (doc_id % 3 + 1), 4096) AS BIGINT) AS media_bytes
             FROM documents""",
-        # lang_id / quality_score: heuristic float/pred outputs — rows-only.
-        # dedup_minhash / dedup_simhash / knn_ivf: approximate (LSH recall,
-        # IVF probes) — validated against exact baselines in tests instead.
-        # dedup_embedding: float-threshold boundary — rows-only by design.
+        # Near-dup pairs: LSH-found candidates verified with EXACT
+        # jaccard, and the testdata's pair margins are wide (nothing in
+        # [0.7, 0.8); found pairs all >= 0.89 — measured), so DuckDB can
+        # recompute the identical verified pair set + values.
+        "dedup_minhash": _WORD_SHINGLES_CTE + _PAIR_JACCARD_SQL,
+        "dedup_ngram": _CHAR_SHINGLES_CTE + _PAIR_JACCARD_SQL,
+        # Exact brute-force cosine pairs (ids only: the float cosine
+        # itself differs in low bits between numpy and DuckDB, but the
+        # min margin to the 0.45 threshold is 5.5e-4 — measured)
+        "dedup_embedding": """
+            SELECT a.vec_id AS a, b.vec_id AS b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45""",
+        "lang_id": _lang_id_sql(),
+        "quality_score": _quality_cte() + """
+            SELECT doc_id, punct_ratio, stopword_ratio, mean_token_len,
+                   quality
+            FROM quality_m""",
+        # curate = lang-ID + quality + near-dup keep decision; all three
+        # are exactly recomputable (components via min-label propagation
+        # over the verified pair set)
+        "curate": f"""
+            WITH RECURSIVE
+            lang AS ({_lang_id_sql()}),
+            qual AS ({_quality_cte()}
+                     SELECT doc_id, quality FROM quality_m),
+            pairs AS ({_WORD_SHINGLES_CTE}
+                      SELECT a, b FROM (
+                        SELECT x.doc_id AS a, y.doc_id AS b,
+                               CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+                                 / len(list_distinct(list_concat(x.s, y.s)))
+                                 AS jaccard
+                        FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+                      ) WHERE jaccard >= 0.8),
+            edges(x, y) AS (SELECT a, b FROM pairs
+                            UNION ALL SELECT b, a FROM pairs),
+            cc(n, m) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.y, cc.m FROM edges e JOIN cc ON cc.n = e.x
+            ),
+            roots AS (SELECT n AS doc_id, min(m) AS root FROM cc GROUP BY n)
+            SELECT d.doc_id, lang.lang_pred, qual.quality, TRUE AS keep
+            FROM documents d
+            JOIN lang USING (doc_id)
+            JOIN qual USING (doc_id)
+            JOIN roots USING (doc_id)
+            WHERE roots.root = d.doc_id AND qual.quality >= 0.0""",
+        # Still rows-only (genuinely approximate / not SQL-expressible):
+        # dedup_simhash (blake2b signatures), dedup_embedding_lsh (SRP
+        # recall < 1), knn_ivf (probe recall < 1).
     }

@@ -18,6 +18,7 @@ from __future__ import annotations
 import argparse
 import datetime
 import json
+import os
 import sys
 
 from pmocr_ray.config import PipelineConfig, apply_overrides, load_config
@@ -38,6 +39,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-skip-txt-pdf", dest="check_existing_text",
                    action="store_const", const=False)
     p.add_argument("--csv", dest="emit_csv", action="store_const", const=True)
+    p.add_argument("--targets", dest="targets",
+                   help="comma list of output formats (text,csv,jsonl) — "
+                        "one extraction pass, per-format derived sinks")
+    p.add_argument("--preprocessors", dest="preprocessors",
+                   help="comma list of registered payload preprocessors "
+                        "applied before the engine")
+    p.add_argument("--retry-failed", dest="retry_failed",
+                   action="store_const", const=True,
+                   help="re-drive quarantined urls whose lifetime attempt "
+                        "budget is not exhausted (carries attempts forward)")
+    p.add_argument("--max-total-attempts", dest="max_total_attempts", type=int)
     p.add_argument("--update-done", action="store_true",
                    help="after a batch run, fold terminal rows into the "
                         "done manifest (the reference's mark-as-done rename)")
@@ -71,17 +83,30 @@ def run_batch(pages: str, cfg: PipelineConfig, update_done: bool = False) -> dic
         check_existing_text=cfg.check_existing_text,
         max_attempts=cfg.max_attempts,
         max_payload_bytes=cfg.max_payload_bytes,
+        retry_failed=cfg.retry_failed,
+        max_total_attempts=cfg.max_total_attempts,
+        preprocessors=cfg.preprocessor_list() or None,
     )
-    if cfg.emit_csv:
-        ds = ds.map_batches(csv_hack, batch_format="pyarrow")
-    ds.write_parquet(cfg.out_dir)
+    import ray.data as rd
+
+    targets = cfg.target_list()
+    if targets:
+        # multi-format fan-out: one extraction pass, per-target sinks
+        # under out_dir/<target>/ (pmocr.sh:2546-2593)
+        from pmocr_ray.targets import write_targets
+
+        write_targets(ds, cfg.out_dir, targets)
+        status_dir = os.path.join(cfg.out_dir, "text")
+    else:
+        if cfg.emit_csv:
+            ds = ds.map_batches(csv_hack, batch_format="pyarrow")
+        ds.write_parquet(cfg.out_dir)
+        status_dir = cfg.out_dir
     if update_done and cfg.done_manifest:
         from pmocr_ray.state.manifest import update_done_manifest
 
-        update_done_manifest(cfg.out_dir, cfg.done_manifest)
-    import ray.data as rd
-
-    return status_counts(rd.read_parquet(cfg.out_dir, columns=["status"]))
+        update_done_manifest(status_dir, cfg.done_manifest)
+    return status_counts(rd.read_parquet(status_dir, columns=["status"]))
 
 
 def run_service(pages: str, cfg: PipelineConfig, rounds: int | None) -> dict:
@@ -104,6 +129,10 @@ def main(argv: list[str] | None = None) -> int:
         done_manifest=args.done_manifest,
         check_existing_text=args.check_existing_text,
         emit_csv=args.emit_csv,
+        targets=args.targets,
+        preprocessors=args.preprocessors,
+        retry_failed=args.retry_failed,
+        max_total_attempts=args.max_total_attempts,
         batch_size=args.batch_size,
         concurrency=args.concurrency,
         poll_interval_s=args.poll_interval_s,

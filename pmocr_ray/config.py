@@ -48,6 +48,11 @@ class PipelineConfig:
     max_attempts: int = 2                # retry-once then quarantine
     max_payload_bytes: int | None = None  # per-row guard (ExecTasks-timeout
                                           # analogue; accepts 64K/2M/1G)
+    retry_failed: bool = False           # re-drive quarantined urls
+    max_total_attempts: int = 3          # lifetime budget (maxPostponeRetries=3,
+                                         # pmocr.sh:816-817)
+    preprocessors: str = ""              # comma-separated registry names
+                                         # (OCR_PREPROCESSOR_*, default.conf:92-99)
     # execution (NUMBER_OF_PROCESSES default.conf:16-17)
     concurrency: int | None = None       # None -> auto from cluster CPUs
     batch_size: int = 256
@@ -59,11 +64,19 @@ class PipelineConfig:
     out_dir: str = "/tmp/pmocr_ray_out"
     manifest_dir: str | None = None      # None -> <out_dir>/_manifest
     done_manifest: str | None = None
-    # derived formats (csv hack, pmocr.sh:2013-2043)
+    # derived formats (csv hack, pmocr.sh:2013-2043); multi-target
+    # fan-out (per-target dispatch loop, pmocr.sh:2546-2593)
     emit_csv: bool = False
+    targets: str = ""                    # e.g. "text,csv,jsonl"; empty = single sink
 
     def resolved_manifest_dir(self) -> str:
         return self.manifest_dir or os.path.join(self.out_dir, "_manifest")
+
+    def target_list(self) -> list[str]:
+        return [t.strip() for t in self.targets.split(",") if t.strip()]
+
+    def preprocessor_list(self) -> list[str]:
+        return [p.strip() for p in self.preprocessors.split(",") if p.strip()]
 
 
 _FIELDS = {f.name: f for f in dataclasses.fields(PipelineConfig)}

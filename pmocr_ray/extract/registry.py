@@ -31,3 +31,47 @@ def get_extractor(content_type: str) -> Callable[[bytes], str]:
     """Raises ``KeyError`` for unroutable content types; the pipeline
     converts that into a quarantined row (unknown type = data failure)."""
     return EXTRACTORS[content_type]
+
+
+# ----------------------------------------------------------- preprocessors
+#
+# The reference's optional payload preprocessor (OCR_PREPROCESSOR_EXEC /
+# _ARGS, /root/reference/default.conf:92-99, applied per conversion at
+# pmocr.sh:1906-1921) as a registry of named bytes-like -> bytes-like
+# transforms.  Config selects them by name (``preprocessors=a,b``); the
+# actor-pool stage resolves names once per actor in ``__init__``.
+
+
+def strip_bom(payload):
+    """Drop a UTF-8 byte-order mark so the strict decoder accepts the
+    payload (the most common preprocessing need for crawled text)."""
+    if bytes(payload[:3]) == b"\xef\xbb\xbf":
+        return payload[3:]
+    return payload
+
+
+def normalize_crlf(payload):
+    """CRLF/CR -> LF (affects extracted whitespace normalization only
+    through tokenization, which already collapses runs)."""
+    return bytes(payload).replace(b"\r\n", b"\n").replace(b"\r", b"\n")
+
+
+PREPROCESSORS: dict[str, Callable] = {
+    "strip_bom": strip_bom,
+    "normalize_crlf": normalize_crlf,
+}
+
+
+def register_preprocessor(name: str, fn: Callable) -> None:
+    PREPROCESSORS[name] = fn
+
+
+def resolve_preprocessors(specs) -> list[Callable]:
+    """Names (registry lookup) or callables -> ordered callable list.
+    Raises ``KeyError`` for an unknown name (config error, fail fast —
+    the reference refuses to start on a broken preprocessor the same
+    way, pmocr.sh:1913-1921)."""
+    out: list[Callable] = []
+    for s in specs or []:
+        out.append(PREPROCESSORS[s] if isinstance(s, str) else s)
+    return out

@@ -252,6 +252,7 @@ def ensure_pages_fixture(sf_dir: str, reps: int = S.REPS_DEFAULT,
         {
             "url": done_urls,
             "status": [S.STATUS_DONE] * n,
+            "attempts": [1] * n,
             "processed_at": [S.EPOCH] * n,
             "run_id": ["seed-run-0"] * n,
         },

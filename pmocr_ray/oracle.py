@@ -39,16 +39,32 @@ def load_done_urls(done_manifest_path: str | None) -> frozenset[str]:
     return frozenset(urls)
 
 
-def run_oracle(pages_path: str, done_manifest_path: str | None = None) -> pa.Table:
+def run_oracle(pages_path: str, done_manifest_path: str | None = None,
+               *, retry_failed: bool = False,
+               max_total_attempts: int = S.MAX_TOTAL_ATTEMPTS,
+               preprocessors: list | None = None) -> pa.Table:
     """Sequential golden run -> table sorted by url.
 
     Columns: url, warc_ts, lang, content_type, status, attempts, error,
     extracted_text (no ``processed_at`` — wall-clock metadata is
     excluded from the conformance contract, exactly as the reference's
     nondeterminism lives only in output *naming*, never content).
+
+    ``retry_failed`` / ``preprocessors`` mirror
+    :func:`pmocr_ray.pipeline.run_extraction` so retry re-drives and
+    preprocessor stages are conformance-checked too.
     """
+    from pmocr_ray.extract.registry import resolve_preprocessors
+
     pages = _read_pages(pages_path).sort_by("url")
-    done = load_done_urls(done_manifest_path)
+    retry: dict = {}
+    if retry_failed and done_manifest_path:
+        from pmocr_ray.state.manifest import load_retry_state
+
+        done, retry = load_retry_state(done_manifest_path, max_total_attempts)
+    else:
+        done = load_done_urls(done_manifest_path)
+    pp = resolve_preprocessors(preprocessors) or None
 
     out = {k: [] for k in
            ("content_type", "status", "attempts", "error", "extracted_text")}
@@ -56,8 +72,12 @@ def run_oracle(pages_path: str, done_manifest_path: str | None = None) -> pa.Tab
     payloads = pages["html"].to_pylist()
     pre_texts = pages["text"].to_pylist()
     for url, payload, pre_text in zip(urls, payloads, pre_texts):
+        prior = retry.get(url, 0)
         ct, status, attempts, error, extracted = process_row(
-            payload, pre_text, url in done
+            payload, pre_text, url in done,
+            max_attempts=(max_total_attempts if prior else S.MAX_ATTEMPTS),
+            prior_attempts=prior,
+            preprocessors=pp,
         )
         out["content_type"].append(ct)
         out["status"].append(status)

@@ -95,12 +95,23 @@ def run_extraction(
     max_attempts: int = S.MAX_ATTEMPTS,
     max_payload_bytes: int | None = None,
     actor_num_cpus: float = 0.75,
+    retry_failed: bool = False,
+    max_total_attempts: int = S.MAX_TOTAL_ATTEMPTS,
+    preprocessors: list | None = None,
 ) -> rd.Dataset:
     """The flagship pipeline: read → sniff → (rebalance) → extract.
 
     Returns a lazy Dataset with :data:`pmocr_ray.schema.OUTPUT_SCHEMA`;
     consume with ``write_parquet`` / ``iter_batches`` — nothing here
     materializes the input.
+
+    ``retry_failed=True`` re-admits quarantined urls from the done
+    manifest whose lifetime attempt budget (``max_total_attempts``) is
+    not exhausted, carrying their attempt counter forward — the
+    reference's postpone-retry (/root/reference/pmocr.sh:814-818,
+    1133-1193).  ``preprocessors`` is an ordered list of registry names
+    or callables applied to each payload before the engine
+    (OCR_PREPROCESSOR_*, default.conf:92-99).
     """
     cpus = _cluster_cpus()
     if num_blocks is None:
@@ -117,6 +128,17 @@ def run_extraction(
         # own feeder and sink (measured: 600k pages, 32 cpus — 31
         # pinned actors 53-60s vs balanced splits 18-26s).
         concurrency = max(1, cpus - max(1, cpus // 8))
+
+    retry_ref = None
+    if retry_failed and done_manifest_path:
+        from pmocr_ray.state.manifest import load_retry_state
+
+        skip_urls, retry_map = load_retry_state(done_manifest_path,
+                                                max_total_attempts)
+        done_ref = ray.put(skip_urls)
+        retry_ref = ray.put(retry_map) if retry_map else None
+    else:
+        done_ref = load_done_urls_ref(done_manifest_path)
 
     ds = read_pages(pages_path, num_blocks=num_blocks)
     # NOTE: no separate sniff pass here — ExtractStage sniffs each row
@@ -138,12 +160,15 @@ def run_extraction(
         concurrency=concurrency,
         num_cpus=actor_num_cpus,
         fn_constructor_kwargs={
-            "done_urls_ref": load_done_urls_ref(done_manifest_path),
+            "done_urls_ref": done_ref,
+            "retry_attempts_ref": retry_ref,
             "run_id": run_id or f"run-{uuid.uuid4().hex[:8]}",
             "processed_at": processed_at,
             "check_existing_text": check_existing_text,
             "max_attempts": max_attempts,
+            "max_total_attempts": max_total_attempts,
             "max_payload_bytes": max_payload_bytes,
+            "preprocessors": preprocessors,
         },
     )
     return ds

@@ -46,6 +46,8 @@ ERROR_TRUNCATE_BYTES = 16384   # reference truncates engine error output to 16 K
                                # (head -c16384, /root/reference/pmocr.sh:1054,1983)
 MAX_ATTEMPTS = 2          # retry-once-then-quarantine (reference: postpone retries
                           # pmocr.sh:814-818 + permanent _OCR_ERR quarantine)
+MAX_TOTAL_ATTEMPTS = 3    # lifetime attempt budget across --retry-failed re-drives
+                          # (reference: maxPostponeRetries=3, pmocr.sh:816-817)
 EPOCH = datetime.datetime(2024, 1, 1)  # warc_ts base (naive UTC, like Arrow/DuckDB)
 
 N_CLASSES = 20
@@ -81,6 +83,7 @@ DONE_MANIFEST_SCHEMA = pa.schema(
     [
         pa.field("url", pa.string(), nullable=False),
         pa.field("status", pa.string(), nullable=False),
+        pa.field("attempts", pa.int32(), nullable=False),
         pa.field("processed_at", pa.timestamp("us"), nullable=False),
         pa.field("run_id", pa.string(), nullable=False),
     ]

@@ -68,20 +68,29 @@ class ExtractStage:
         max_attempts: int = S.MAX_ATTEMPTS,
         check_existing_text: bool = True,
         max_payload_bytes: int | None = None,
+        retry_attempts_ref=None,
+        max_total_attempts: int = S.MAX_TOTAL_ATTEMPTS,
+        preprocessors=None,
     ) -> None:
-        if done_urls_ref is not None:
-            import ray
+        import ray
 
-            obj = done_urls_ref
-            if isinstance(obj, ray.ObjectRef):
-                obj = ray.get(obj)
-            self.done_urls = frozenset(obj)
-        else:
-            self.done_urls = frozenset()
+        def _get(ref):
+            return ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+
+        self.done_urls = (frozenset(_get(done_urls_ref))
+                          if done_urls_ref is not None else frozenset())
+        # {url: prior_attempts} for quarantined urls being re-driven
+        # (--retry-failed); broadcast once like the done set
+        self.retry_attempts: dict = (dict(_get(retry_attempts_ref))
+                                     if retry_attempts_ref is not None else {})
         self.extractors = dict(EXTRACTORS)  # resolved once per actor
+        from pmocr_ray.extract.registry import resolve_preprocessors
+
+        self.preprocessors = resolve_preprocessors(preprocessors) or None
         self.run_id = run_id
         self.processed_at = processed_at or S.EPOCH
         self.max_attempts = max_attempts
+        self.max_total_attempts = max_total_attempts
         self.check_existing_text = check_existing_text
         self.max_payload_bytes = max_payload_bytes
 
@@ -118,16 +127,21 @@ class ExtractStage:
 
         pre_ct = batch["content_type"].to_pylist() if have_ct else None
         done = self.done_urls
+        retry = self.retry_attempts
         for i in range(n):
+            prior = retry.get(urls[i], 0) if retry else 0
             ct, status, att, err, text = process_row(
                 data[offs[i]:offs[i + 1]],
                 pre_texts[i],
                 urls[i] in done,
                 extractors=self.extractors,
-                max_attempts=self.max_attempts,
+                max_attempts=(self.max_total_attempts if prior
+                              else self.max_attempts),
                 check_existing_text=self.check_existing_text,
                 max_payload_bytes=self.max_payload_bytes,
                 content_type=pre_ct[i] if pre_ct is not None else None,
+                prior_attempts=prior,
+                preprocessors=self.preprocessors,
             )
             cts[i] = ct
             statuses[i] = status

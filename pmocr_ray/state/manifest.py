@@ -192,7 +192,7 @@ def _read_terminal_rows(output_path: str):
 
     dset = pads.dataset(output_path, format="parquet",
                         partitioning="hive")
-    cols = ["url", "status", "processed_at"]
+    cols = ["url", "status", "attempts", "processed_at"]
     flt = pads.field("status").isin(
         [S.STATUS_DONE, S.STATUS_FAILED, S.STATUS_SKIPPED_TEXT])
     t = dset.to_table(columns=cols, filter=flt)
@@ -212,6 +212,51 @@ def _manifest_shard_files(done_manifest_path: str) -> list[str]:
     if os.path.exists(done_manifest_path):
         return [done_manifest_path]
     return []
+
+
+def load_retry_state(done_manifest_path: str | None,
+                     max_total_attempts: int) -> tuple[frozenset, dict]:
+    """Split the done manifest for a ``--retry-failed`` run.
+
+    Returns ``(skip_urls, retry_attempts)``:
+
+    * ``skip_urls`` — urls never re-driven: any non-failed terminal
+      record, or failed with the lifetime attempt budget exhausted
+      (the reference stops postponing after ``maxPostponeRetries``,
+      /root/reference/pmocr.sh:814-818).
+    * ``retry_attempts`` — ``{url: prior_attempts}`` for quarantined
+      urls still under budget; the pipeline re-drives them with the
+      counter carried forward.
+
+    Shards written before the ``attempts`` column existed default to 1
+    (one full prior run).  A url recorded in several shards (e.g. a
+    retry run folded beside the original) takes the max attempts and
+    any non-failed status wins.
+    """
+    from pmocr_ray import schema as S
+
+    skip: set = set()
+    failed_attempts: dict = {}
+    for f in _manifest_shard_files(done_manifest_path or ""):
+        t = pq.read_table(f)
+        urls = t["url"].to_pylist()
+        statuses = t["status"].to_pylist()
+        attempts = (t["attempts"].to_pylist() if "attempts" in t.column_names
+                    else [1] * t.num_rows)
+        for u, s, a in zip(urls, statuses, attempts):
+            if s == S.STATUS_FAILED:
+                failed_attempts[u] = max(failed_attempts.get(u, 0), a or 1)
+            else:
+                skip.add(u)
+    retry = {}
+    for u, a in failed_attempts.items():
+        if u in skip:
+            continue
+        if a >= max_total_attempts:
+            skip.add(u)
+        else:
+            retry[u] = a
+    return frozenset(skip), retry
 
 
 def update_done_manifest(output_path: str, done_manifest_path: str,
@@ -261,6 +306,7 @@ def update_done_manifest(output_path: str, done_manifest_path: str,
         {
             "url": t["url"].cast(pa.string()),
             "status": t["status"],
+            "attempts": t["attempts"].cast(pa.int32()),
             "processed_at": t["processed_at"],
             "run_id": pa.array([run_id] * t.num_rows, pa.string()),
         },
@@ -270,6 +316,10 @@ def update_done_manifest(output_path: str, done_manifest_path: str,
         # union with this shard's own previous content (monotone): a
         # crash-rerun that skipped every row must not erase the record
         prev = pq.read_table(shard_path)
+        if "attempts" not in prev.column_names:  # pre-attempts shard
+            prev = prev.add_column(
+                2, S.DONE_MANIFEST_SCHEMA.field("attempts"),
+                pa.array([1] * prev.num_rows, pa.int32()))
         mask = pc.invert(pc.is_in(prev["url"], value_set=table["url"]))
         table = pa.concat_tables([table, prev.filter(mask)])
     table = table.sort_by("url")

@@ -40,6 +40,8 @@ def process_row(
     check_existing_text: bool = True,
     max_payload_bytes: int | None = None,
     content_type: str | None = None,
+    prior_attempts: int = 0,
+    preprocessors: list | None = None,
 ) -> tuple[str, str, int, str | None, str | None]:
     """Run one row through sniff -> skip predicates -> engine -> state.
 
@@ -56,8 +58,32 @@ def process_row(
 
     ``content_type`` may be passed pre-computed (a prior sniff stage) so
     sniffing is never paid twice for the same row.
+
+    ``prior_attempts`` carries a quarantined row's attempt count into a
+    ``--retry-failed`` re-drive: the engine loop resumes at
+    ``prior_attempts + 1`` and still honors the (total) ``max_attempts``
+    budget — the reference's postpone-retry counter
+    (/root/reference/pmocr.sh:814-818,1133-1193).
+
+    ``preprocessors`` is an ordered list of ``bytes-like -> bytes-like``
+    transforms applied to the payload BEFORE routing and extraction (the
+    reference pipes the intermediary through ``OCR_PREPROCESSOR_EXEC``
+    per conversion, pmocr.sh:1906-1921, default.conf:92-99; our router
+    is content-based rather than extension-based, so normalization must
+    precede the sniff).  A preprocessor exception is a data failure ->
+    quarantine (deterministic, so it is not retried).
     """
     extractors = extractors if extractors is not None else EXTRACTORS
+    if preprocessors:
+        try:
+            for pp in preprocessors:
+                payload = pp(payload)
+        except Exception as exc:
+            ct = (content_type if content_type is not None
+                  else sniff_content_type(payload))
+            return (ct, S.STATUS_FAILED, 0,
+                    truncate_error(f"preprocessor: {type(exc).__name__}: {exc}"),
+                    None)
     if content_type is None:
         content_type = sniff_content_type(payload)
 
@@ -96,11 +122,14 @@ def process_row(
         )
 
     error: str | None = None
-    for attempt in range(1, max_attempts + 1):
+    for attempt in range(prior_attempts + 1, max_attempts + 1):
         try:
             extracted = extractor(payload)
         except Exception as exc:  # data failure -> quarantine, not task crash
             error = truncate_error(f"{type(exc).__name__}: {exc}")
             continue
         return content_type, S.STATUS_DONE, attempt, None, extracted
-    return content_type, S.STATUS_FAILED, max_attempts, error, None
+    if error is None:  # pragma: no cover - defensive: exhausted budget upstream
+        error = truncate_error(
+            f"guard: retry budget exhausted ({prior_attempts}/{max_attempts})")
+    return content_type, S.STATUS_FAILED, max(prior_attempts, max_attempts), error, None

@@ -1,0 +1,109 @@
+"""Multi-format target fan-out — one extraction pass, N derived outputs.
+
+The reference converts each input to up to 5 output formats in a
+per-target dispatch loop with per-format engine-argument bundles
+(/root/reference/pmocr.sh:2546-2593; format bundles
+default.conf:53-57,71-73,116-126 — pdf/txt/csv per-engine options).
+Here a *target* is a named bundle of (derive-transform, writer,
+writer-options); :func:`write_targets` runs the expensive extraction
+exactly ONCE, lands the canonical ``text`` parquet, and derives every
+other selected format by **re-reading the written text output** — a
+streamed, much-smaller-than-input source — rather than re-running the
+engine per format (the reference re-runs OCR per target; we do not).
+
+Registry-shaped like the extractor registry (extension surface,
+SURVEY §2.8): ``register_target`` adds user formats.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from collections.abc import Callable
+
+import pyarrow as pa
+
+import ray.data as rd
+
+
+@dataclasses.dataclass(frozen=True)
+class TargetSpec:
+    """One output format: how to derive it and how to write it."""
+
+    transform: Callable[[pa.Table], pa.Table] | None  # None = identity
+    writer: str                                        # parquet | csv | json
+    writer_kwargs: dict = dataclasses.field(default_factory=dict)
+    columns: tuple[str, ...] | None = None             # projection, post-transform
+
+
+def _csv_transform(t: pa.Table) -> pa.Table:
+    from pmocr_ray.stages import csv_hack
+
+    return csv_hack(t)
+
+
+def json_row_transform(t: pa.Table, columns: tuple[str, ...] = (
+        "url", "status", "extracted_text")) -> pa.Table:
+    """Append ``json_row`` — one compact JSON object per row (the JSONL
+    line).  Compact separators + ensure_ascii=False match DuckDB's
+    ``to_json(struct_pack(...))`` byte-for-byte so the format is
+    oracle-checkable."""
+    cols = {c: t[c].to_pylist() for c in columns}
+    rows = [
+        json.dumps({c: cols[c][i] for c in columns},
+                   ensure_ascii=False, separators=(",", ":"))
+        for i in range(t.num_rows)
+    ]
+    return t.append_column("json_row", pa.array(rows, pa.string()))
+
+
+TARGETS: dict[str, TargetSpec] = {
+    # canonical converted-document sink (reference: txt output file)
+    "text": TargetSpec(transform=None, writer="parquet"),
+    # the reference's CSV hack (pmocr.sh:2013-2043) as a derived format,
+    # written as real .csv files
+    "csv": TargetSpec(transform=_csv_transform, writer="csv",
+                      columns=("url", "status", "csv_text")),
+    # JSONL — one object per line (write_json emits exactly that)
+    "jsonl": TargetSpec(transform=None, writer="json",
+                        columns=("url", "status", "extracted_text")),
+}
+
+
+def register_target(name: str, spec: TargetSpec) -> None:
+    TARGETS[name] = spec
+
+
+def write_targets(result_ds: rd.Dataset, out_dir: str,
+                  targets: tuple[str, ...] | list[str] = ("text",)) -> dict[str, str]:
+    """Write every selected target; returns {target: output_dir}.
+
+    The extraction Dataset is consumed exactly once (the ``text``
+    parquet write); derived formats stream from that parquet — at scale
+    the text output is orders of magnitude smaller than the page corpus
+    and each derived write is an independent, resumable map-only pass.
+    ``text`` is always written (it is the source of the derived ones).
+    """
+    unknown = [t for t in targets if t not in TARGETS]
+    if unknown:
+        raise KeyError(f"unknown targets {unknown!r}; known: {sorted(TARGETS)}")
+
+    paths: dict[str, str] = {}
+    text_dir = os.path.join(out_dir, "text")
+    result_ds.write_parquet(text_dir)
+    paths["text"] = text_dir
+
+    for name in targets:
+        if name == "text":
+            continue
+        spec = TARGETS[name]
+        ds = rd.read_parquet(text_dir)
+        if spec.transform is not None:
+            ds = ds.map_batches(spec.transform, batch_format="pyarrow")
+        if spec.columns:
+            ds = ds.select_columns(list(spec.columns))
+        target_dir = os.path.join(out_dir, name)
+        getattr(ds, f"write_{spec.writer}")(target_dir, **spec.writer_kwargs)
+        paths[name] = target_dir
+    return paths

@@ -130,7 +130,8 @@ def test_rename_as_you_go_cross_partition_skip(tmp_path, pages_fixture):
     done_path = str(tmp_path / "done.parquet")
     pq2.write_table(
         pa.Table.from_pydict(
-            {"url": [], "status": [], "processed_at": [], "run_id": []},
+            {"url": [], "status": [], "attempts": [],
+             "processed_at": [], "run_id": []},
             schema=S.DONE_MANIFEST_SCHEMA),
         done_path)
 

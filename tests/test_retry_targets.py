@@ -1,0 +1,234 @@
+"""--retry-failed re-drive, preprocessor stage, multi-format targets.
+
+Reference parity being tested:
+
+* postpone-retry: a failed task gets bounded re-drives before permanent
+  quarantine (/root/reference/pmocr.sh:814-818,1133-1193);
+* payload preprocessor bundle applied before the engine
+  (OCR_PREPROCESSOR_EXEC/ARGS, pmocr.sh:1906-1921, default.conf:92-99);
+* per-target dispatch loop — one input converted to several output
+  formats (pmocr.sh:2546-2593, default.conf:53-57).
+"""
+
+import glob
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from pmocr_ray import schema as S
+from pmocr_ray.pipeline import run_extraction, status_counts
+
+
+def _one_shard(pages_fixture, tmp_path):
+    pages, seed_manifest = pages_fixture
+    src = sorted(glob.glob(os.path.join(pages, "*.parquet")))[0]
+    done = str(tmp_path / "done.parquet")
+    shutil.copy(seed_manifest, done)
+    return src, done
+
+
+def _read(out_dir) -> pa.Table:
+    return pa.concat_tables(
+        pq.read_table(f) for f in
+        sorted(glob.glob(os.path.join(out_dir, "**", "*.parquet"),
+                         recursive=True)))
+
+
+# ------------------------------------------------------------- retry-failed
+
+
+def test_retry_failed_redrive_carries_attempts(tmp_path, pages_fixture):
+    """Poison rows fail run 1 (attempts=2), are re-driven exactly once in
+    run 2 (attempts=3 = MAX_TOTAL_ATTEMPTS), and never again in run 3."""
+    from pmocr_ray.state.manifest import load_retry_state, update_done_manifest
+
+    src, done = _one_shard(pages_fixture, tmp_path)
+
+    out1 = str(tmp_path / "run1")
+    run_extraction(src, done, run_id="r1").write_parquet(out1)
+    t1 = _read(out1)
+    failed1 = t1.filter(pc.equal(t1["status"], "failed"))
+    assert failed1.num_rows > 0
+    assert set(failed1["attempts"].to_pylist()) == {S.MAX_ATTEMPTS}
+    update_done_manifest(out1, done, run_id="r1")
+
+    # retry state: exactly the quarantined urls, attempts carried
+    skip, retry = load_retry_state(done, S.MAX_TOTAL_ATTEMPTS)
+    assert set(retry) == set(failed1["url"].to_pylist())
+    assert set(retry.values()) == {S.MAX_ATTEMPTS}
+
+    # run 2: re-drive once -> re-quarantined with attempts=3
+    out2 = str(tmp_path / "run2")
+    run_extraction(src, done, run_id="r2", retry_failed=True).write_parquet(out2)
+    t2 = _read(out2)
+    redriven = t2.filter(pc.equal(t2["status"], "failed"))
+    assert set(redriven["url"].to_pylist()) == set(retry)
+    assert set(redriven["attempts"].to_pylist()) == {S.MAX_TOTAL_ATTEMPTS}
+    # every other row was already terminal -> skipped
+    others = t2.filter(pc.not_equal(t2["status"], "failed"))
+    assert set(others["status"].to_pylist()) == {"skipped_suffix"}
+    update_done_manifest(out2, done, run_id="r2")
+
+    # run 3: budget exhausted -> never re-driven again
+    out3 = str(tmp_path / "run3")
+    counts = status_counts(
+        run_extraction(src, done, run_id="r3", retry_failed=True))
+    assert counts == {"skipped_suffix": t1.num_rows}
+    assert not os.path.exists(out3)
+
+
+def test_retry_oracle_conformance(tmp_path, pages_fixture):
+    """The distributed retry run matches the single-process oracle
+    byte-for-byte (golden contract extends to re-drives)."""
+    from pmocr_ray.oracle import run_oracle
+    from pmocr_ray.state.manifest import update_done_manifest
+
+    src, done = _one_shard(pages_fixture, tmp_path)
+    out1 = str(tmp_path / "run1")
+    run_extraction(src, done, run_id="r1").write_parquet(out1)
+    update_done_manifest(out1, done, run_id="r1")
+
+    dist = (run_extraction(src, done, run_id="r2", retry_failed=True)
+            .to_pandas().sort_values("url").reset_index(drop=True))
+    gold = run_oracle(src, done, retry_failed=True).to_pandas()
+    for col in ("url", "content_type", "status", "attempts", "extracted_text"):
+        assert dist[col].tolist() == gold[col].tolist(), col
+
+
+# ------------------------------------------------------------ preprocessors
+
+
+def _bom_pages(tmp_path) -> str:
+    """Two rows: a BOM-prefixed html payload (fails strict UTF-8 decode)
+    and a clean one."""
+    html_ok = b"<html><body><p>clean page body words here</p></body></html>"
+    html_bom = b"\xef\xbb\xbf" + html_ok
+    t = pa.Table.from_pydict(
+        {
+            "url": ["https://a.example/bom", "https://a.example/ok"],
+            "warc_ts": [S.EPOCH, S.EPOCH],
+            "html": [html_bom, html_ok],
+            "text": [None, None],
+            "lang": ["en", "en"],
+        },
+        schema=S.PAGES_SCHEMA,
+    )
+    p = str(tmp_path / "pages.parquet")
+    pq.write_table(t, p)
+    return p
+
+
+def test_preprocessor_fixes_bom_payload(tmp_path):
+    src = _bom_pages(tmp_path)
+    # without the preprocessor the BOM row quarantines (strict decode)
+    t = (run_extraction(src, None, run_id="pp0", num_blocks=1, concurrency=1)
+         .to_pandas().set_index("url"))
+    assert t.loc["https://a.example/bom", "status"] == "failed"
+    assert t.loc["https://a.example/ok", "status"] == "done"
+
+    # with strip_bom both extract, byte-identically
+    t2 = (run_extraction(src, None, run_id="pp1", num_blocks=1, concurrency=1,
+                         preprocessors=["strip_bom"])
+          .to_pandas().set_index("url"))
+    assert t2.loc["https://a.example/bom", "status"] == "done"
+    assert (t2.loc["https://a.example/bom", "extracted_text"]
+            == t2.loc["https://a.example/ok", "extracted_text"]
+            == "clean page body words here")
+
+
+def test_preprocessor_oracle_conformance_and_registry(tmp_path):
+    from pmocr_ray.extract.registry import (
+        register_preprocessor,
+        resolve_preprocessors,
+    )
+    from pmocr_ray.oracle import run_oracle
+
+    src = _bom_pages(tmp_path)
+    gold = run_oracle(src, None, preprocessors=["strip_bom"]).to_pandas()
+    dist = (run_extraction(src, None, run_id="pp2", num_blocks=1,
+                           concurrency=1, preprocessors=["strip_bom"])
+            .to_pandas().sort_values("url").reset_index(drop=True))
+    assert dist["extracted_text"].tolist() == gold["extracted_text"].tolist()
+    assert dist["status"].tolist() == gold["status"].tolist()
+
+    # registry: custom preprocessor by name; unknown names fail fast
+    register_preprocessor("drop_marker",
+                          lambda p: bytes(p).replace(b"XXX", b""))
+    fns = resolve_preprocessors(["drop_marker", "strip_bom"])
+    assert fns[0](b"aXXXb") == b"ab"
+    try:
+        resolve_preprocessors(["nope"])
+        raise AssertionError("expected KeyError")
+    except KeyError:
+        pass
+
+
+# ------------------------------------------------------- multi-format targets
+
+
+def test_write_targets_fan_out(tmp_path, pages_fixture):
+    """One extraction pass -> text parquet + csv + jsonl sinks, derived
+    formats consistent with the canonical text output."""
+    import ray.data as rd
+
+    from pmocr_ray.targets import write_targets
+
+    src, done = _one_shard(pages_fixture, tmp_path)
+    out = str(tmp_path / "multi")
+    ds = run_extraction(src, done, run_id="tgt")
+    paths = write_targets(ds, out, ["text", "csv", "jsonl"])
+    assert set(paths) == {"text", "csv", "jsonl"}
+
+    text = _read(paths["text"]).to_pandas().sort_values("url")
+    # csv: real .csv files, csv_text = 3+-space -> ';' hack applied
+    csv_files = glob.glob(os.path.join(paths["csv"], "*.csv"))
+    assert csv_files
+    csv_t = rd.read_csv(paths["csv"]).to_pandas().sort_values("url")
+    assert len(csv_t) == len(text)
+    assert "csv_text" in csv_t.columns
+    # jsonl: one JSON object per line, url+status+extracted_text
+    jl = rd.read_json(paths["jsonl"]).to_pandas().sort_values("url")
+    assert len(jl) == len(text)
+    assert jl["status"].tolist() == text["status"].tolist()
+
+    # unknown target fails fast
+    try:
+        write_targets(run_extraction(src, done, run_id="tgt2"), out, ["nope"])
+        raise AssertionError("expected KeyError")
+    except KeyError:
+        pass
+
+
+def test_cli_targets_and_retry_flags(tmp_path, pages_fixture):
+    """CLI: --targets fan-out writes per-format dirs; --retry-failed is
+    accepted and a rerun after --update-done skips everything."""
+    import json as _json
+
+    from pmocr_ray.cli import main
+
+    src_dir = str(tmp_path / "in")
+    os.makedirs(src_dir)
+    pages, seed_manifest = pages_fixture
+    shutil.copy(sorted(glob.glob(os.path.join(pages, "*.parquet")))[0],
+                os.path.join(src_dir, "p0.parquet"))
+    done = str(tmp_path / "done.parquet")
+    shutil.copy(seed_manifest, done)
+    out = str(tmp_path / "cliout")
+
+    rc = main(["--batch", src_dir, "--out", out, "--done-manifest", done,
+               "--targets", "text,jsonl", "--update-done"])
+    assert rc == 0
+    assert glob.glob(os.path.join(out, "text", "*.parquet"))
+    assert glob.glob(os.path.join(out, "jsonl", "*"))
+
+    # after folding, a retry-failed rerun re-drives only quarantined urls
+    rc = main(["--batch", src_dir, "--out", out + "2", "--done-manifest",
+               done, "--retry-failed", "--update-done"])
+    assert rc == 0
+    t = _read(out + "2")
+    statuses = set(t["status"].to_pylist())
+    assert "done" not in statuses  # nothing converted twice
+    assert statuses <= {"skipped_suffix", "failed"}
