@@ -229,18 +229,9 @@ def _q_dedup_exact(sf_dir: str):
 def _q_dedup_pairs_exact(sf_dir: str):
     import pandas as pd
 
-    from pmocr_ray.ops.text import fingerprint
+    from pmocr_ray.ops.dedup import exact_dup_pairs
 
-    # (pd used below for the schema-stable empty result)
-
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["doc_id"].tolist())
-        out = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]]
-        return pd.DataFrame({"a": pd.Series([p[0] for p in out], dtype="int64"),
-                             "b": pd.Series([p[1] for p in out], dtype="int64")})
-
-    ds = _docs(sf_dir).map_batches(fingerprint, batch_format="pyarrow")
-    out = ds.groupby("fp").map_groups(pairs, batch_format="pandas").to_pandas()
+    out = exact_dup_pairs(_docs(sf_dir)).to_pandas()
     if out.empty:  # schema-stable empty result (all-singleton corpora)
         out = pd.DataFrame({"a": pd.Series(dtype="int64"),
                             "b": pd.Series(dtype="int64")})

@@ -72,6 +72,32 @@ def exact_dedup(ds: rd.Dataset, column: str = "text", key: str = "doc_id") -> rd
     return out
 
 
+def exact_dup_pairs(ds: rd.Dataset, column: str = "text", key: str = "doc_id",
+                    max_group: int = 64) -> rd.Dataset:
+    """Exact-duplicate pairs (a < b) per content fingerprint.
+
+    Groups up to ``max_group`` members emit all pairs; a degenerate
+    group (one text repeated 10⁶×) would emit O(n²) rows, so larger
+    groups emit a **star** instead — every member paired with the group
+    minimum: O(n) rows with identical connectivity for any downstream
+    union-find/keep decision.  This is the same hot-key guard the LSH
+    bucket path uses (the cap there protects the candidate join the
+    same way).
+    """
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g[key].tolist())
+        if len(ids) > max_group:
+            out = [(ids[0], b) for b in ids[1:]]  # star emit — O(n)
+        else:
+            out = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]]
+        return pd.DataFrame({"a": pd.Series([p[0] for p in out], dtype="int64"),
+                             "b": pd.Series([p[1] for p in out], dtype="int64")})
+
+    fps = ds.map_batches(lambda t: fingerprint(t, column=column),
+                         batch_format="pyarrow")
+    return fps.groupby("fp").map_groups(pairs, batch_format="pandas")
+
+
 # ------------------------------------------------------- MinHash + LSH
 
 

@@ -52,7 +52,9 @@ def top_users_by_value(events: rd.Dataset, k: int = 10) -> pa.Table:
     """Top-k users by exact total cents; ties by user_id ascending.
 
     Pre-aggregates cents per user per batch (combiner) before the
-    global groupby, then sorts the tiny per-user rollup."""
+    global groupby, then a distributed ``sort().limit(k)`` over the
+    per-user rollup — only k rows ever reach the driver (scale-safe at
+    any user-key cardinality)."""
     def partial(batch: pa.Table) -> pa.Table:
         b = add_value_cents(batch)
         g = b.select(["user_id", "value_cents"]).group_by("user_id").aggregate(
@@ -66,10 +68,9 @@ def top_users_by_value(events: rd.Dataset, k: int = 10) -> pa.Table:
         .groupby("user_id")
         .aggregate(Sum("cents", alias_name="total_cents"))
     )
-    t = pa.Table.from_pylist(per_user.take_all())
-    df = t.to_pandas().sort_values(["total_cents", "user_id"],
-                                   ascending=[False, True]).head(k)
-    return pa.Table.from_pandas(df.reset_index(drop=True))
+    top = (per_user.sort(["total_cents", "user_id"], descending=[True, False])
+           .limit(k).take_all())
+    return pa.Table.from_pylist(top).select(["user_id", "total_cents"])
 
 
 def sessionize(events: rd.Dataset, gap_minutes: int = 30) -> rd.Dataset:

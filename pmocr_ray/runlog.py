@@ -17,6 +17,40 @@ import os
 _FMT = "%(asctime)s %(levelname)s [%(name)s] %(message)s"
 
 
+def make_alert_hook(alert_path: str, *, min_failed: int = 1,
+                    transport=None):
+    """Failure-alert sink for ``run_incremental(on_complete=...)``.
+
+    Reference: ``SendAlert``/``SendEmail`` fire when a run ends with
+    errors (/root/reference/pmocr.sh:428-480,497-673 — mail transports
+    are deployment-specific and out of engine scope per SURVEY §2 S9).
+    The engine-side contract is this hook: when a completed run counts
+    ``>= min_failed`` failed rows, a structured JSON alert record is
+    appended to ``alert_path`` (the integration point any transport
+    tails), and ``transport(record)`` is invoked if given (e.g. an SMTP
+    callable in a real deployment).  Returns the callback.
+    """
+    import json as _json
+
+    def hook(summary: dict) -> None:
+        failed = summary.get("counts", {}).get("failed", 0)
+        if failed < min_failed:
+            return
+        record = {
+            "alert": "run_completed_with_failures",
+            "failed_rows": failed,
+            "counts": summary.get("counts", {}),
+            "partitions": summary.get("processed", []),
+        }
+        os.makedirs(os.path.dirname(alert_path) or ".", exist_ok=True)
+        with open(alert_path, "a") as f:
+            f.write(_json.dumps(record, sort_keys=True) + "\n")
+        if transport is not None:
+            transport(record)
+
+    return hook
+
+
 def get_run_logger(run_id: str, log_dir: str | None = None) -> logging.Logger:
     logger = logging.getLogger(f"pmocr_ray.{run_id}")
     if logger.handlers:  # already configured for this run

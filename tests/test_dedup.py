@@ -144,3 +144,27 @@ def test_embedding_dedup(ray_session):
              for r in embedding_dedup_pairs(ds, threshold=0.95).take_all()}
     assert (0, 1) in pairs and pairs[(0, 1)] > 0.99
     assert all(p == (0, 1) for p in pairs)
+
+
+def test_exact_dup_pairs_hot_group_star(ray_session):
+    """A degenerate corpus (one text repeated 1000x) emits O(n) star
+    pairs to the group minimum, not O(n^2) — the hot-key guard; small
+    groups still emit all pairs."""
+    from pmocr_ray.ops.dedup import exact_dup_pairs
+
+    n = 1000
+    t = pa.table({
+        "doc_id": pa.array(list(range(n)) + [5000, 5001, 5002], pa.int64()),
+        "text": ["same text repeated"] * n + ["uniq a", "uniq b", "uniq a"],
+    })
+    rows = exact_dup_pairs(rd.from_arrow(t), max_group=64).take_all()
+    star = [(r["a"], r["b"]) for r in rows if r["b"] < 5000]
+    small = [(r["a"], r["b"]) for r in rows if r["b"] >= 5000]
+    # hot group: exactly n-1 pairs, all anchored at the min id
+    assert len(star) == n - 1
+    assert {a for a, _ in star} == {0}
+    # small group ("uniq a" twice): the one all-pairs row
+    assert small == [(5000, 5002)]
+    # connectivity for keep/drop decisions is preserved
+    roots = connected_components(star)
+    assert all(roots[b] == 0 for _, b in star)

@@ -176,3 +176,29 @@ def test_heartbeat_written(tmp_env):
     hb = os.path.join(tmp_env["manifest"], "_heartbeat")
     assert os.path.exists(hb)
     float(open(hb).read())  # parseable timestamp
+
+
+def test_alert_hook_fires_on_failures(tmp_env, tmp_path):
+    """S9 alert sink: a run that quarantines rows appends a structured
+    alert record; a clean rerun (all skipped) does not."""
+    import json as _json
+
+    from pmocr_ray.runlog import make_alert_hook
+
+    alerts = str(tmp_path / "alerts.jsonl")
+    sent = []
+    hook = make_alert_hook(alerts, min_failed=1, transport=sent.append)
+
+    s1 = run_incremental(tmp_env["monitored"], tmp_env["out"],
+                         tmp_env["manifest"], tmp_env["done"],
+                         on_complete=hook)
+    assert s1["counts"]["failed"] > 0
+    recs = [_json.loads(line) for line in open(alerts)]
+    assert len(recs) == 1 == len(sent)
+    assert recs[0]["failed_rows"] == s1["counts"]["failed"]
+    assert recs[0]["alert"] == "run_completed_with_failures"
+
+    # rerun: nothing processed -> counts empty -> no new alert
+    run_incremental(tmp_env["monitored"], tmp_env["out"],
+                    tmp_env["manifest"], tmp_env["done"], on_complete=hook)
+    assert len(open(alerts).readlines()) == 1
