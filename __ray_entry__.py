@@ -266,6 +266,29 @@ def _q_knn_ivf(sf_dir: str):
     return out.select(["vec_id", "rank"])
 
 
+def _q_knn_ivf_indexed(sf_dir: str):
+    """ANN over the persisted cell-partitioned IVF index (only probed
+    cell directories are read).  Approximate — rows-only."""
+    import shutil
+
+    import ray.data as rd
+
+    from pmocr_ray.fixtures import fixture_dir
+    from pmocr_ray.ops.knn import ivf_build_index, knn_cosine_ivf_indexed
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    idx = os.path.join(fixture_dir(sf_dir, REPS), "ivf_index")
+    if not os.path.exists(os.path.join(idx, "centroids.parquet")):
+        shutil.rmtree(idx, ignore_errors=True)
+        ivf_build_index(rd.read_parquet(emb_path), idx, n_cells=16)
+    q = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    q0 = np.asarray(
+        q.filter(pc.equal(q["vec_id"], 0))["embedding"].to_pylist(),
+        dtype=np.float64)
+    out = knn_cosine_ivf_indexed(idx, q0, k=10, n_probe=4)
+    return out.select(["vec_id", "rank"])
+
+
 def _q_events_window(sf_dir: str):
     import ray.data as rd
 
@@ -527,6 +550,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "knn_cosine": _q_knn,
         "knn_ivf": _q_knn_ivf,
+        "knn_ivf_indexed": _q_knn_ivf_indexed,
         # events / aggregates
         "events_window": _q_events_window,
         "top_users": _q_top_users,

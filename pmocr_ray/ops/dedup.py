@@ -313,15 +313,20 @@ def attach_pair_sides(
     verification: attach the corpus ``column`` for both sides of each
     (a, b) candidate pair as ``<column>_a`` / ``<column>_b``.
 
-    Two hash joins on the doc id (once per side); the corpus never
-    passes through the driver or a broadcast.  The reference discipline
-    being matched is anti-join-not-rescan
-    (/root/reference/pmocr.sh:2126-2144).  The verified-pair set is
-    orders of magnitude smaller than the corpus, so the joins'
-    exchanges move ~|pairs| rows of corpus payload, not the corpus.
+    Two hash joins on the doc id (once per side); the corpus payload
+    never passes through the driver or a broadcast.  The reference
+    discipline being matched is anti-join-not-rescan
+    (/root/reference/pmocr.sh:2126-2144).
+
+    Shuffle budget: the corpus is first **semi-join-filtered** against
+    the broadcast candidate *id set* (ints only — the same
+    fits-in-memory assumption the union-find step already makes), so
+    the hash joins exchange ~|pairs| rows of corpus payload, never the
+    corpus itself.  Without this, each join would hash-partition the
+    entire corpus column — a full-corpus shuffle per pair side.
     """
     side = corpus.select_columns([key, column])
-    # Pin the (tiny) pair set: count + two join passes would otherwise
+    # Pin the (tiny) pair set: id-scan + two join passes would otherwise
     # re-run the whole candidate pipeline per consumer.
     candidates = candidates.materialize()
     n_cand = candidates.count()
@@ -334,6 +339,15 @@ def attach_pair_sides(
             f"{column}_a": pa.array([], ctype),
             f"{column}_b": pa.array([], ctype),
         }))
+
+    pair_ids: set = set()
+    for blk in candidates.select_columns(["a", "b"]).iter_batches(
+            batch_format="pyarrow"):
+        pair_ids.update(blk["a"].to_pylist())
+        pair_ids.update(blk["b"].to_pylist())
+    from pmocr_ray.ops.joins import broadcast_semi_join
+
+    side = broadcast_semi_join(side, key, pa.array(sorted(pair_ids)))
     # keep hash partitions comfortably populated (acero rejects
     # all-empty zero-column partitions)
     parts = max(1, min(num_partitions, n_cand // 2048 + 1))

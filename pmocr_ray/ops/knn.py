@@ -150,6 +150,80 @@ def ivf_assign(ds: rd.Dataset, centroids: np.ndarray, *, key: str = "vec_id",
     )
 
 
+def ivf_build_index(ds: rd.Dataset, out_dir: str, n_cells: int = 16, *,
+                    key: str = "vec_id", column: str = "embedding",
+                    concurrency: int = 2, seed: int = 42) -> np.ndarray:
+    """Materialize the IVF index as **cell-partitioned parquet**: train
+    centroids, assign every vector, write hive-partitioned by ``cell``.
+
+    This is the locality story at scale: a query that probes ``n_probe``
+    cells reads ONLY those ``cell=<i>/`` directories — pruning happens
+    at the read (directory/row-group level), not as a post-read filter.
+    The centroid matrix is persisted beside the data so queries never
+    retrain.  Returns the centroids.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    cent = train_centroids(ds, n_cells, column=column, seed=seed)
+    assigned = ivf_assign(ds, cent, key=key, column=column,
+                          concurrency=concurrency)
+    data_dir = os.path.join(out_dir, "cells")
+    assigned.write_parquet(data_dir, partition_cols=["cell"])
+    cent_table = pa.table({
+        "cell": pa.array(range(len(cent)), pa.int32()),
+        "centroid": pa.array([c.tolist() for c in cent],
+                             pa.list_(pa.float64())),
+    })
+    pq.write_table(cent_table, os.path.join(out_dir, "centroids.parquet"))
+    return cent
+
+
+def knn_cosine_ivf_indexed(
+    index_dir: str,
+    queries: np.ndarray,
+    k: int = 10,
+    *,
+    n_probe: int = 4,
+    key: str = "vec_id",
+    column: str = "embedding",
+    concurrency: int = 2,
+) -> pa.Table:
+    """Approximate top-k over a prebuilt cell-partitioned IVF index.
+
+    The probed cells become the literal set of directories handed to
+    ``read_parquet`` — non-probed cells never leave storage (column AND
+    partition pruning at the read; the brief's "prune at the read"
+    mandate made concrete).  Same output shape and (given the same
+    centroids/probes) identical results to :func:`knn_cosine_ivf`.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    cent_t = pq.read_table(os.path.join(index_dir, "centroids.parquet"))
+    cent = np.asarray(cent_t["centroid"].to_pylist(), dtype=np.float64)
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    probe_cells: set[int] = set()
+    for qi in range(q.shape[0]):
+        order = np.argsort(-(q[qi] @ cent.T))[:n_probe]
+        probe_cells.update(int(c) for c in order)
+    cells = sorted(probe_cells)
+
+    # Directory-level pruning, maximally explicit: only the probed
+    # cell=<i>/ directories are ever listed and handed to the reader —
+    # non-probed cells never leave storage.
+    import glob as _glob
+
+    paths = [f for c in cells
+             for f in sorted(_glob.glob(
+                 os.path.join(index_dir, "cells", f"cell={c}", "*.parquet")))]
+    cand = rd.read_parquet(paths, columns=[key, column])
+    return knn_cosine(cand, queries, k, key=key, column=column,
+                      concurrency=concurrency)
+
+
 def knn_cosine_ivf(
     ds: rd.Dataset,
     queries: np.ndarray,

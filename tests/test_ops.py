@@ -106,6 +106,29 @@ def test_knn_ivf_recall(vec_ds):
     assert len(exact & approx) >= 6  # recall >= 0.6 with 4/8 cells probed
 
 
+def test_knn_ivf_indexed_matches_inline(vec_ds, tmp_path):
+    """The cell-partitioned on-disk IVF index (partition-pruned read of
+    only the probed cells) returns exactly what the inline IVF path
+    returns for the same centroids/probes."""
+    from pmocr_ray.ops.knn import ivf_build_index, knn_cosine_ivf_indexed
+
+    ds, mat = vec_ds
+    q = mat[7:9]
+    idx = str(tmp_path / "ivf_index")
+    cent = ivf_build_index(ds, idx, n_cells=8)
+    assert cent.shape == (8, 32)
+    import glob
+    import os
+
+    cell_dirs = glob.glob(os.path.join(idx, "cells", "cell=*"))
+    assert len(cell_dirs) > 1  # really partitioned by cell
+
+    got = knn_cosine_ivf_indexed(idx, q, k=10, n_probe=4).to_pandas()
+    want = knn_cosine_ivf(ds, q, k=10, n_cells=8, n_probe=4).to_pandas()
+    for col in ("query_idx", "vec_id", "rank"):
+        assert got[col].tolist() == want[col].tolist(), col
+
+
 # ------------------------------------------------------------------ media
 
 def test_media_header_roundtrip():
