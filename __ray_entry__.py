@@ -358,6 +358,31 @@ def _q_top_docs_by_len(sf_dir: str):
     return out
 
 
+def _q_top_terms(sf_dir: str):
+    """Global top-20 vocabulary terms: per-batch local count (combiner),
+    groupby-sum, distributed sort+limit."""
+    from pmocr_ray.ops.text import top_terms
+
+    return top_terms(_docs(sf_dir).select_columns(["text"]), k=20)
+
+
+def _q_host_stats(sf_dir: str):
+    """Per-host page rollup over the extraction output's url column."""
+    from pmocr_ray.ops.text import host_stats
+
+    return host_stats(_read_output(sf_dir))
+
+
+def _q_hash_sample(sf_dir: str):
+    """Deterministic md5-prefix sample of documents (~10% of rows),
+    stable across runs and partitionings."""
+    from pmocr_ray.ops.text import hash_sample
+
+    return hash_sample(_docs(sf_dir).select_columns(["doc_id", "text"]),
+                       column="text",
+                       prefix_lt="1a").select_columns(["doc_id"])
+
+
 def _q_orders_by_segment(sf_dir: str):
     """Distributed hash join (Dataset.join, partitioned on the key) +
     grouped exact-cents aggregate: order volume per market segment."""
@@ -558,6 +583,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_agg": _q_lineitem_agg,
         "top_docs_by_len": _q_top_docs_by_len,
         "orders_by_segment": _q_orders_by_segment,
+        "top_terms": _q_top_terms,
+        "host_stats": _q_host_stats,
+        "hash_sample": _q_hash_sample,
         # composed curation
         "curate": _q_curate,
         # multimodal
@@ -839,6 +867,18 @@ def oracle_sql() -> dict[str, str]:
         "top_docs_by_len": """
             SELECT doc_id, n_chars FROM documents
             ORDER BY n_chars DESC, doc_id ASC LIMIT 20""",
+        "top_terms": r"""
+            SELECT term, CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS term
+                  FROM documents)
+            GROUP BY term ORDER BY n DESC, term ASC LIMIT 20""",
+        "host_stats": _PAGE_CTE + """
+            SELECT regexp_extract(url, '^[a-z+]+://([^/]+)', 1) AS host,
+                   CAST(count(*) AS BIGINT) AS n_pages
+            FROM c GROUP BY host""",
+        "hash_sample": """
+            SELECT doc_id FROM documents
+            WHERE substr(md5(text), 1, 2) < '1a'""",
         "orders_by_segment": """
             SELECT c.c_mktsegment,
                    count(*) AS n_orders,

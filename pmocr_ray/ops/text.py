@@ -162,6 +162,66 @@ class LangIdStage:
         return batch.append_column("lang_pred", preds)
 
 
+# --------------------------------------------------- vocabulary / sampling
+
+
+def top_terms(ds, k: int = 20, column: str = "text"):
+    """Global top-k vocabulary terms (whitespace tokens) with exact
+    counts — the classic combiner-pattern reduce.
+
+    Per batch: vectorized split + one LOCAL group-count (the combiner —
+    each batch contributes at most |vocab_batch| rows, not |tokens|);
+    global: one groupby over the partials, then a distributed
+    ``sort().limit(k)``.  Ties break term-ascending (deterministic).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern_regex(batch[column], r"\s+"))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        g = pa.table({"term": toks}).group_by("term").aggregate([([], "count_all")])
+        return pa.table({"term": g["term"], "n": g["count_all"]})
+
+    per_term = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "term").aggregate(Sum("n", alias_name="n"))
+    top = per_term.sort(["n", "term"], descending=[True, False]).limit(k)
+    return top
+
+
+def host_stats(ds, url_column: str = "url"):
+    """Per-site rollup: host extracted vectorized from the url, then one
+    small groupby — the domain-level aggregation every crawl-curation
+    pipeline needs (per-domain caps, blocklists)."""
+    from ray.data.aggregate import Count
+
+    def add_host(batch: pa.Table) -> pa.Table:
+        host = pc.extract_regex(batch[url_column], r"^[a-z+]+://(?P<host>[^/]+)")
+        host = pc.struct_field(host, "host")
+        return pa.table({"host": host})
+
+    return ds.map_batches(add_host, batch_format="pyarrow").groupby(
+        "host").aggregate(Count(alias_name="n_pages"))
+
+
+def hash_sample(ds, column: str = "url", prefix_lt: str = "1a"):
+    """Deterministic content-hash sampling: keep rows whose md5 hex
+    prefix is < ``prefix_lt`` (default ≈ 10.2% of keys), stable across
+    runs/partitionings — the reproducible eval-split / subsample
+    primitive (a random_sample would not be re-runnable)."""
+    import hashlib as _hl
+
+    n = len(prefix_lt)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        vals = batch[column].to_pylist()
+        mask = pa.array(
+            [_hl.md5(v.encode()).hexdigest()[:n] < prefix_lt for v in vals],
+            pa.bool_())
+        return batch.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------- fingerprinting
 
 

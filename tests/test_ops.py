@@ -66,6 +66,47 @@ def test_lang_id_deterministic(ray_session):
     assert a == b and a[0] in set(LangIdStage.PROFILES) | {"und"}
 
 
+def test_top_terms_exact_counts(ray_session):
+    from pmocr_ray.ops.text import top_terms
+
+    ds = rd.from_arrow(pa.table({"text": [
+        "a b b", "b c  c c", "", "  a ", "d d d d"
+    ]}))
+    out = top_terms(ds, k=3).to_pandas()
+    # exact global counts: d=4, b=3, c=3 — tie at the k boundary breaks
+    # term-ascending (b before c), deterministic across partitionings
+    assert out["term"].tolist() == ["d", "b", "c"]
+    assert out["n"].tolist() == [4, 3, 3]
+
+
+def test_host_stats_rollup(ray_session):
+    from pmocr_ray.ops.text import host_stats
+
+    ds = rd.from_arrow(pa.table({"url": [
+        "https://a.example/x", "https://a.example/y",
+        "http://b.example/", "svc+proto://c.example/z",
+    ]}))
+    out = host_stats(ds).to_pandas().set_index("host")["n_pages"]
+    assert out.to_dict() == {"a.example": 2, "b.example": 1, "c.example": 1}
+
+
+def test_hash_sample_deterministic_and_partition_invariant(ray_session):
+    import hashlib
+
+    from pmocr_ray.ops.text import hash_sample
+
+    vals = [f"doc {i} text" for i in range(300)]
+    expect = sorted(v for v in vals
+                    if hashlib.md5(v.encode()).hexdigest()[:2] < "1a")
+    t = pa.table({"text": vals})
+    for nblocks in (1, 7):
+        got = sorted(hash_sample(
+            rd.from_arrow(t).repartition(nblocks), column="text",
+            prefix_lt="1a").to_pandas()["text"])
+        assert got == expect
+    assert 0 < len(expect) < 300
+
+
 # -------------------------------------------------------------------- knn
 
 @pytest.fixture(scope="module")
