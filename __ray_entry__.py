@@ -373,6 +373,39 @@ def _q_host_stats(sf_dir: str):
     return host_stats(_read_output(sf_dir))
 
 
+def _q_doc_freq(sf_dir: str):
+    """Top-50 terms by document frequency (the DF side of TF-IDF)."""
+    from pmocr_ray.ops.text import doc_frequency
+
+    return doc_frequency(_docs(sf_dir).select_columns(["text"]), k=50)
+
+
+def _q_host_cap(sf_dir: str):
+    """Per-domain quota: keep at most 3 pages per host (url-ordered)."""
+    import pyarrow as pa
+
+    from pmocr_ray.ops.text import quota_by_key
+
+    def add_host(t: pa.Table) -> pa.Table:
+        host = pc.struct_field(
+            pc.extract_regex(t["url"], r"^[a-z+]+://(?P<host>[^/]+)"), "host")
+        return pa.table({"host": host, "url": t["url"]})
+
+    ds = _read_output(sf_dir).map_batches(add_host, batch_format="pyarrow")
+    return quota_by_key(ds, "host", 3, "url").select_columns(["host", "url"])
+
+
+def _q_asof_click_view(sf_dir: str):
+    """As-of join: each click annotated with the latest preceding view
+    by the same user."""
+    import ray.data as rd
+
+    from pmocr_ray.ops.events import asof_join
+
+    out = asof_join(rd.read_parquet(os.path.join(sf_dir, "events.parquet")))
+    return out.select_columns(["event_id", "user_id", "ts", "prev_ts"])
+
+
 def _q_hash_sample(sf_dir: str):
     """Deterministic md5-prefix sample of documents (~10% of rows),
     stable across runs and partitionings."""
@@ -586,6 +619,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": _q_top_terms,
         "host_stats": _q_host_stats,
         "hash_sample": _q_hash_sample,
+        "doc_freq": _q_doc_freq,
+        "host_cap": _q_host_cap,
+        "asof_click_view": _q_asof_click_view,
         # composed curation
         "curate": _q_curate,
         # multimodal
@@ -879,6 +915,28 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": """
             SELECT doc_id FROM documents
             WHERE substr(md5(text), 1, 2) < '1a'""",
+        "doc_freq": r"""
+            SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+            FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term
+                  FROM documents)
+            GROUP BY term ORDER BY df DESC, term ASC LIMIT 50""",
+        "host_cap": _PAGE_CTE + """
+            SELECT host, url FROM (
+              SELECT host, url,
+                     row_number() OVER (PARTITION BY host ORDER BY url) AS rn
+              FROM (SELECT regexp_extract(url, '^[a-z+]+://([^/]+)', 1) AS host,
+                           url
+                    FROM c))
+            WHERE rn <= 3""",
+        "asof_click_view": """
+            SELECT event_id, user_id, ts, prev_ts FROM (
+              SELECT event_id, user_id, ts, event_type,
+                     max(CASE WHEN event_type = 'view' THEN ts END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS prev_ts
+              FROM events)
+            WHERE event_type = 'click'""",
         "orders_by_segment": """
             SELECT c.c_mktsegment,
                    count(*) AS n_orders,

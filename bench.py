@@ -157,6 +157,42 @@ def run_bench() -> dict:
     return result
 
 
+def _spin(n: int) -> float:
+    t0 = time.perf_counter()
+    x = 0
+    while x < n:
+        x += 1
+    return time.perf_counter() - t0
+
+
+def _host_capacity_probe(lo: int, hi: int, work: int = 40_000_000) -> dict:
+    """How much parallel CPU does the host grant RIGHT NOW?
+
+    Pure-register spin loops (no memory traffic, no Ray) at ``lo`` and
+    ``hi`` concurrent processes.  On a dedicated machine throughput
+    scales linearly and efficiency ≈ 1.0; on this Firecracker sandbox
+    the host visibly caps effective cores in some windows (observed
+    0.55-0.95 across hours with zero guest-side change — BASELINE.md
+    history).  The probe bounds what ANY engine could measure in the
+    same window: engine efficiency cannot exceed host efficiency, so
+    the summary also reports the host-normalized ratio.
+    """
+    import multiprocessing as mp
+
+    out = {}
+    for n in (lo, hi):
+        with mp.Pool(n) as p:
+            t0 = time.perf_counter()
+            p.map(_spin, [work] * n)
+            out[n] = time.perf_counter() - t0
+    thr_lo, thr_hi = lo / out[lo], hi / out[hi]
+    return {
+        "spin_sec_lo": round(out[lo], 2),
+        "spin_sec_hi": round(out[hi], 2),
+        "host_efficiency": round((thr_hi / thr_lo) / (hi / lo), 3),
+    }
+
+
 def run_scaling() -> dict:
     """Same job, two parallelism levels, fresh processes (the sandbox
     stand-in for N vs 4N cluster nodes — see BASELINE.md)."""
@@ -179,6 +215,7 @@ def run_scaling() -> dict:
     # steady-state estimate.  Each leg runs warm-up + one headline run,
     # no op benches.
     lo, hi = SCALING_LEVELS
+    probe_pre = _host_capacity_probe(lo, hi)
     samples = {lo: [], hi: []}
     results = {}
     for ncpu in (lo, hi, lo, hi):
@@ -197,7 +234,11 @@ def run_scaling() -> dict:
         results[ncpu]["value"] = t
         results[ncpu]["docs_per_sec"] = round(results[ncpu]["pages"] / t, 1)
         results[ncpu]["extract_runs"] = samples[ncpu]
+    probe_post = _host_capacity_probe(lo, hi)
     eff = (t_lo / t_hi) / (hi / lo)
+    # Most generous host estimate bracketing the legs: the engine can at
+    # best match the host's own parallel-capacity ratio in this window.
+    host_eff = max(probe_pre["host_efficiency"], probe_post["host_efficiency"])
     summary = {
         "metric": f"scaling efficiency {lo}→{hi} cpus (fresh processes, same input)",
         "sec_lo": t_lo,
@@ -208,6 +249,10 @@ def run_scaling() -> dict:
         "docs_per_sec_hi": results[hi]["docs_per_sec"],
         "pages": results[hi]["pages"],
         "scaling_efficiency": round(eff, 3),
+        "host_probe_pre": probe_pre,
+        "host_probe_post": probe_post,
+        "host_efficiency": host_eff,
+        "host_normalized_efficiency": round(min(eff / host_eff, 1.0), 3),
         "samples_lo": samples[lo],
         "samples_hi": samples[hi],
         "sf": results[hi]["sf"],
@@ -238,6 +283,13 @@ def _update_baseline_md(summary: dict, results: dict) -> None:
         "",
         f"**Scaling efficiency {lo}→{hi}: {summary['scaling_efficiency']}** "
         f"(target ≥ 0.8; = (t_{lo}/t_{hi}) / ({hi}/{lo}))",
+        "",
+        f"Host-capacity probe (pure-compute spin, no Ray): efficiency "
+        f"**{summary['host_efficiency']}** in this window "
+        f"(pre {summary['host_probe_pre']['host_efficiency']} / post "
+        f"{summary['host_probe_post']['host_efficiency']}) — the ceiling any "
+        f"engine could measure; host-normalized engine efficiency: "
+        f"**{summary['host_normalized_efficiency']}**.",
         "",
         f"Per-op seconds at {hi} cpus: "
         + json.dumps(results[hi]["queries"]),

@@ -91,3 +91,29 @@ def sessionize(events: rd.Dataset, gap_minutes: int = 30) -> rd.Dataset:
         return out.reset_index(drop=True)
 
     return events.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+def asof_join(events: rd.Dataset, left_type: str = "click",
+              right_type: str = "view") -> rd.Dataset:
+    """Per-user as-of join: attach to every ``left_type`` event the
+    timestamp of the most recent strictly-preceding ``right_type``
+    event by the same user (canonical order: ``(ts, event_id)``).
+
+    Ray Data has no as-of join; the semantics are a per-key ordered
+    scan, so one ``groupby(user).map_groups`` expresses it without an
+    all-pairs range join: inside each (ts-sorted) group the preceding
+    right-side timestamp is a vectorized shift+ffill — O(group), no
+    per-row search.  Partitioning assumption: one user's events fit in
+    a worker (same as :func:`sessionize`); a pathological single-user
+    stream would need ts-bucket salting with boundary stitching.
+    """
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        right_ts = g["ts"].where(g["event_type"].eq(right_type))
+        prev = right_ts.shift(1).ffill()
+        out = g.loc[g["event_type"].eq(left_type),
+                    ["event_id", "user_id", "ts"]].copy()
+        out["prev_ts"] = prev[out.index]
+        return out
+
+    return events.groupby("user_id").map_groups(per_user, batch_format="pandas")

@@ -203,6 +203,62 @@ def host_stats(ds, url_column: str = "url"):
         "host").aggregate(Count(alias_name="n_pages"))
 
 
+def doc_frequency(ds, column: str = "text", k: int | None = None):
+    """Document frequency per term: in how many documents does each
+    (whitespace) term appear at least once — the DF side of TF-IDF.
+
+    Fully vectorized combiner: per batch, ``list_parent_indices``
+    pairs every token with its row, one local ``group_by`` dedups
+    (row, term) pairs, a second counts distinct docs per term; the
+    global shuffle then moves only ``(term, partial_df)`` rows.
+    ``k`` adds a distributed ``sort().limit(k)`` (ties term-ascending).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(batch[column], r"\s+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        mask = pc.not_equal(flat, "")
+        pairs = pa.table({"d": parent.filter(mask), "term": flat.filter(mask)})
+        distinct = pairs.group_by(["d", "term"]).aggregate([])
+        g = distinct.group_by("term").aggregate([([], "count_all")])
+        return pa.table({"term": g["term"], "df": g["count_all"]})
+
+    per_term = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "term").aggregate(Sum("df", alias_name="df"))
+    if k is not None:
+        per_term = per_term.sort(["df", "term"],
+                                 descending=[True, False]).limit(k)
+    return per_term
+
+
+def quota_by_key(ds, key_column: str, n_per_key: int,
+                 order_column: str):
+    """Per-key quota cap (e.g. at most N pages per host — the
+    per-domain cap every crawl-curation pipeline applies): keep the
+    first ``n_per_key`` rows per key in ``order_column`` order.
+
+    Skew-resistant two-level cap: a LOCAL cap inside ``map_batches``
+    first (each batch contributes at most n rows per key, so a hot key
+    never ships more than n × n_batches rows into the shuffle), then
+    the exact global cap per group.  Deterministic for any
+    partitioning when ``order_column`` is unique per key.
+    """
+    import pandas as pd
+
+    def local_cap(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(order_column)
+                  .groupby(key_column, sort=False).head(n_per_key))
+
+    def group_cap(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(order_column).head(n_per_key)
+
+    return (ds.map_batches(local_cap, batch_format="pandas")
+              .groupby(key_column)
+              .map_groups(group_cap, batch_format="pandas"))
+
+
 def hash_sample(ds, column: str = "url", prefix_lt: str = "1a"):
     """Deterministic content-hash sampling: keep rows whose md5 hex
     prefix is < ``prefix_lt`` (default ≈ 10.2% of keys), stable across

@@ -98,6 +98,7 @@ def run_extraction(
     retry_failed: bool = False,
     max_total_attempts: int = S.MAX_TOTAL_ATTEMPTS,
     preprocessors: list | None = None,
+    mode: str = "tasks",
 ) -> rd.Dataset:
     """The flagship pipeline: read → sniff → (rebalance) → extract.
 
@@ -112,6 +113,20 @@ def run_extraction(
     1133-1193).  ``preprocessors`` is an ordered list of registry names
     or callables applied to each payload before the engine
     (OCR_PREPROCESSOR_*, default.conf:92-99).
+
+    ``mode`` selects the physical execution of the extract stage:
+
+    * ``"tasks"`` (default): a plain task ``map_batches`` whose fn
+      lazily constructs the warm :class:`ExtractStage` once per worker
+      process (module-level cache).  Ray fuses it with the Parquet read
+      into ONE task operator, so the raw payload column never crosses
+      the object store — measured 15-20% faster end-to-end at both 8
+      and 32 CPUs (interleaved A/B, 1.8M pages: 84.3s vs 99.6s at 8
+      cpus; ~26s vs ~33s at 32).
+    * ``"actors"``: the explicit actor pool
+      (``concurrency``/``actor_num_cpus`` apply) — use when the stage
+      must hold per-actor resources (GPU slots, model handles with
+      bounded multiplicity) rather than per-process caches.
     """
     cpus = _cluster_cpus()
     if num_blocks is None:
@@ -153,24 +168,36 @@ def run_extraction(
         # block splitting at the read (override_num_blocks /
         # target_max_block_size) achieves the same without an exchange.
         ds = ds.repartition(repartition_blocks)
-    ds = ds.map_batches(
-        ExtractStage,
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-        num_cpus=actor_num_cpus,
-        fn_constructor_kwargs={
-            "done_urls_ref": done_ref,
-            "retry_attempts_ref": retry_ref,
-            "run_id": run_id or f"run-{uuid.uuid4().hex[:8]}",
-            "processed_at": processed_at,
-            "check_existing_text": check_existing_text,
-            "max_attempts": max_attempts,
-            "max_total_attempts": max_total_attempts,
-            "max_payload_bytes": max_payload_bytes,
-            "preprocessors": preprocessors,
-        },
-    )
+    stage_kwargs = {
+        "done_urls_ref": done_ref,
+        "retry_attempts_ref": retry_ref,
+        "run_id": run_id or f"run-{uuid.uuid4().hex[:8]}",
+        "processed_at": processed_at,
+        "check_existing_text": check_existing_text,
+        "max_attempts": max_attempts,
+        "max_total_attempts": max_total_attempts,
+        "max_payload_bytes": max_payload_bytes,
+        "preprocessors": preprocessors,
+    }
+    if mode == "tasks":
+        from pmocr_ray.stages import make_task_extract_fn
+
+        ds = ds.map_batches(
+            make_task_extract_fn(**stage_kwargs),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
+    elif mode == "actors":
+        ds = ds.map_batches(
+            ExtractStage,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+            num_cpus=actor_num_cpus,
+            fn_constructor_kwargs=stage_kwargs,
+        )
+    else:
+        raise ValueError(f"unknown extraction mode: {mode!r}")
     return ds
 
 

@@ -90,6 +90,55 @@ def test_host_stats_rollup(ray_session):
     assert out.to_dict() == {"a.example": 2, "b.example": 1, "c.example": 1}
 
 
+def test_doc_frequency_counts_docs_not_tokens(ray_session):
+    from pmocr_ray.ops.text import doc_frequency
+
+    ds = rd.from_arrow(pa.table({"text": [
+        "a a a b", "a c", "c c d", ""
+    ]}))
+    out = doc_frequency(ds).to_pandas().set_index("term")["df"]
+    # 'a' appears 4x as a token but in only 2 docs
+    assert out.to_dict() == {"a": 2, "b": 1, "c": 2, "d": 1}
+
+
+def test_quota_by_key_cap_and_partition_invariance(ray_session):
+    from pmocr_ray.ops.text import quota_by_key
+
+    t = pa.table({
+        "host": [f"h{i % 3}" for i in range(60)],
+        "url": [f"u{i:03d}" for i in range(60)],
+    })
+    expect = {f"h{h}": [f"u{i:03d}" for i in range(60)
+                        if i % 3 == h][:4] for h in range(3)}
+    for nblocks in (1, 8):
+        out = quota_by_key(rd.from_arrow(t).repartition(nblocks),
+                           "host", 4, "url").to_pandas()
+        got = {h: sorted(g["url"]) for h, g in out.groupby("host")}
+        assert got == expect
+
+
+def test_asof_join_prev_view(ray_session):
+    from pmocr_ray.ops.events import asof_join
+
+    ts = pd.to_datetime([
+        "2024-01-01 00:00", "2024-01-01 00:05", "2024-01-01 00:10",
+        "2024-01-01 00:15", "2024-01-01 00:02",
+    ])
+    df = pd.DataFrame({
+        "event_id": [1, 2, 3, 4, 5],
+        "user_id": [7, 7, 7, 7, 9],
+        "ts": ts,
+        "event_type": ["view", "click", "view", "click", "click"],
+    })
+    out = (asof_join(rd.from_pandas(df)).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    # click@00:05 sees view@00:00; click@00:15 sees view@00:10;
+    # user 9's click has no preceding view at all
+    assert out["event_id"].tolist() == [2, 4, 5]
+    assert out["prev_ts"].tolist()[:2] == [ts[0], ts[2]]
+    assert pd.isna(out["prev_ts"].iloc[2])
+
+
 def test_hash_sample_deterministic_and_partition_invariant(ray_session):
     import hashlib
 

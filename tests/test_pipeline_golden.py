@@ -56,6 +56,14 @@ def test_explicit_repartition_same_result(pages_fixture, golden):
     _assert_identical(out, golden)
 
 
+def test_actor_mode_byte_identical(pages_fixture, golden):
+    """Both physical executions of the extract stage — fused task fn
+    (default) and explicit actor pool — must produce identical bytes."""
+    pages, manifest = pages_fixture
+    out = _run(pages, manifest, mode="actors", concurrency=2)
+    _assert_identical(out, golden)
+
+
 def test_without_done_manifest_everything_processed(pages_fixture):
     pages, _ = pages_fixture
     counts = status_counts(run_extraction(pages, None))
