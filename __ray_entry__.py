@@ -473,6 +473,48 @@ def _q_media_meta(sf_dir: str):
     return ds.select_columns(["doc_id", "width", "height", "channels", "media_bytes"])
 
 
+def _q_media_resize(sf_dir: str):
+    """Resize stage over the synthetic media column: new binary payload
+    at 64x48 + typed out-dims (SQL verifies the metadata contract)."""
+    import pyarrow as pa
+
+    from pmocr_ray.ops.media import MediaResizeStage, encode_fake_image
+
+    def attach(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        media = [
+            encode_fake_image(d % 640 + 16, d % 480 + 16, d % 3 + 1, seed=d)
+            for d in ids
+        ]
+        return pa.table({"doc_id": t["doc_id"], "media": pa.array(media, pa.binary())})
+
+    ds = _docs(sf_dir).map_batches(attach, batch_format="pyarrow")
+    ds = ds.map_batches(MediaResizeStage, batch_format="pyarrow",
+                        batch_size=64, concurrency=2,
+                        fn_constructor_kwargs={"column": "media"})
+    return ds.select_columns(["doc_id", "out_width", "out_height", "out_bytes"])
+
+
+def _q_frame_sample(sf_dir: str):
+    """Flat-map-shaped frame sampling: one output row per sampled frame
+    (every 3rd) of each synthetic video payload."""
+    import pyarrow as pa
+
+    from pmocr_ray.ops.media import FrameSampleStage, encode_fake_video
+
+    def attach(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        media = [encode_fake_video(d % 10 + 1, frame_size=32, seed=d)
+                 for d in ids]
+        return pa.table({"doc_id": t["doc_id"], "media": pa.array(media, pa.binary())})
+
+    ds = _docs(sf_dir).map_batches(attach, batch_format="pyarrow")
+    ds = ds.map_batches(FrameSampleStage, batch_format="pyarrow",
+                        batch_size=64, concurrency=2,
+                        fn_constructor_kwargs={"column": "media"})
+    return ds.select_columns(["doc_id", "frame_idx"])
+
+
 def _q_lang_id(sf_dir: str):
     from pmocr_ray.ops.text import LangIdStage
 
@@ -626,6 +668,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate": _q_curate,
         # multimodal
         "media_meta": _q_media_meta,
+        "media_resize": _q_media_resize,
+        "frame_sample": _q_frame_sample,
     }
 
 
@@ -952,6 +996,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(18 + least((doc_id % 640 + 16) * (doc_id % 480 + 16)
                                    * (doc_id % 3 + 1), 4096) AS BIGINT) AS media_bytes
             FROM documents""",
+        "media_resize": """
+            SELECT doc_id,
+                   CAST(64 AS INTEGER) AS out_width,
+                   CAST(48 AS INTEGER) AS out_height,
+                   CAST(18 + least(64 * 48 * (doc_id % 3 + 1), 4096)
+                        AS BIGINT) AS out_bytes
+            FROM documents""",
+        "frame_sample": """
+            SELECT doc_id, CAST(f.range AS INTEGER) AS frame_idx
+            FROM documents CROSS JOIN range(0, 10, 3) f
+            WHERE f.range < doc_id % 10 + 1""",
         # Near-dup pairs: LSH-found candidates verified with EXACT
         # jaccard, and the testdata's pair margins are wide (nothing in
         # [0.7, 0.8); found pairs all >= 0.89 — measured), so DuckDB can

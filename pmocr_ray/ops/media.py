@@ -42,6 +42,122 @@ def decode_header(payload: bytes) -> tuple[int, int, int]:
     return w, h, c
 
 
+class MediaResizeStage:
+    """Actor-pool resize over a binary media column: emits a NEW binary
+    payload at the target dimensions plus typed out-dims metadata.
+
+    The stub codec "resizes" by re-encoding the header and
+    nearest-index-sampling the synthetic body (deterministic); a real
+    deployment swaps in PIL/libvips behind the same signature.  Junk
+    payloads produce null output + ``media_error`` per row — the stage
+    never fails a task.
+    """
+
+    def __init__(self, column: str = "media", out_width: int = 64,
+                 out_height: int = 48) -> None:
+        self.column = column
+        self.out_width = out_width
+        self.out_height = out_height
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch[self.column].to_pylist()
+        outs, widths, heights, sizes, errors = [], [], [], [], []
+        for p in payloads:
+            try:
+                _, _, c = decode_header(p or b"")
+                body = np.frombuffer((p or b"")[_HEADER.size:], dtype=np.uint8)
+                n_out = min(self.out_width * self.out_height * c, 4096)
+                if len(body):
+                    idx = (np.arange(n_out) * len(body) // max(n_out, 1)
+                           ) % len(body)
+                    new_body = body[idx].tobytes()
+                else:
+                    new_body = b""
+                out = _HEADER.pack(_MAGIC, self.out_width, self.out_height,
+                                   c) + new_body
+                outs.append(out)
+                widths.append(self.out_width); heights.append(self.out_height)
+                sizes.append(len(out)); errors.append(None)
+            except ValueError as exc:
+                outs.append(None); widths.append(None); heights.append(None)
+                sizes.append(None)
+                errors.append(f"{type(exc).__name__}: {exc}")
+        drop = batch.drop_columns([self.column])
+        return (
+            drop.append_column("media", pa.array(outs, pa.binary()))
+            .append_column("out_width", pa.array(widths, pa.int32()))
+            .append_column("out_height", pa.array(heights, pa.int32()))
+            .append_column("out_bytes", pa.array(sizes, pa.int64()))
+            .append_column("media_error", pa.array(errors, pa.string()))
+        )
+
+
+_VMAGIC = b"FAKEVID1"
+_VHEADER = struct.Struct(">8sIH")  # magic, n_frames, frame_size
+
+
+def encode_fake_video(n_frames: int, frame_size: int = 64,
+                      seed: int = 0) -> bytes:
+    """Deterministic synthetic video payload: header + n fixed-size
+    frames (seeded byte pattern per frame)."""
+    frames = b"".join(
+        bytes(((seed + f * 17 + i * 31) & 0xFF) for i in range(frame_size))
+        for f in range(n_frames)
+    )
+    return _VHEADER.pack(_VMAGIC, n_frames, frame_size) + frames
+
+
+def decode_video_header(payload: bytes) -> tuple[int, int]:
+    if len(payload) < _VHEADER.size:
+        raise ValueError("media: payload shorter than video header")
+    magic, n, fs = _VHEADER.unpack_from(payload)
+    if magic != _VMAGIC:
+        raise ValueError("media: bad video magic (stub codec)")
+    return n, fs
+
+
+class FrameSampleStage:
+    """Frame sampling over a binary video column — the flat-map-shaped
+    media op: each input row emits one OUTPUT ROW PER SAMPLED FRAME
+    (every ``step``-th frame), carrying the key columns alongside
+    ``frame_idx`` + the frame's bytes.
+
+    Implemented as a batch fn that builds the exploded table directly
+    (cheaper than the per-row ``flat_map`` API — one Arrow allocation
+    per batch).  Undecodable payloads contribute zero frames and one
+    error row is NOT emitted here: frame sampling is a projection;
+    feed quarantine from a decode stage upstream if errors must be
+    kept.
+    """
+
+    def __init__(self, column: str = "media", key_column: str = "doc_id",
+                 step: int = 3) -> None:
+        self.column = column
+        self.key_column = key_column
+        self.step = step
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch[self.column].to_pylist()
+        keys = batch[self.key_column].to_pylist()
+        out_keys, out_idx, out_frames = [], [], []
+        for key, p in zip(keys, payloads):
+            try:
+                n, fs = decode_video_header(p or b"")
+            except ValueError:
+                continue
+            base = _VHEADER.size
+            for f in range(0, n, self.step):
+                out_keys.append(key)
+                out_idx.append(f)
+                out_frames.append(p[base + f * fs: base + (f + 1) * fs])
+        return pa.table({
+            self.key_column: pa.array(out_keys,
+                                      batch[self.key_column].type),
+            "frame_idx": pa.array(out_idx, pa.int32()),
+            "frame": pa.array(out_frames, pa.binary()),
+        })
+
+
 class MediaDecodeStage:
     """Actor-pool decode/feature stage over a binary media column.
 

@@ -239,6 +239,40 @@ def test_media_decode_stage_and_quarantine(ray_session):
     assert "media" not in out.column_names  # payload consumed
 
 
+def test_media_resize_stage():
+    from pmocr_ray.ops.media import MediaResizeStage, decode_header
+
+    good = encode_fake_image(320, 240, 3, seed=5)
+    t = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "media": pa.array([good, b"junk"], pa.binary())})
+    out = MediaResizeStage(column="media", out_width=64, out_height=48)(t)
+    resized = out["media"].to_pylist()
+    w, h, c = decode_header(resized[0])
+    assert (w, h, c) == (64, 48, 3)  # channels preserved
+    assert out["out_bytes"].to_pylist() == [18 + 4096, None]
+    assert resized[1] is None
+    assert out["media_error"].to_pylist()[1].startswith("ValueError")
+    # deterministic: same input -> same bytes
+    again = MediaResizeStage(column="media", out_width=64, out_height=48)(t)
+    assert again["media"].to_pylist()[0] == resized[0]
+
+
+def test_frame_sample_stage_explodes_rows():
+    from pmocr_ray.ops.media import FrameSampleStage, encode_fake_video
+
+    v7 = encode_fake_video(7, frame_size=4, seed=1)   # frames 0,3,6
+    v1 = encode_fake_video(1, frame_size=4, seed=2)   # frame 0
+    t = pa.table({"doc_id": pa.array([10, 11, 12], pa.int64()),
+                  "media": pa.array([v7, b"junk", v1], pa.binary())})
+    out = FrameSampleStage(column="media", step=3)(t)
+    assert out["doc_id"].to_pylist() == [10, 10, 10, 12]
+    assert out["frame_idx"].to_pylist() == [0, 3, 6, 0]
+    frames = out["frame"].to_pylist()
+    assert all(len(f) == 4 for f in frames)
+    # frame bytes are the right slices (frame f of v7 starts at 14+f*4)
+    assert frames[1] == v7[14 + 3 * 4: 14 + 4 * 4]
+
+
 # ----------------------------------------------------------------- events
 
 @pytest.fixture(scope="module")
