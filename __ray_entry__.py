@@ -444,6 +444,59 @@ def _q_orders_by_segment(sf_dir: str):
     )
 
 
+def _q_revenue_by_nation(sf_dir: str):
+    """Three-table star query: lineitem ⋈ orders ⋈ customer → nation
+    rollup.  The scale pattern, in order: (1) pre-aggregate lineitem
+    revenue per order INSIDE map_batches before any join (combiner —
+    the join left side shrinks to ~|orders| rows), (2) two
+    hash-partitioned ``Dataset.join``s on the narrowing keys,
+    (3) the 25-row nation dimension as a broadcast lookup (no shuffle),
+    (4) exact integer arithmetic end-to-end (revenue in 1e-4 dollar
+    units: cents × (100 - discount%), both exact 2-decimals)."""
+    import pyarrow as pa
+
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from pmocr_ray.ops.joins import broadcast_lookup
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_extendedprice",
+                                  "l_discount"])
+
+    def rev_per_order(t: pa.Table) -> pa.Table:
+        ext = np.rint(np.asarray(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False)) * 100
+        ).astype(np.int64)
+        disc = np.rint(np.asarray(
+            t["l_discount"].to_numpy(zero_copy_only=False)) * 100
+        ).astype(np.int64)
+        tt = pa.table({"l_orderkey": t["l_orderkey"],
+                       "rev": pa.array(ext * (100 - disc), pa.int64())})
+        g = tt.group_by("l_orderkey").aggregate([("rev", "sum")])
+        return pa.table({"l_orderkey": g["l_orderkey"], "rev": g["rev_sum"]})
+
+    per_order = (li.map_batches(rev_per_order, batch_format="pyarrow")
+                 .groupby("l_orderkey").aggregate(Sum("rev", alias_name="rev")))
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_custkey"])
+    j1 = per_order.join(orders, join_type="inner", num_partitions=8,
+                        on=("l_orderkey",), right_on=("o_orderkey",))
+    customer = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                               columns=["c_custkey", "c_nationkey"])
+    j2 = j1.join(customer, join_type="inner", num_partitions=8,
+                 on=("o_custkey",), right_on=("c_custkey",))
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_name"])
+    n_map = dict(zip(nation["n_nationkey"].to_pylist(),
+                     nation["n_name"].to_pylist()))
+    out = broadcast_lookup(j2, "c_nationkey", n_map, "n_name")
+    return out.groupby("n_name").aggregate(
+        Count(alias_name="n_orders"),
+        Sum("rev", alias_name="revenue"),
+    )
+
+
 def _q_curate(sf_dir: str):
     """Composed curation pipeline: lang-ID + quality + near-dup dedup
     over the documents table (rows-only: heuristic + approximate)."""
@@ -658,6 +711,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_agg": _q_lineitem_agg,
         "top_docs_by_len": _q_top_docs_by_len,
         "orders_by_segment": _q_orders_by_segment,
+        "revenue_by_nation": _q_revenue_by_nation,
         "top_terms": _q_top_terms,
         "host_stats": _q_host_stats,
         "hash_sample": _q_hash_sample,
@@ -988,6 +1042,22 @@ def oracle_sql() -> dict[str, str]:
                      AS total_cents
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY c.c_mktsegment""",
+        "revenue_by_nation": """
+            WITH po AS (
+              SELECT l_orderkey,
+                     sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                       AS rev
+              FROM lineitem GROUP BY l_orderkey
+            )
+            SELECT n.n_name,
+                   count(*) AS n_orders,
+                   CAST(sum(po.rev) AS BIGINT) AS revenue
+            FROM po
+            JOIN orders o ON po.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name""",
         "media_meta": """
             SELECT doc_id,
                    CAST(doc_id % 640 + 16 AS INTEGER) AS width,
