@@ -252,6 +252,30 @@ def _q_knn(sf_dir: str):
     return out.select(["vec_id", "rank"])
 
 
+def _q_knn_multi(sf_dir: str):
+    """Batched ANN: FIVE query vectors broadcast as one matrix — each
+    batch does a single (5, D) x (D, B) matmul (the realistic
+    batched-query shape; per-query partial top-k, tiny merge)."""
+    import ray.data as rd
+
+    from pmocr_ray.ops.knn import knn_cosine
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    q = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    q = q.filter(pc.less(q["vec_id"], 5)).sort_by("vec_id")
+    qmat = np.asarray(q["embedding"].to_pylist(), dtype=np.float64)
+    out = knn_cosine(rd.read_parquet(emb_path), qmat, k=10)
+    return out.select(["query_idx", "vec_id", "rank"])
+
+
+def _q_len_histogram(sf_dir: str):
+    """Document-length distribution: vectorized bucket + combiner."""
+    from pmocr_ray.ops.text import length_histogram
+
+    return length_histogram(_docs(sf_dir).select_columns(["n_chars"]),
+                            column="n_chars", width=100)
+
+
 def _q_knn_ivf(sf_dir: str):
     import ray.data as rd
 
@@ -689,6 +713,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retry_redrive": _q_retry_redrive,
         # text analysis
         "text_stats": _q_text_stats,
+        "len_histogram": _q_len_histogram,
         "doc_fingerprint": _q_fingerprint,
         "lang_id": _q_lang_id,
         "quality_score": _q_quality,
@@ -702,6 +727,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         # similarity search
         "knn_cosine": _q_knn,
+        "knn_multi": _q_knn_multi,
         "knn_ivf": _q_knn_ivf,
         "knn_ivf_indexed": _q_knn_ivf_indexed,
         # events / aggregates
@@ -1013,6 +1039,22 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": """
             SELECT doc_id FROM documents
             WHERE substr(md5(text), 1, 2) < '1a'""",
+        "len_histogram": """
+            SELECT n_chars // 100 AS bucket,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM documents GROUP BY bucket""",
+        "knn_multi": """
+            SELECT CAST(qid AS INTEGER) AS query_idx, vec_id,
+                   CAST(rank AS INTEGER) AS rank FROM (
+              SELECT q.vec_id AS qid, e.vec_id AS vec_id,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(e.embedding, q.embedding)
+                                  DESC, e.vec_id ASC) AS rank
+              FROM embeddings e
+              CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+                          WHERE vec_id < 5) q)
+            WHERE rank <= 10""",
         "doc_freq": r"""
             SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
             FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term

@@ -233,6 +233,23 @@ def doc_frequency(ds, column: str = "text", k: int | None = None):
     return per_term
 
 
+def length_histogram(ds, column: str = "n_chars", width: int = 100):
+    """Histogram of an integer column in fixed-width buckets — the
+    distribution snapshot (length/token-count audits) every curation
+    run wants.  Vectorized bucket + per-batch local count (combiner);
+    the shuffle moves only (bucket, partial_n) rows."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bucket = pc.divide(batch[column], width)  # int/int = floor (>=0)
+        g = pa.table({"bucket": bucket}).group_by("bucket").aggregate(
+            [([], "count_all")])
+        return pa.table({"bucket": g["bucket"], "n": g["count_all"]})
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "bucket").aggregate(Sum("n", alias_name="n"))
+
+
 def quota_by_key(ds, key_column: str, n_per_key: int,
                  order_column: str):
     """Per-key quota cap (e.g. at most N pages per host — the

@@ -90,6 +90,23 @@ def test_host_stats_rollup(ray_session):
     assert out.to_dict() == {"a.example": 2, "b.example": 1, "c.example": 1}
 
 
+def test_length_histogram_buckets(ray_session):
+    from pmocr_ray.ops.text import length_histogram
+
+    ds = rd.from_arrow(pa.table({"n_chars": [0, 99, 100, 250, 999, 100]}))
+    out = length_histogram(ds, width=100).to_pandas().set_index("bucket")["n"]
+    assert out.to_dict() == {0: 2, 1: 2, 2: 1, 9: 1}
+
+
+def test_knn_multi_query_matrix(ray_session, vec_ds):
+    ds, mat = vec_ds
+    out = knn_cosine(ds, mat[:3], k=5).to_pandas()
+    # each query's rank-1 neighbor is itself (cosine 1.0)
+    top = out[out["rank"] == 1].sort_values("query_idx")
+    assert top["vec_id"].tolist() == [0, 1, 2]
+    assert len(out) == 15
+
+
 def test_doc_frequency_counts_docs_not_tokens(ray_session):
     from pmocr_ray.ops.text import doc_frequency
 
