@@ -55,6 +55,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "done manifest (the reference's mark-as-done rename)")
     p.add_argument("--batch-size", dest="batch_size", type=int)
     p.add_argument("--concurrency", dest="concurrency", type=int)
+    p.add_argument("--exec-mode", dest="exec_mode",
+                   choices=("tasks", "actors"),
+                   help="physical extract stage: read-fused task fn "
+                        "(default) or explicit actor pool")
     p.add_argument("--interval", dest="poll_interval_s", type=float)
     p.add_argument("--rounds", type=int, default=None,
                    help="service mode: stop after N poll rounds")
@@ -86,6 +90,7 @@ def run_batch(pages: str, cfg: PipelineConfig, update_done: bool = False) -> dic
         retry_failed=cfg.retry_failed,
         max_total_attempts=cfg.max_total_attempts,
         preprocessors=cfg.preprocessor_list() or None,
+        mode=cfg.exec_mode,
     )
     import ray.data as rd
 
@@ -135,6 +140,7 @@ def main(argv: list[str] | None = None) -> int:
         max_total_attempts=args.max_total_attempts,
         batch_size=args.batch_size,
         concurrency=args.concurrency,
+        exec_mode=args.exec_mode,
         poll_interval_s=args.poll_interval_s,
     )
 

@@ -56,6 +56,7 @@ class PipelineConfig:
     # execution (NUMBER_OF_PROCESSES default.conf:16-17)
     concurrency: int | None = None       # None -> auto from cluster CPUs
     batch_size: int = 256
+    exec_mode: str = "tasks"             # "tasks" (read-fused) | "actors"
     num_blocks: int | None = None
     repartition_blocks: int | None = None
     # service mode (INOTIFY_POLLER_INTERVAL default.conf:33)

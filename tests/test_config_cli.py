@@ -76,6 +76,17 @@ class TestCli:
                           "skipped_existing_text": 400, "skipped_suffix": 400}
         assert glob.glob(os.path.join(out_dir, "*.parquet"))
 
+    def test_batch_mode_actors_same_counts(self, pages_fixture, tmp_path, capsys):
+        pages, done = pages_fixture
+        out_dir = str(tmp_path / "out_actors")
+        rc, counts = self._run(
+            ["--batch", pages, "--out", out_dir, "--done-manifest", done,
+             "--exec-mode", "actors", "--concurrency", "2"], capsys
+        )
+        assert rc == 0
+        assert counts == {"done": 3000, "failed": 200,
+                          "skipped_existing_text": 400, "skipped_suffix": 400}
+
     def test_no_skip_txt_pdf_flag_flips_behavior(self, pages_fixture, tmp_path, capsys):
         """--no-skip-txt-pdf: searchable PDFs go through the engine
         (CHECK_PDF=no semantics) instead of being skipped."""
