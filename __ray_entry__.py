@@ -694,6 +694,87 @@ def _q_dedup_embedding_lsh(sf_dir: str):
     ).select_columns(["a", "b"])
 
 
+# injected-PII suffix shared by the Ray query and the oracle so the
+# redaction pass has real matches to scrub on the synthetic corpus
+def _inject_pii(t):
+    import pyarrow as pa
+
+    did = pc.cast(t["doc_id"], pa.string())
+    mod = pc.cast(pa.array(np.mod(t["doc_id"].to_numpy(zero_copy_only=False),
+                                  200)), pa.string())
+    txt = pc.binary_join_element_wise(
+        t["text"], " contact user", did, "@mail.example or 10.0.", mod,
+        ".7 now", "")
+    return pa.table({"doc_id": t["doc_id"], "text": txt})
+
+
+def _q_redact_pii(sf_dir: str):
+    from pmocr_ray.ops.text import redact_pii
+
+    return (_docs(sf_dir).select_columns(["doc_id", "text"])
+            .map_batches(_inject_pii, batch_format="pyarrow")
+            .map_batches(redact_pii, batch_format="pyarrow")
+            .select_columns(["doc_id", "text_redacted"]))
+
+
+def _q_repetition_stats(sf_dir: str):
+    from pmocr_ray.ops.text import repetition_stats
+
+    return _docs(sf_dir).map_batches(repetition_stats, batch_format="pyarrow")
+
+
+_STRAT_THRESHOLDS = {"en": "4", "de": "c"}  # keep ~25% en, ~75% de; rest all
+
+
+def _q_stratified_sample(sf_dir: str):
+    from pmocr_ray.ops.text import stratified_sample
+
+    return stratified_sample(
+        _docs(sf_dir), "lang", _STRAT_THRESHOLDS, key_column="text"
+    ).select_columns(["doc_id", "lang"])
+
+
+def _q_len_quantiles(sf_dir: str):
+    from pmocr_ray.ops.text import length_quantiles
+
+    return length_quantiles(_docs(sf_dir), column="n_chars",
+                            qs=(0.5, 0.9, 0.99))
+
+
+def _q_line_dedup(sf_dir: str):
+    from pmocr_ray.ops.dedup import line_dedup
+
+    return line_dedup(_docs(sf_dir).select_columns(["doc_id", "text"]),
+                      width=10)
+
+
+def _q_decontaminate(sf_dir: str):
+    """Benchmark set = every 97th doc (a deterministic stand-in for an
+    eval corpus); flag training docs sharing any 13-gram with it."""
+    import pyarrow as pa
+
+    from pmocr_ray.ops.dedup import benchmark_shingles, decontaminate
+
+    def is_bench(t: pa.Table) -> pa.Table:
+        mask = np.mod(t["doc_id"].to_numpy(zero_copy_only=False), 97) == 0
+        return t.filter(pa.array(mask))
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+    shingles = benchmark_shingles(
+        docs.map_batches(is_bench, batch_format="pyarrow"), n=13)
+    return decontaminate(docs, shingles, n=13)
+
+
+def _q_shard_counts(sf_dir: str):
+    import ray.data as rd
+
+    from pmocr_ray.ops.export import shard_counts
+
+    pages_dir, _ = _pages(sf_dir)
+    return shard_counts(rd.read_parquet(pages_dir, columns=["url"]),
+                        key="url", n_shards=16)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction pipeline family (pages fixture derived from documents)
@@ -744,6 +825,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_freq": _q_doc_freq,
         "host_cap": _q_host_cap,
         "asof_click_view": _q_asof_click_view,
+        # curation / export ops
+        "redact_pii": _q_redact_pii,
+        "repetition_stats": _q_repetition_stats,
+        "stratified_sample": _q_stratified_sample,
+        "len_quantiles": _q_len_quantiles,
+        "line_dedup": _q_line_dedup,
+        "decontaminate": _q_decontaminate,
+        "shard_counts": _q_shard_counts,
         # composed curation
         "curate": _q_curate,
         # multimodal
@@ -1039,6 +1128,77 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": """
             SELECT doc_id FROM documents
             WHERE substr(md5(text), 1, 2) < '1a'""",
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE CASE lang
+                    WHEN 'en' THEN substr(md5(text), 1, 1) < '4'
+                    WHEN 'de' THEN substr(md5(text), 1, 1) < 'c'
+                    ELSE TRUE END""",
+        "redact_pii": r"""
+            SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+                text || ' contact user' || doc_id
+                     || '@mail.example or 10.0.' || (doc_id % 200) || '.7 now',
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                '\+\d[\d\-\. ]{7,}\d', '<PHONE>', 'g') AS text_redacted
+            FROM documents""",
+        "repetition_stats": r"""
+            WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w
+                       FROM documents),
+            bg AS (SELECT doc_id,
+                          unnest(list_transform(range(1, len(w)),
+                                 i -> w[i] || ' ' || w[i+1])) AS g
+                   FROM t WHERE len(w) >= 2),
+            mx AS (SELECT doc_id, max(c) AS mc FROM
+                     (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2)
+                   GROUP BY 1)
+            SELECT t.doc_id,
+                   CASE WHEN len(w) > 0
+                        THEN CAST(len(list_distinct(w)) AS DOUBLE) / len(w)
+                        ELSE 0.0 END AS distinct_ratio,
+                   coalesce(CAST(mx.mc AS DOUBLE) / nullif(len(w) - 1, 0),
+                            0.0) AS top_bigram_frac
+            FROM t LEFT JOIN mx USING (doc_id)""",
+        "len_quantiles": """
+            SELECT unnest([0.5, 0.9, 0.99]) AS q,
+                   unnest(qv) AS value FROM
+              (SELECT quantile_disc(n_chars, [0.5, 0.9, 0.99]) AS qv
+               FROM documents)""",
+        "line_dedup": r"""
+            WITH w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+                       FROM documents),
+            ln AS (SELECT doc_id,
+                          unnest(list_transform(
+                            range(0, CAST(ceil(len(toks) / 10.0) AS BIGINT)),
+                            i -> struct_pack(
+                              line_no := i,
+                              line := array_to_string(
+                                toks[(i*10+1):(i*10+10)], ' ')))) AS s
+                   FROM w WHERE len(toks) > 0),
+            k AS (SELECT doc_id, s.line_no AS line_no, s.line AS line,
+                         row_number() OVER (PARTITION BY s.line
+                                            ORDER BY doc_id, s.line_no) AS rn
+                  FROM ln)
+            SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no)
+                     AS text_dedup
+            FROM k WHERE rn = 1 GROUP BY doc_id""",
+        "decontaminate": r"""
+            WITH w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+                       FROM documents),
+            sh AS (SELECT doc_id,
+                          unnest(list_transform(range(1, len(t) - 11),
+                                 i -> array_to_string(t[i:i+12], ' '))) AS g
+                   FROM w WHERE len(t) >= 13),
+            bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 97 = 0),
+            hit AS (SELECT DISTINCT sh.doc_id FROM sh JOIN bench USING (g))
+            SELECT d.doc_id, d.doc_id IN (SELECT doc_id FROM hit)
+                     AS contaminated
+            FROM documents d""",
+        "shard_counts": _PAGE_CTE + """
+            SELECT CAST(CAST(('0x' || substr(md5(url), 1, 8)) AS UBIGINT)
+                        % 16 AS BIGINT) AS shard,
+                   count(*) AS n
+            FROM c GROUP BY 1""",
         "len_histogram": """
             SELECT n_chars // 100 AS bucket,
                    CAST(count(*) AS BIGINT) AS n

@@ -26,6 +26,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
@@ -747,3 +748,148 @@ def embedding_dedup_pairs(ds: rd.Dataset, *, key: str = "vec_id",
         batch_format="pyarrow",
         concurrency=(1, 2),
     )
+
+
+# ----------------------------------------------------- line-level dedup
+
+#: line_no is packed with the doc key into one int64 shuffle key; docs
+#: with more lines than this are rejected loudly rather than silently
+#: mis-keyed.
+LINE_STRIDE = 1 << 20
+
+
+def explode_lines(ds: rd.Dataset, *, key: str = "doc_id",
+                  column: str = "text", width: int = 10) -> rd.Dataset:
+    """Explode each document into fixed-``width``-token "lines"
+    (paragph units for corpora whose text carries no newlines; a real
+    crawl uses ``\\n``-split lines through the same machinery).
+
+    Vectorized: one regex split + ``list_flatten``; within-row token
+    positions and chunk ids come from numpy offset arithmetic, and the
+    per-line string join is a single C-level pandas groupby — no
+    Python loop over tokens.  Emits (key, line_no, line).
+    """
+    def explode(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(batch[column], r"\s+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        mask = pc.not_equal(flat, "")
+        flat = flat.filter(mask).combine_chunks()
+        pn = parent.filter(mask).to_numpy(zero_copy_only=False)
+        if len(pn) == 0:
+            return pa.table({key: pa.array([], batch[key].type),
+                             "line_no": pa.array([], pa.int64()),
+                             "line": pa.array([], pa.string())})
+        # token position within its row: arange minus the row's start
+        starts = np.zeros(len(pn), np.int64)
+        row_change = np.nonzero(np.diff(pn))[0] + 1
+        starts[row_change] = row_change
+        np.maximum.accumulate(starts, out=starts)
+        pos = np.arange(len(pn), dtype=np.int64) - starts
+        chunk = pos // width
+        keys = batch[key].to_numpy(zero_copy_only=False)[pn]
+        df = pd.DataFrame({"k": keys, "c": chunk,
+                           "w": flat.to_pandas()})
+        lines = (df.groupby(["k", "c"], sort=False)["w"]
+                   .agg(" ".join).reset_index())
+        return pa.table({key: pa.array(lines["k"], batch[key].type),
+                         "line_no": pa.array(lines["c"], pa.int64()),
+                         "line": pa.array(lines["w"], pa.string())})
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def line_dedup(ds: rd.Dataset, *, key: str = "doc_id",
+               column: str = "text", width: int = 10) -> rd.Dataset:
+    """Corpus-level line deduplication (the CCNet paragraph-dedup
+    shape): every line keeps exactly its globally FIRST occurrence in
+    (key, line_no) order; all later copies — across documents and
+    within one — are dropped, and each document's surviving lines are
+    re-joined with ``\\n``.  Documents that lose every line disappear.
+
+    Scale shape: explode → ``groupby(line).min(packed_position)`` —
+    the winner rows ARE the kept lines, so no join back is needed —
+    → ``groupby(key)`` re-assembly.  Both shuffles move line-level
+    rows only; nothing is collected on the driver.
+    """
+    from ray.data.aggregate import Min
+
+    lines = explode_lines(ds, key=key, column=column, width=width)
+
+    def pack(batch: pa.Table) -> pa.Table:
+        ln = batch["line_no"].to_numpy(zero_copy_only=False)
+        if len(ln) and ln.max() >= LINE_STRIDE:
+            raise ValueError(
+                f"document has >= {LINE_STRIDE} lines; raise LINE_STRIDE")
+        pos = batch[key].to_numpy(zero_copy_only=False) * LINE_STRIDE + ln
+        return pa.table({"line": batch["line"],
+                         "pos": pa.array(pos, pa.int64())})
+
+    winners = (lines.map_batches(pack, batch_format="pyarrow")
+                    .groupby("line").aggregate(Min("pos", alias_name="pos")))
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        pos = batch["pos"].to_numpy(zero_copy_only=False)
+        return pa.table({key: pa.array(pos // LINE_STRIDE, pa.int64()),
+                         "line_no": pa.array(pos % LINE_STRIDE, pa.int64()),
+                         "line": batch["line"]})
+
+    def reassemble(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("line_no")
+        return pd.DataFrame({key: [df[key].iloc[0]],
+                             "text_dedup": ["\n".join(df["line"])]})
+
+    return (winners.map_batches(unpack, batch_format="pyarrow")
+                   .groupby(key).map_groups(reassemble, batch_format="pandas"))
+
+
+# ----------------------------------------------------- decontamination
+
+
+def benchmark_shingles(bench_ds: rd.Dataset, *, column: str = "text",
+                       n: int = 13) -> set[str]:
+    """Collect the distinct word-``n``-gram shingles of a benchmark
+    corpus.  Benchmarks are small by nature (eval sets, not crawls) —
+    this is the broadcast-small-side of the decontamination pass, the
+    one place collecting to the driver is the right design."""
+    def shingle(batch: pa.Table) -> pa.Table:
+        out: set[str] = set()
+        for t in batch[column].to_pylist():
+            w = t.split() if t else []
+            out.update(" ".join(w[i:i + n]) for i in range(len(w) - n + 1))
+        return pa.table({"g": pa.array(sorted(out), pa.string())})
+
+    parts = bench_ds.map_batches(shingle, batch_format="pyarrow").take_all()
+    return {r["g"] for r in parts}
+
+
+def decontaminate(ds: rd.Dataset, bench_shingles: set[str], *,
+                  key: str = "doc_id", column: str = "text",
+                  n: int = 13) -> rd.Dataset:
+    """Test-set decontamination: flag every training document sharing
+    any word-``n``-gram with the benchmark set (the standard 13-gram
+    overlap rule).  The benchmark shingle set is ``ray.put`` once and
+    read by every task — map-only over the corpus, no shuffle.
+
+    Returns (key, contaminated: bool).
+    """
+    ref = ray.put(frozenset(bench_shingles))
+
+    class Flag:
+        def __init__(self, shingles_ref, n: int) -> None:
+            self.shingles = ray.get(shingles_ref)
+            self.n = n
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out = []
+            for t in batch[column].to_pylist():
+                w = t.split() if t else []
+                out.append(any(
+                    " ".join(w[i:i + self.n]) in self.shingles
+                    for i in range(len(w) - self.n + 1)))
+            return pa.table({key: batch[key],
+                             "contaminated": pa.array(out, pa.bool_())})
+
+    return ds.map_batches(Flag, fn_constructor_kwargs={"shingles_ref": ref,
+                                                       "n": n},
+                          batch_format="pyarrow", concurrency=(1, 4))

@@ -295,6 +295,153 @@ def hash_sample(ds, column: str = "url", prefix_lt: str = "1a"):
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def stratified_sample(ds, group_column: str, thresholds: dict[str, str],
+                      key_column: str = "url"):
+    """Per-group deterministic hash sampling: each group keeps rows
+    whose md5(key) hex prefix is < its threshold string (lexicographic,
+    same convention as :func:`hash_sample`) — the language/domain
+    rebalancing step every pre-training mix applies (downsample the
+    head language, keep the tail).
+
+    Map-only: the per-group rate table is a tiny dict captured in the
+    closure (broadcast once with the function), no shuffle.  Groups
+    absent from ``thresholds`` keep everything (threshold ``None``).
+    """
+    import hashlib as _hl
+
+    def keep(batch: pa.Table) -> pa.Table:
+        keys = batch[key_column].to_pylist()
+        grps = batch[group_column].to_pylist()
+        mask = pa.array(
+            [
+                (t := thresholds.get(g)) is None
+                or _hl.md5(k.encode()).hexdigest()[: len(t)] < t
+                for k, g in zip(keys, grps)
+            ],
+            pa.bool_(),
+        )
+        return batch.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+# ---------------------------------------------------- repetition / PII
+
+
+#: (RE2 pattern, replacement) — identical semantics in Arrow's
+#: replace_substring_regex and DuckDB's regexp_replace(...,'g'), so the
+#: oracle can replay the exact redaction.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\+\d[\d\-\. ]{7,}\d", "<PHONE>"),
+)
+
+
+def redact_pii(batch: pa.Table, column: str = "text",
+               out_column: str = "text_redacted") -> pa.Table:
+    """Scrub emails / IPv4s / international phone numbers with typed
+    placeholder tokens — the standard pre-training PII pass.
+
+    One vectorized ``replace_substring_regex`` per pattern (RE2, no
+    Python loop); patterns applied in :data:`PII_PATTERNS` order so
+    earlier redactions can't create later matches nondeterministically.
+    """
+    col = batch[column]
+    for pat, repl in PII_PATTERNS:
+        col = pc.replace_substring_regex(col, pat, repl)
+    return batch.append_column(out_column, col)
+
+
+def repetition_stats(batch: pa.Table, column: str = "text",
+                     key: str = "doc_id") -> pa.Table:
+    """Gopher-style repetition signals per document: distinct-token
+    ratio and top-bigram fraction (share of bigram slots taken by the
+    single most frequent bigram).  High repetition → boilerplate/spam.
+
+    Fully vectorized: one ``split_pattern_regex`` + ``list_flatten``,
+    local Arrow ``group_by`` for per-row distinct-token and bigram
+    counts (never a Python loop over tokens), numpy scatter back to row
+    order.  Map-only — no shuffle.
+    """
+    toks = pc.split_pattern_regex(batch[column], r"\s+")
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks)
+    mask = pc.not_equal(flat, "")
+    flat = flat.filter(mask).combine_chunks()
+    pn = parent.filter(mask).to_numpy(zero_copy_only=False)
+    n = len(batch)
+
+    n_tok = np.zeros(n, np.int64)
+    rows, counts = np.unique(pn, return_counts=True)
+    n_tok[rows] = counts
+
+    distinct = pa.table({"p": pn, "w": flat}).group_by(["p", "w"]).aggregate([])
+    n_distinct = np.zeros(n, np.int64)
+    rows2, counts2 = np.unique(
+        distinct["p"].to_numpy(zero_copy_only=False), return_counts=True)
+    n_distinct[rows2] = counts2
+
+    # bigrams: adjacent tokens within the same row
+    max_bigram = np.zeros(n, np.int64)
+    if len(flat) > 1:
+        same = pn[:-1] == pn[1:]
+        lhs = flat.slice(0, len(flat) - 1).filter(pa.array(same))
+        rhs = flat.slice(1).filter(pa.array(same))
+        bigram = pc.binary_join_element_wise(lhs, rhs, " ")
+        bg = pa.table({"p": pn[:-1][same], "g": bigram}).group_by(
+            ["p", "g"]).aggregate([([], "count_all")])
+        mx = bg.group_by("p").aggregate([("count_all", "max")])
+        max_bigram[mx["p"].to_numpy(zero_copy_only=False)] = (
+            mx["count_all_max"].to_numpy(zero_copy_only=False))
+
+    distinct_ratio = np.where(n_tok > 0, n_distinct / np.maximum(n_tok, 1), 0.0)
+    top_bigram_frac = np.where(
+        n_tok >= 2, max_bigram / np.maximum(n_tok - 1, 1), 0.0)
+    return pa.table({
+        key: batch[key],
+        "distinct_ratio": pa.array(distinct_ratio, pa.float64()),
+        "top_bigram_frac": pa.array(top_bigram_frac, pa.float64()),
+    })
+
+
+def length_quantiles(ds, column: str = "n_chars",
+                     qs: tuple[float, ...] = (0.5, 0.9, 0.99)):
+    """EXACT distributed quantiles of an integer column (doc-length /
+    token-count audits): per-batch value-counts combiner → one tiny
+    ``groupby(value)`` shuffle → CDF walk over the (value, count)
+    rollup.  The rollup is bounded by the number of *distinct* values
+    (≤ max doc length), not the row count, so collecting it is safe at
+    any corpus size.
+
+    Quantile rule matches DuckDB's ``quantile_disc``: the value at
+    1-based rank ``ceil(q * n)`` of the sorted column.  Returns an
+    Arrow table (q, value).
+    """
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.select([column]).group_by(column).aggregate(
+            [([], "count_all")])
+        return pa.table({"value": g[column], "n": g["count_all"]})
+
+    rollup = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby("value").aggregate(Sum("n", alias_name="n"))
+                .sort("value").take_all())
+    values = np.array([r["value"] for r in rollup], np.int64)
+    cum = np.cumsum(np.array([r["n"] for r in rollup], np.int64))
+    total = int(cum[-1]) if len(cum) else 0
+    out_q, out_v = [], []
+    for q in qs:
+        rank = max(math.ceil(q * total), 1)
+        out_q.append(q)
+        out_v.append(int(values[np.searchsorted(cum, rank)]))
+    return pa.table({"q": pa.array(out_q, pa.float64()),
+                     "value": pa.array(out_v, pa.int64())})
+
+
 # ---------------------------------------------------------- fingerprinting
 
 

@@ -1,0 +1,219 @@
+"""Tests for the curation/export operators: PII redaction, repetition
+stats, stratified sampling, exact quantiles, line dedup,
+decontamination, hash-shard export."""
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from pmocr_ray.ops.dedup import (
+    benchmark_shingles,
+    decontaminate,
+    explode_lines,
+    line_dedup,
+)
+from pmocr_ray.ops.export import assign_shard, shard_counts, shard_export
+from pmocr_ray.ops.text import (
+    length_quantiles,
+    redact_pii,
+    repetition_stats,
+    stratified_sample,
+)
+
+
+# ---------------------------------------------------------------- redact
+
+
+def test_redact_pii_patterns():
+    t = pa.table({"text": [
+        "mail me at jane.doe+x@sub.example.org today",
+        "server at 192.168.001.7 and +1 415-555-0199 thanks",
+        "no pii here",
+    ]})
+    out = redact_pii(t)["text_redacted"].to_pylist()
+    assert out[0] == "mail me at <EMAIL> today"
+    assert out[1] == "server at <IP> and <PHONE> thanks"
+    assert out[2] == "no pii here"
+
+
+def test_redact_pii_is_vectorized_no_partial_leak():
+    # an email inside a longer token is still caught (no \b on email)
+    t = pa.table({"text": ["x a@b.co y", "ip 1.2.3.4."]})
+    out = redact_pii(t)["text_redacted"].to_pylist()
+    assert out == ["x <EMAIL> y", "ip <IP>."]
+
+
+# ------------------------------------------------------------ repetition
+
+
+def test_repetition_stats_values():
+    t = pa.table({
+        "doc_id": [1, 2, 3],
+        "text": [
+            "a b a b a b",        # 6 toks, 2 distinct, "a b" x3 of 5 slots
+            "w x y z",            # all distinct, every bigram once
+            "",                   # empty
+        ],
+    })
+    out = repetition_stats(t)
+    dr = out["distinct_ratio"].to_pylist()
+    tb = out["top_bigram_frac"].to_pylist()
+    assert dr[0] == pytest.approx(2 / 6)
+    assert tb[0] == pytest.approx(3 / 5)
+    assert dr[1] == 1.0 and tb[1] == pytest.approx(1 / 3)
+    assert dr[2] == 0.0 and tb[2] == 0.0
+
+
+def test_repetition_stats_single_token_doc():
+    out = repetition_stats(pa.table({"doc_id": [1], "text": ["solo"]}))
+    assert out["distinct_ratio"].to_pylist() == [1.0]
+    assert out["top_bigram_frac"].to_pylist() == [0.0]
+
+
+# -------------------------------------------------------------- sampling
+
+
+def test_stratified_sample_thresholds_and_determinism(ray_session):
+    rows = [{"k": f"url{i}", "g": "en" if i % 2 else "de"} for i in range(400)]
+    ds = rd.from_items(rows)
+    thresholds = {"en": "4"}  # ~25% of en, all de
+    got1 = sorted(r["k"] for r in
+                  stratified_sample(ds, "g", thresholds, key_column="k")
+                  .take_all())
+    got2 = sorted(r["k"] for r in
+                  stratified_sample(rd.from_items(rows), "g", thresholds,
+                                    key_column="k").take_all())
+    assert got1 == got2  # deterministic
+    exp = sorted(
+        r["k"] for r in rows
+        if r["g"] == "de" or hashlib.md5(r["k"].encode()).hexdigest()[:1] < "4"
+    )
+    assert got1 == exp
+    n_de = sum(1 for k in got1 if int(k[3:]) % 2 == 0)
+    assert n_de == 200  # group without threshold kept wholesale
+
+
+# -------------------------------------------------------------- quantiles
+
+
+def test_length_quantiles_exact(ray_session):
+    vals = [1, 1, 2, 9]
+    ds = rd.from_items([{"n_chars": v} for v in vals])
+    out = length_quantiles(ds, qs=(0.5, 0.75, 0.9))
+    # DuckDB quantile_disc rule: value at 1-based rank ceil(q*n)
+    assert out["value"].to_pylist() == [1, 2, 9]
+    assert out["q"].to_pylist() == [0.5, 0.75, 0.9]
+
+
+def test_length_quantiles_partition_invariant(ray_session):
+    vals = list(range(100, 0, -1)) * 3
+    a = length_quantiles(rd.from_items([{"n_chars": v} for v in vals]))
+    b = length_quantiles(
+        rd.from_items([{"n_chars": v} for v in vals]).repartition(7))
+    assert a.to_pylist() == b.to_pylist()
+
+
+# ------------------------------------------------------------- line dedup
+
+
+def test_explode_lines_chunking(ray_session):
+    ds = rd.from_items([{"doc_id": 5, "text": " ".join(str(i) for i in range(23))}])
+    rows = sorted(explode_lines(ds, width=10).take_all(),
+                  key=lambda r: r["line_no"])
+    assert [r["line_no"] for r in rows] == [0, 1, 2]
+    assert rows[0]["line"] == " ".join(str(i) for i in range(10))
+    assert rows[2]["line"] == "20 21 22"
+
+
+def test_line_dedup_keeps_global_first_occurrence(ray_session):
+    shared = " ".join(f"w{i}" for i in range(10))
+    uniq_a = " ".join(f"a{i}" for i in range(10))
+    uniq_b = " ".join(f"b{i}" for i in range(10))
+    ds = rd.from_items([
+        {"doc_id": 1, "text": shared + " " + uniq_a},
+        {"doc_id": 2, "text": shared + " " + uniq_b},  # loses the shared line
+        {"doc_id": 3, "text": shared},                 # loses everything
+    ])
+    out = {r["doc_id"]: r["text_dedup"] for r in line_dedup(ds).take_all()}
+    assert out == {1: shared + "\n" + uniq_a, 2: uniq_b}
+
+
+def test_line_dedup_within_doc_repeat(ray_session):
+    line = " ".join(f"t{i}" for i in range(10))
+    ds = rd.from_items([{"doc_id": 9, "text": line + " " + line}])
+    out = line_dedup(ds).take_all()
+    assert out == [{"doc_id": 9, "text_dedup": line}]
+
+
+def test_line_dedup_partition_invariant(ray_session, sf_small):
+    docs = rd.read_parquet(os.path.join(sf_small, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    a = sorted((r["doc_id"], r["text_dedup"])
+               for r in line_dedup(docs).take_all())
+    b = sorted((r["doc_id"], r["text_dedup"])
+               for r in line_dedup(docs.repartition(11)).take_all())
+    assert a == b
+
+
+# --------------------------------------------------------- decontaminate
+
+
+def test_decontaminate_flags_13gram_overlap(ray_session):
+    bench_text = " ".join(f"q{i}" for i in range(20))
+    clean_text = " ".join(f"c{i}" for i in range(20))
+    # doc 2 embeds 13 consecutive benchmark tokens mid-document
+    leak = "x0 " + " ".join(f"q{i}" for i in range(3, 16)) + " x1"
+    bench = rd.from_items([{"doc_id": 0, "text": bench_text}])
+    corpus = rd.from_items([
+        {"doc_id": 1, "text": clean_text},
+        {"doc_id": 2, "text": leak},
+        {"doc_id": 3, "text": "short doc"},
+    ])
+    shingles = benchmark_shingles(bench, n=13)
+    assert len(shingles) == 8  # 20 - 13 + 1
+    out = {r["doc_id"]: r["contaminated"]
+           for r in decontaminate(corpus, shingles, n=13).take_all()}
+    assert out == {1: False, 2: True, 3: False}
+
+
+# ------------------------------------------------------------- sharding
+
+
+def test_assign_shard_matches_md5():
+    t = pa.table({"url": ["u1", "u2", "u3"]})
+    got = assign_shard(t, n_shards=7)["shard"].to_pylist()
+    exp = [int(hashlib.md5(u.encode()).hexdigest()[:8], 16) % 7
+           for u in ["u1", "u2", "u3"]]
+    assert got == exp
+
+
+def test_shard_export_membership_deterministic(ray_session, tmp_path):
+    rows = [{"url": f"https://h/{i}", "v": i} for i in range(200)]
+    out1 = str(tmp_path / "e1")
+    out2 = str(tmp_path / "e2")
+    shard_export(rd.from_items(rows), out1, n_shards=4)
+    shard_export(rd.from_items(rows).repartition(9), out2, n_shards=4)
+
+    def membership(path):
+        import pyarrow.dataset as pads
+
+        t = pads.dataset(path, partitioning="hive").to_table()
+        return sorted(zip(t["url"].to_pylist(),
+                          [int(s) for s in t["shard"].to_pylist()]))
+
+    m1, m2 = membership(out1), membership(out2)
+    assert m1 == m2  # identical membership on a different partitioning
+    assert len(m1) == 200
+    assert {s for _, s in m1} == {0, 1, 2, 3}
+
+
+def test_shard_counts_total(ray_session):
+    ds = rd.from_items([{"url": f"u{i}"} for i in range(100)])
+    out = shard_counts(ds, n_shards=5).take_all()
+    assert sum(r["n"] for r in out) == 100
+    assert all(0 <= r["shard"] < 5 for r in out)
