@@ -872,23 +872,40 @@ def decontaminate(ds: rd.Dataset, bench_shingles: set[str], *,
     read by every task — map-only over the corpus, no shuffle.
 
     Returns (key, contaminated: bool).
+
+    Vectorized hot path: per batch, the ``n``-grams are built with ONE
+    ``binary_join_element_wise`` over ``n`` shifted token slices
+    (restricted to windows that stay inside a row), membership is one
+    Arrow ``is_in`` against the broadcast shingle array, and per-row
+    "any hit" is a numpy scatter — no Python loop over tokens.
     """
-    ref = ray.put(frozenset(bench_shingles))
+    ref = ray.put(pa.array(sorted(bench_shingles), pa.string()))
 
     class Flag:
         def __init__(self, shingles_ref, n: int) -> None:
-            self.shingles = ray.get(shingles_ref)
+            self.shingles: pa.Array = ray.get(shingles_ref)
             self.n = n
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            out = []
-            for t in batch[column].to_pylist():
-                w = t.split() if t else []
-                out.append(any(
-                    " ".join(w[i:i + self.n]) in self.shingles
-                    for i in range(len(w) - self.n + 1)))
+            n = self.n
+            toks = pc.split_pattern_regex(batch[column], r"\s+")
+            flat = pc.list_flatten(toks)
+            parent = pc.list_parent_indices(toks)
+            mask = pc.not_equal(flat, "")
+            flat = flat.filter(mask).combine_chunks()
+            pn = parent.filter(mask).to_numpy(zero_copy_only=False)
+            hit_rows = np.zeros(len(batch), bool)
+            if len(flat) >= n and len(self.shingles):
+                # windows whose first and last token share a row
+                same = pa.array(pn[: -(n - 1)] == pn[n - 1:])
+                L = len(flat) - (n - 1)
+                parts = [flat.slice(j, L).filter(same) for j in range(n)]
+                grams = pc.binary_join_element_wise(*parts, " ")
+                hits = pc.is_in(grams, value_set=self.shingles)
+                gram_rows = pn[: -(n - 1)][same.to_numpy(zero_copy_only=False)]
+                hit_rows[gram_rows[hits.to_numpy(zero_copy_only=False)]] = True
             return pa.table({key: batch[key],
-                             "contaminated": pa.array(out, pa.bool_())})
+                             "contaminated": pa.array(hit_rows)})
 
     return ds.map_batches(Flag, fn_constructor_kwargs={"shingles_ref": ref,
                                                        "n": n},
