@@ -339,6 +339,52 @@ def _q_sessionize(sf_dir: str):
     return sessionize(rd.read_parquet(os.path.join(sf_dir, "events.parquet")))
 
 
+def _q_props_agg(sf_dir: str):
+    import ray.data as rd
+
+    from pmocr_ray.ops.events import props_value_agg
+
+    return props_value_agg(rd.read_parquet(os.path.join(sf_dir, "events.parquet")))
+
+
+def _q_top_events_per_user(sf_dir: str):
+    import ray.data as rd
+
+    from pmocr_ray.ops.events import top_events_per_user
+
+    return top_events_per_user(
+        rd.read_parquet(os.path.join(sf_dir, "events.parquet")), n=3
+    )
+
+
+def _q_window_distinct_users(sf_dir: str):
+    import ray.data as rd
+
+    from pmocr_ray.ops.events import window_distinct_users
+
+    return window_distinct_users(
+        rd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    )
+
+
+def _q_event_pivot(sf_dir: str):
+    import ray.data as rd
+
+    from pmocr_ray.ops.events import event_type_pivot
+
+    return event_type_pivot(rd.read_parquet(os.path.join(sf_dir, "events.parquet")))
+
+
+def _q_hopping_window(sf_dir: str):
+    import ray.data as rd
+
+    from pmocr_ray.ops.events import hopping_window_value
+
+    return hopping_window_value(
+        rd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    )
+
+
 def _q_lineitem_agg(sf_dir: str):
     import pyarrow as pa
 
@@ -825,6 +871,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_freq": _q_doc_freq,
         "host_cap": _q_host_cap,
         "asof_click_view": _q_asof_click_view,
+        "props_agg": _q_props_agg,
+        "top_events_per_user": _q_top_events_per_user,
+        "window_distinct_users": _q_window_distinct_users,
+        "event_pivot": _q_event_pivot,
+        "hopping_window": _q_hopping_window,
         # curation / export ops
         "redact_pii": _q_redact_pii,
         "repetition_stats": _q_repetition_stats,
@@ -1237,6 +1288,45 @@ def oracle_sql() -> dict[str, str]:
                                       AND 1 PRECEDING) AS prev_ts
               FROM events)
             WHERE event_type = 'click'""",
+        "props_agg": """
+            SELECT event_type,
+                   CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+                     AS sum_k,
+                   count(*) AS n
+            FROM events GROUP BY event_type""",
+        "top_events_per_user": """
+            SELECT user_id, event_id, value, rank FROM (
+              SELECT user_id, event_id, value,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY value DESC, event_id ASC)
+                       AS rank
+              FROM events)
+            WHERE rank <= 3""",
+        "window_distinct_users": """
+            SELECT date_trunc('hour', ts) AS hour,
+                   count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1""",
+        "event_pivot": """
+            SELECT date_trunc('day', ts) AS day,
+                   CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+                   CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+                   CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+                   CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+            FROM events GROUP BY 1""",
+        "hopping_window": """
+            WITH e AS (
+              SELECT date_trunc('hour', ts) AS h,
+                     CAST(round(value * 100) AS BIGINT) AS c
+              FROM events),
+            w AS (
+              SELECT h AS window_start, c FROM e
+              UNION ALL
+              SELECT h - INTERVAL 1 HOUR, c FROM e)
+            SELECT window_start,
+                   CAST(sum(c) AS BIGINT) AS total_cents,
+                   count(*) AS n_events
+            FROM w GROUP BY window_start""",
         "orders_by_segment": """
             SELECT c.c_mktsegment,
                    count(*) AS n_orders,

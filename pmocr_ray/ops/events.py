@@ -93,6 +93,136 @@ def sessionize(events: rd.Dataset, gap_minutes: int = 30) -> rd.Dataset:
     return events.groupby("user_id").map_groups(per_user, batch_format="pandas")
 
 
+def props_value_agg(events: rd.Dataset) -> rd.Dataset:
+    """Per-event-type rollup of the ``k`` field inside the JSON
+    ``props`` payload.
+
+    There is no Arrow JSON kernel; for the fixed ``{"k": N}`` shape one
+    RE2 ``extract_regex`` per batch is the vectorized path (a general
+    JSON column would get a per-batch ``json.loads`` loop inside an
+    actor pool instead).  Fan-in is tiny: one row per event_type.
+    """
+    def partial(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(batch["props"], r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        g = pa.table({"event_type": batch["event_type"], "k": k}) \
+            .group_by("event_type") \
+            .aggregate([("k", "sum"), ("k", "count")])
+        return pa.table({"event_type": g["event_type"],
+                         "sum_k": g["k_sum"],
+                         "n": pc.cast(g["k_count"], pa.int64())})
+
+    return (events.map_batches(partial, batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(Sum("sum_k", alias_name="sum_k"),
+                       Sum("n", alias_name="n")))
+
+
+def top_events_per_user(events: rd.Dataset, n: int = 3) -> rd.Dataset:
+    """Top-``n`` events per user by ``(value desc, event_id asc)``.
+
+    Scale shape: a per-batch LOCAL cap first — the global top-n for a
+    user is a subset of the union of per-batch top-n, so each batch
+    forwards at most n rows per user it saw — then the exact global
+    top-n inside ``groupby(user).map_groups`` over the pruned stream.
+    The shuffle moves ≤ n×users rows however skewed a hot user is.
+    """
+    def local_cap(batch: pa.Table) -> pa.Table:
+        df = batch.select(["user_id", "event_id", "value"]).to_pandas()
+        df = df.sort_values(["user_id", "value", "event_id"],
+                            ascending=[True, False, True])
+        return pa.Table.from_pandas(df.groupby("user_id", sort=False).head(n),
+                                    preserve_index=False)
+
+    def exact_top(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["value", "event_id"],
+                          ascending=[False, True]).head(n).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return (events.map_batches(local_cap, batch_format="pyarrow")
+            .groupby("user_id")
+            .map_groups(exact_top, batch_format="pandas"))
+
+
+def window_distinct_users(events: rd.Dataset) -> rd.Dataset:
+    """Distinct users per tumbling hour.
+
+    Exact distinct via two shuffles of shrinking size: per-batch
+    (hour, user) dedup combiner → global pair dedup (groupby on both
+    keys) → tiny per-hour count.  The pair shuffle carries only the
+    distinct pairs each batch saw, never raw events.
+    """
+    def pair_dedup(batch: pa.Table) -> pa.Table:
+        b = add_hour_bucket(batch)
+        g = b.select(["hour", "user_id"]).group_by(["hour", "user_id"]) \
+             .aggregate([])
+        return g
+
+    pairs = (events.map_batches(pair_dedup, batch_format="pyarrow")
+             .groupby(["hour", "user_id"]).aggregate(Count(alias_name="_n")))
+    return (pairs.select_columns(["hour"])
+            .groupby("hour").aggregate(Count(alias_name="n_users")))
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def event_type_pivot(events: rd.Dataset) -> rd.Dataset:
+    """Per-day event counts pivoted wide (one ``n_<type>`` column per
+    known event type) — the long→wide rollup a monitoring dashboard
+    reads.  Conditional-count combiner per batch, then one tiny
+    groupby(day) summing the pivot columns; unknown types are ignored
+    by construction.
+    """
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch["ts"], unit="day")
+        cols = {"day": day}
+        for t in EVENT_TYPES:
+            cols[f"n_{t}"] = pc.cast(pc.equal(batch["event_type"], t),
+                                     pa.int64())
+        g = pa.table(cols).group_by("day").aggregate(
+            [(f"n_{t}", "sum") for t in EVENT_TYPES])
+        return pa.table({"day": g["day"],
+                         **{f"n_{t}": g[f"n_{t}_sum"] for t in EVENT_TYPES}})
+
+    return events.map_batches(partial, batch_format="pyarrow") \
+        .groupby("day").aggregate(
+            *[Sum(f"n_{t}", alias_name=f"n_{t}") for t in EVENT_TYPES])
+
+
+def hopping_window_value(events: rd.Dataset, window_hours: int = 2,
+                         hop_hours: int = 1) -> rd.Dataset:
+    """Hopping (sliding) window: total cents + count per 2h window
+    hopping 1h.  Each event belongs to ``window/hop`` windows; the
+    expansion happens INSIDE the per-batch combiner (emit one partial
+    row per (window, ) it saw, not one per event×window), so the
+    shuffle fan-in stays windows-sized.
+    """
+    k = window_hours // hop_hours
+    hop = np.timedelta64(hop_hours, "h")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = add_value_cents(batch)
+        h0 = pc.floor_temporal(b["ts"], unit="hour") \
+               .to_numpy(zero_copy_only=False)
+        cents = b["value_cents"].to_numpy(zero_copy_only=False)
+        ws = np.concatenate([h0 - i * hop for i in range(k)])
+        cs = np.tile(cents, k)
+        g = pa.table({"window_start": pa.array(ws),
+                      "cents": pa.array(cs, pa.int64())}) \
+            .group_by("window_start") \
+            .aggregate([("cents", "sum"), ("cents", "count")])
+        return pa.table({"window_start": g["window_start"],
+                         "cents": g["cents_sum"],
+                         "n": pc.cast(g["cents_count"], pa.int64())})
+
+    return (events.map_batches(partial, batch_format="pyarrow")
+            .groupby("window_start")
+            .aggregate(Sum("cents", alias_name="total_cents"),
+                       Sum("n", alias_name="n_events")))
+
+
 def asof_join(events: rd.Dataset, left_type: str = "click",
               right_type: str = "view") -> rd.Dataset:
     """Per-user as-of join: attach to every ``left_type`` event the

@@ -330,3 +330,68 @@ def test_sessionize(events_ds):
     assert len(u1) == 2
     assert u1[0]["n_events"] == 2 and u1[1]["n_events"] == 1
     assert len([r for r in rows if r["user_id"] == 2]) == 1
+
+
+def test_props_value_agg(ray_session):
+    from pmocr_ray.ops.events import props_value_agg
+    df = pd.DataFrame({
+        "event_type": ["click", "click", "view"],
+        "props": ['{"k": 3}', '{"k": -1}', '{"k": 10}'],
+    })
+    rows = {r["event_type"]: r
+            for r in props_value_agg(rd.from_pandas(df)).take_all()}
+    assert rows["click"]["sum_k"] == 2 and rows["click"]["n"] == 2
+    assert rows["view"]["sum_k"] == 10 and rows["view"]["n"] == 1
+
+
+def test_top_events_per_user_rank_and_ties(events_ds):
+    from pmocr_ray.ops.events import top_events_per_user
+    out = top_events_per_user(events_ds, n=2).to_pandas()
+    u1 = out[out["user_id"] == 1].sort_values("rank")
+    # u1 values: 1.10 (e1), 2.20 (e2), 3.30 (e3) -> top2 = e3, e2
+    assert list(u1["event_id"]) == [3, 2]
+    assert list(u1["rank"]) == [1, 2]
+    assert len(out[out["user_id"] == 2]) == 1  # only one event
+
+
+def test_top_events_per_user_local_cap_subset(ray_session):
+    """The per-batch cap must not change results under repartitioning:
+    a user whose top events straddle many blocks still gets the exact
+    global top-n."""
+    from pmocr_ray.ops.events import top_events_per_user
+    df = pd.DataFrame({
+        "event_id": np.arange(100, dtype=np.int64),
+        "user_id": np.zeros(100, dtype=np.int64),
+        "value": np.arange(100, dtype=np.float64),
+    })
+    out = (top_events_per_user(rd.from_pandas(df).repartition(10), n=3)
+           .to_pandas().sort_values("rank"))
+    assert list(out["event_id"]) == [99, 98, 97]
+
+
+def test_window_distinct_users(events_ds):
+    from pmocr_ray.ops.events import window_distinct_users
+    rows = {str(r["hour"]): r["n_users"]
+            for r in window_distinct_users(events_ds).take_all()}
+    assert rows["2024-01-01 00:00:00"] == 2  # u1 (twice) + u2 -> distinct 2
+    assert rows["2024-01-01 02:00:00"] == 1
+
+
+def test_event_type_pivot(events_ds):
+    from pmocr_ray.ops.events import event_type_pivot
+    out = event_type_pivot(events_ds).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["n_click"] == 3 and r["n_view"] == 0  # "buy" not a known type
+
+
+def test_hopping_window_two_memberships(events_ds):
+    from pmocr_ray.ops.events import hopping_window_value
+    rows = {str(r["window_start"]): r
+            for r in hopping_window_value(events_ds).take_all()}
+    # hour-0 events (cents 110+220+440) land in windows 23:00 and 00:00
+    assert rows["2024-01-01 00:00:00"]["total_cents"] == 770
+    assert rows["2023-12-31 23:00:00"]["total_cents"] == 770
+    # hour-2 event joins hour-1 window (01:00 covers [01:00, 03:00))
+    assert rows["2024-01-01 01:00:00"]["total_cents"] == 330
+    assert rows["2024-01-01 02:00:00"]["n_events"] == 1
