@@ -385,6 +385,53 @@ def _q_hopping_window(sf_dir: str):
     )
 
 
+def _q_customers_no_f_orders(sf_dir: str):
+    import ray.data as rd
+
+    from pmocr_ray.ops.joins import hash_anti_join
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name"],
+    )
+    # right side pruned AT THE READ: only the join key column of the
+    # 'F' rows ever leaves storage
+    f_orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderstatus"],
+    ).filter(expr="o_orderstatus == 'F'")
+    return hash_anti_join(cust, f_orders, on="c_custkey",
+                          right_on="o_custkey", num_partitions=8)
+
+
+def _q_lang_len_quantiles(sf_dir: str):
+    import ray.data as rd
+
+    from pmocr_ray.ops.text import grouped_length_quantiles
+
+    return grouped_length_quantiles(
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["lang", "n_chars"]))
+
+
+def _q_label_centroids(sf_dir: str):
+    import ray.data as rd
+
+    from pmocr_ray.ops.knn import label_centroid_fixedpoint
+
+    return label_centroid_fixedpoint(
+        rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet")))
+
+
+def _q_orders_running_total(sf_dir: str):
+    import ray.data as rd
+
+    from pmocr_ray.ops.events import orders_running_total
+
+    return orders_running_total(
+        rd.read_parquet(os.path.join(sf_dir, "orders.parquet")))
+
+
 def _q_lineitem_agg(sf_dir: str):
     import pyarrow as pa
 
@@ -876,6 +923,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_distinct_users": _q_window_distinct_users,
         "event_pivot": _q_event_pivot,
         "hopping_window": _q_hopping_window,
+        "customers_no_f_orders": _q_customers_no_f_orders,
+        "lang_len_quantiles": _q_lang_len_quantiles,
+        "label_centroids": _q_label_centroids,
+        "orders_running_total": _q_orders_running_total,
         # curation / export ops
         "redact_pii": _q_redact_pii,
         "repetition_stats": _q_repetition_stats,
@@ -1327,6 +1378,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(c) AS BIGINT) AS total_cents,
                    count(*) AS n_events
             FROM w GROUP BY window_start""",
+        "customers_no_f_orders": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')""",
+        "lang_len_quantiles": """
+            SELECT lang, 0.5::DOUBLE AS q,
+                   CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS value
+            FROM documents GROUP BY lang
+            UNION ALL
+            SELECT lang, 0.9::DOUBLE,
+                   CAST(quantile_disc(n_chars, 0.9) AS BIGINT)
+            FROM documents GROUP BY lang
+            UNION ALL
+            SELECT lang, 0.99::DOUBLE,
+                   CAST(quantile_disc(n_chars, 0.99) AS BIGINT)
+            FROM documents GROUP BY lang""",
+        "label_centroids": """
+            SELECT label, dim,
+                   CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT))
+                          AS BIGINT) AS sum_fp,
+                   count(*) AS n
+            FROM (SELECT label,
+                         generate_subscripts(embedding, 1) AS dim,
+                         unnest(embedding) AS v
+                  FROM embeddings)
+            GROUP BY label, dim""",
+        "orders_running_total": """
+            SELECT o_orderkey, o_custkey, o_orderdate,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                          OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                     AS cum_cents
+            FROM orders""",
         "orders_by_segment": """
             SELECT c.c_mktsegment,
                    count(*) AS n_orders,

@@ -247,3 +247,28 @@ def asof_join(events: rd.Dataset, left_type: str = "click",
         return out
 
     return events.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+def orders_running_total(orders: rd.Dataset) -> rd.Dataset:
+    """Per-customer cumulative order value (exact cents), ordered by
+    ``(o_orderdate, o_orderkey)`` — the running-spend ledger.
+
+    Per-key ordered scan in ``map_groups`` with a vectorized cumsum
+    over exact integer cents (distribution-order-proof, like all
+    monetary aggregates here).  Partitioning assumption: one
+    customer's orders fit in a worker (same as :func:`sessionize`).
+    """
+    def per_customer(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_orderdate", "o_orderkey"])
+        cents = np.rint(g["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        return pd.DataFrame({
+            "o_orderkey": g["o_orderkey"].to_numpy(),
+            "o_custkey": g["o_custkey"].to_numpy(),
+            "o_orderdate": g["o_orderdate"].to_numpy(),
+            "cum_cents": np.cumsum(cents),
+        })
+
+    return (orders.select_columns(
+                ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+            .groupby("o_custkey")
+            .map_groups(per_customer, batch_format="pandas"))

@@ -60,3 +60,32 @@ def broadcast_lookup(ds: rd.Dataset, key: str, mapping: dict,
         return t.append_column(out_column, pa.array(vals))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def hash_anti_join(left: rd.Dataset, right: rd.Dataset, on: str,
+                   right_on: str | None = None,
+                   num_partitions: int = 16) -> rd.Dataset:
+    """Distributed anti join for two LARGE sides (neither fits a
+    broadcast): hash-partitioned ``left_outer`` join against the
+    right side's per-key rollup, keep rows with no match.
+
+    The right side is pre-aggregated to one row per key *before* the
+    join, so the exchange moves distinct keys (plus a marker), never
+    the right table's payload — the same shrink-before-shuffle
+    discipline as the aggregate-before-join star queries.
+    """
+    from ray.data.aggregate import Count
+
+    r_on = right_on or on
+    marker = (right.select_columns([r_on])
+              .groupby(r_on).aggregate(Count(alias_name="__m")))
+    joined = left.join(marker, join_type="left_outer",
+                       num_partitions=num_partitions,
+                       on=(on,), right_on=(r_on,))
+    def keep_unmatched(t: pa.Table) -> pa.Table:
+        out = t.filter(pc.is_null(t["__m"]))
+        drop = [c for c in ("__m", r_on if r_on != on else None)
+                if c in out.column_names]
+        return out.drop_columns(drop)
+
+    return joined.map_batches(keep_unmatched, batch_format="pyarrow")

@@ -257,3 +257,41 @@ def knn_cosine_ivf(
     )
     return knn_cosine(cand, queries, k, key=key, column=column,
                       concurrency=concurrency)
+
+
+def label_centroid_fixedpoint(ds: rd.Dataset, key: str = "label",
+                              column: str = "embedding",
+                              scale: float = 1e6) -> rd.Dataset:
+    """Per-label centroid accumulator in FIXED POINT: per (label, dim),
+    ``sum(floor(v * scale))`` as int64 plus the member count.
+
+    Distributed float sums are reduction-order-dependent, so an
+    oracle-checkable centroid aggregates exact integers instead (floor,
+    not round: no tie policy to match).  The per-batch combiner does
+    one numpy scatter-add per label and emits labels × dims partial
+    rows — shuffle fan-in is the centroid table itself, never vectors.
+    The mean is ``sum_fp / n / scale`` downstream, deterministic.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        labels = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = np.asarray(batch[column].to_pylist(), dtype=np.float64)
+        fp = np.floor(mat * scale).astype(np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), fp.shape[1]), np.int64)
+        np.add.at(sums, inv, fp)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        n_dim = fp.shape[1]
+        return pa.table({
+            key: pa.array(np.repeat(uniq, n_dim), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(1, n_dim + 1), len(uniq)),
+                            pa.int64()),
+            "sum_fp": pa.array(sums.ravel(), pa.int64()),
+            "n": pa.array(np.repeat(counts, n_dim), pa.int64()),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby([key, "dim"])
+            .aggregate(Sum("sum_fp", alias_name="sum_fp"),
+                       Sum("n", alias_name="n")))

@@ -485,3 +485,51 @@ def rolling_fingerprint(batch: pa.Table, column: str = "text",
                 best = h if best is None or h < best else best
         out.append(best)
     return batch.append_column(out_column, pa.array(out, pa.uint64()))
+
+
+def grouped_length_quantiles(ds, group_col: str = "lang",
+                             column: str = "n_chars",
+                             qs: tuple[float, ...] = (0.5, 0.9, 0.99)):
+    """EXACT per-group quantiles (the per-language length audit).
+
+    Same shape as :func:`length_quantiles` with the group key carried
+    through: per-batch (group, value) counts → one tiny
+    ``groupby(group, value)`` shuffle → per-group CDF walk.  The rollup
+    is bounded by groups × distinct values — collecting it is safe at
+    any corpus size (it does NOT grow with rows).
+
+    Quantile rule matches DuckDB ``quantile_disc`` (value at 1-based
+    rank ``ceil(q*n)``).  Returns an Arrow table (group, q, value).
+    """
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.select([group_col, column]) \
+            .group_by([group_col, column]).aggregate([([], "count_all")])
+        return pa.table({group_col: g[group_col], "value": g[column],
+                         "n": g["count_all"]})
+
+    rollup = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby([group_col, "value"])
+                .aggregate(Sum("n", alias_name="n"))
+                .sort([group_col, "value"]).take_all())
+    out_g, out_q, out_v = [], [], []
+    i = 0
+    while i < len(rollup):
+        j = i
+        while j < len(rollup) and rollup[j][group_col] == rollup[i][group_col]:
+            j += 1
+        values = np.array([r["value"] for r in rollup[i:j]], np.int64)
+        cum = np.cumsum(np.array([r["n"] for r in rollup[i:j]], np.int64))
+        total = int(cum[-1])
+        for q in qs:
+            rank = max(math.ceil(q * total), 1)
+            out_g.append(rollup[i][group_col])
+            out_q.append(q)
+            out_v.append(int(values[np.searchsorted(cum, rank)]))
+        i = j
+    return pa.table({group_col: pa.array(out_g, pa.string()),
+                     "q": pa.array(out_q, pa.float64()),
+                     "value": pa.array(out_v, pa.int64())})

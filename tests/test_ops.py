@@ -395,3 +395,57 @@ def test_hopping_window_two_memberships(events_ds):
     # hour-2 event joins hour-1 window (01:00 covers [01:00, 03:00))
     assert rows["2024-01-01 01:00:00"]["total_cents"] == 330
     assert rows["2024-01-01 02:00:00"]["n_events"] == 1
+
+
+def test_hash_anti_join_unmatched_only(ray_session):
+    from pmocr_ray.ops.joins import hash_anti_join
+    left = rd.from_pandas(pd.DataFrame(
+        {"k": [1, 2, 3, 4], "name": ["a", "b", "c", "d"]}))
+    right = rd.from_pandas(pd.DataFrame({"rk": [2, 2, 4]}))
+    out = hash_anti_join(left, right, on="k", right_on="rk",
+                         num_partitions=2).to_pandas()
+    assert sorted(out["k"]) == [1, 3]
+    assert sorted(out.columns) == ["k", "name"]
+
+
+def test_grouped_length_quantiles(ray_session):
+    from pmocr_ray.ops.text import grouped_length_quantiles
+    df = pd.DataFrame({"lang": ["en"] * 10 + ["de"] * 4,
+                       "n_chars": list(range(1, 11)) + [5, 5, 7, 100]})
+    t = grouped_length_quantiles(rd.from_pandas(df).repartition(3),
+                                 qs=(0.5, 0.9)).to_pandas()
+    get = lambda g, q: int(t[(t["lang"] == g) & (t["q"] == q)]["value"].iloc[0])
+    # quantile_disc rule: value at 1-based rank ceil(q*n)
+    assert get("en", 0.5) == 5 and get("en", 0.9) == 9
+    assert get("de", 0.5) == 5 and get("de", 0.9) == 100
+
+
+def test_label_centroid_fixedpoint_exact(ray_session):
+    from pmocr_ray.ops.knn import label_centroid_fixedpoint
+    df = pd.DataFrame({
+        "label": pd.array([0, 0, 1], dtype="int64"),
+        "embedding": [[0.25, -0.5], [0.75, 0.5], [1.0, 2.0]],
+    })
+    out = label_centroid_fixedpoint(rd.from_pandas(df).repartition(3),
+                                    scale=100.0).to_pandas()
+    r = {(int(x["label"]), int(x["dim"])): x for _, x in out.iterrows()}
+    assert r[(0, 1)]["sum_fp"] == 25 + 75 and r[(0, 1)]["n"] == 2
+    assert r[(0, 2)]["sum_fp"] == -50 + 50
+    assert r[(1, 2)]["sum_fp"] == 200 and r[(1, 2)]["n"] == 1
+
+
+def test_orders_running_total_cumsum(ray_session):
+    from pmocr_ray.ops.events import orders_running_total
+    df = pd.DataFrame({
+        "o_orderkey": [1, 2, 3, 9],
+        "o_custkey": [7, 7, 7, 8],
+        "o_orderdate": pd.to_datetime(
+            ["2024-01-02", "2024-01-01", "2024-01-02", "2024-03-01"]),
+        "o_totalprice": [10.00, 5.50, 1.25, 2.00],
+    })
+    out = orders_running_total(rd.from_pandas(df)).to_pandas()
+    c7 = out[out["o_custkey"] == 7].sort_values("cum_cents")
+    # date order: key2 (550), then key1 (10.00 -> 1550), then key3 (1675)
+    assert list(c7["o_orderkey"]) == [2, 1, 3]
+    assert list(c7["cum_cents"]) == [550, 1550, 1675]
+    assert list(out[out["o_custkey"] == 8]["cum_cents"]) == [200]
