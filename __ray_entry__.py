@@ -432,6 +432,36 @@ def _q_orders_running_total(sf_dir: str):
         rd.read_parquet(os.path.join(sf_dir, "orders.parquet")))
 
 
+def _q_pack_sequences(sf_dir: str):
+    import ray.data as rd
+
+    from pmocr_ray.ops.pack import pack_sequences
+
+    return pack_sequences(
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"]),
+        block_tokens=512)
+
+
+def _q_shuffle_rank(sf_dir: str):
+    import ray.data as rd
+
+    from pmocr_ray.ops.pack import hash_shuffle_rank
+
+    return hash_shuffle_rank(
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"]))
+
+
+def _q_events_value_stats(sf_dir: str):
+    import ray.data as rd
+
+    from pmocr_ray.ops.events import events_value_stats
+
+    return events_value_stats(
+        rd.read_parquet(os.path.join(sf_dir, "events.parquet")))
+
+
 def _q_lineitem_agg(sf_dir: str):
     import pyarrow as pa
 
@@ -927,6 +957,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_len_quantiles": _q_lang_len_quantiles,
         "label_centroids": _q_label_centroids,
         "orders_running_total": _q_orders_running_total,
+        "pack_sequences": _q_pack_sequences,
+        "shuffle_rank": _q_shuffle_rank,
+        "events_value_stats": _q_events_value_stats,
         # curation / export ops
         "redact_pii": _q_redact_pii,
         "repetition_stats": _q_repetition_stats,
@@ -1413,6 +1446,40 @@ def oracle_sql() -> dict[str, str]:
                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
                      AS cum_cents
             FROM orders""",
+        "pack_sequences": r"""
+            WITH c AS (
+              SELECT doc_id,
+                     CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT)
+                       AS n_tokens
+              FROM documents),
+            s AS (
+              SELECT doc_id, n_tokens,
+                     CAST(coalesce(sum(n_tokens) OVER (
+                            ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS BIGINT)
+                       AS tok_start
+              FROM c)
+            SELECT doc_id, n_tokens, tok_start,
+                   tok_start // 512 AS block_start,
+                   CASE WHEN n_tokens > 0
+                        THEN (tok_start + n_tokens - 1) // 512
+                        ELSE tok_start // 512 END AS block_end
+            FROM s""",
+        "shuffle_rank": """
+            SELECT doc_id, md5(text) AS h,
+                   row_number() OVER (ORDER BY md5(text), doc_id) AS rank
+            FROM documents""",
+        "events_value_stats": """
+            WITH c AS (
+              SELECT event_type,
+                     CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events)
+            SELECT event_type,
+                   CAST(sum(cents) AS BIGINT) AS sum_cents,
+                   CAST(sum(cents * cents) AS BIGINT) AS sum_sq_cents,
+                   count(*) AS n
+            FROM c GROUP BY event_type""",
         "orders_by_segment": """
             SELECT c.c_mktsegment,
                    count(*) AS n_orders,

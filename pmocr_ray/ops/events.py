@@ -272,3 +272,29 @@ def orders_running_total(orders: rd.Dataset) -> rd.Dataset:
                 ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
             .groupby("o_custkey")
             .map_groups(per_customer, batch_format="pandas"))
+
+
+def events_value_stats(events: rd.Dataset) -> rd.Dataset:
+    """Exact variance components per event type: n, sum of cents and
+    sum of squared cents as int64 — bit-deterministic under any
+    reduction order (the float variance is derivable downstream:
+    ``(sum_sq - sum²/n) / n``).  Combiner per batch, tiny groupby.
+    """
+    def partial(batch: pa.Table) -> pa.Table:
+        b = add_value_cents(batch)
+        c = b["value_cents"].to_numpy(zero_copy_only=False)
+        sq = pa.array(c * c, pa.int64())
+        t = pa.table({"event_type": b["event_type"],
+                      "cents": b["value_cents"], "sq": sq})
+        g = t.group_by("event_type").aggregate(
+            [("cents", "sum"), ("sq", "sum"), ([], "count_all")])
+        return pa.table({"event_type": g["event_type"],
+                         "sum_cents": g["cents_sum"],
+                         "sum_sq_cents": g["sq_sum"],
+                         "n": g["count_all"]})
+
+    return (events.map_batches(partial, batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(Sum("sum_cents", alias_name="sum_cents"),
+                       Sum("sum_sq_cents", alias_name="sum_sq_cents"),
+                       Sum("n", alias_name="n")))

@@ -1,0 +1,138 @@
+"""GPT-style sequence packing: concat-then-chunk over a document corpus.
+
+The LM-training data layout: all documents' tokens are concatenated in
+one deterministic global order and cut into fixed-size blocks; each
+document is assigned the [start_block, end_block] span its tokens fall
+into (documents straddle block boundaries by design — no padding).
+
+The scale problem is the GLOBAL ORDERED PREFIX SUM of token counts.
+Shape here is the classic two-pass distributed scan:
+
+1. partition the key space into contiguous ranges (``part = doc_id //
+   part_size`` — order-preserving by construction, no shuffle of rows);
+2. one tiny groupby computes per-part token totals; the driver turns
+   the ≤ n_parts totals into exclusive prefix offsets and broadcasts
+   them (``ray.put``) — the only driver-side state is one int per part;
+3. a per-part ``map_groups`` sorts its own rows by key, takes a local
+   cumsum, adds the part's offset, and emits block spans — vectorized,
+   O(part) memory, embarrassingly parallel across parts.
+
+No stage ever materializes the corpus; the all-to-all is limited to the
+(part, rows) co-location groupby that any per-part op needs.
+
+Reference parity: the reference has no packing (it converts files 1:1,
+/root/reference/pmocr.sh:2546-2593); this is one of the
+beyond-the-reference training-data operators.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+
+def pack_sequences(docs: rd.Dataset, block_tokens: int,
+                   key: str = "doc_id", column: str = "text",
+                   part_size: int = 1000) -> rd.Dataset:
+    """Assign each doc its token span and block span under
+    concat-then-chunk packing in ascending ``key`` order.
+
+    Returns (key, n_tokens, tok_start, block_start, block_end) where
+    ``tok_start`` is the exclusive prefix sum of whitespace-token
+    counts, ``block_start = tok_start // block_tokens`` and
+    ``block_end = (tok_start + n_tokens - 1) // block_tokens`` (empty
+    docs get ``block_end = block_start - 1``... they carry no tokens;
+    we emit ``block_end = block_start`` and ``n_tokens = 0`` instead so
+    the span stays well-formed).
+    """
+    def count_tokens(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(batch[column], r"\S+").cast(pa.int64())
+        part = pc.divide(batch[key], part_size).cast(pa.int64())
+        return pa.table({key: batch[key], "part": part, "n_tokens": n})
+
+    counted = docs.map_batches(count_tokens, batch_format="pyarrow")
+
+    # pass 1: per-part totals -> exclusive prefix offsets (≤ n_parts ints)
+    totals = (counted.select_columns(["part", "n_tokens"])
+              .groupby("part").aggregate(Sum("n_tokens", alias_name="t"))
+              .take_all())
+    totals.sort(key=lambda r: r["part"])
+    offsets, acc = {}, 0
+    for r in totals:
+        offsets[r["part"]] = acc
+        acc += r["t"]
+    offsets_ref = ray.put(offsets)
+
+    # pass 2: local ordered cumsum + broadcast offset, per part
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(offsets_ref)[int(g["part"].iloc[0])]
+        g = g.sort_values(key)
+        n = g["n_tokens"].to_numpy()
+        start = off + np.cumsum(n) - n
+        block_start = start // block_tokens
+        block_end = np.where(n > 0, (start + np.maximum(n, 1) - 1)
+                             // block_tokens, block_start)
+        return pd.DataFrame({
+            key: g[key].to_numpy(),
+            "n_tokens": n,
+            "tok_start": start,
+            "block_start": block_start,
+            "block_end": block_end,
+        })
+
+    return (counted.groupby("part")
+            .map_groups(per_part, batch_format="pandas"))
+
+
+def hash_shuffle_rank(docs: rd.Dataset, key: str = "doc_id",
+                      column: str = "text") -> rd.Dataset:
+    """Deterministic pseudo-shuffle with an explicit GLOBAL rank:
+    documents ordered by ``(md5(text), key)`` — the reproducible,
+    seed-free order randomization used for training-data interleaving
+    (sorting by a cryptographic hash decorrelates neighbors exactly
+    like a seeded shuffle, but is partition-invariant and resumable).
+
+    The global rank reuses the two-pass distributed scan from
+    :func:`pack_sequences` on a different partitioning: the hash's
+    first byte gives 256 CONTIGUOUS ranges of the sort order, so
+    per-part counts → broadcast exclusive offsets → per-part local
+    sort + arange.  No stage holds more than one part.
+    """
+    import hashlib as _hl
+
+    def with_hash(batch: pa.Table) -> pa.Table:
+        hs = pa.array(
+            [_hl.md5((t or "").encode("utf-8")).hexdigest()
+             for t in batch[column].to_pylist()], pa.string())
+        part = pc.cast(pa.array(
+            [int(h[:2], 16) for h in hs.to_pylist()], pa.int64()), pa.int64())
+        return pa.table({key: batch[key], "h": hs, "part": part})
+
+    hashed = docs.map_batches(with_hash, batch_format="pyarrow")
+
+    from ray.data.aggregate import Count
+    totals = (hashed.select_columns(["part"])
+              .groupby("part").aggregate(Count(alias_name="n")).take_all())
+    totals.sort(key=lambda r: r["part"])
+    offsets, acc = {}, 0
+    for r in totals:
+        offsets[r["part"]] = acc
+        acc += r["n"]
+    offsets_ref = ray.put(offsets)
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(offsets_ref)[int(g["part"].iloc[0])]
+        g = g.sort_values(["h", key])
+        return pd.DataFrame({
+            key: g[key].to_numpy(),
+            "h": g["h"].to_numpy(),
+            "rank": off + np.arange(1, len(g) + 1, dtype=np.int64),
+        })
+
+    return hashed.groupby("part").map_groups(per_part, batch_format="pandas")

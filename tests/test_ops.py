@@ -449,3 +449,13 @@ def test_orders_running_total_cumsum(ray_session):
     assert list(c7["o_orderkey"]) == [2, 1, 3]
     assert list(c7["cum_cents"]) == [550, 1550, 1675]
     assert list(out[out["o_custkey"] == 8]["cum_cents"]) == [200]
+
+
+def test_events_value_stats_exact(events_ds):
+    from pmocr_ray.ops.events import events_value_stats
+    rows = {r["event_type"]: r
+            for r in events_value_stats(events_ds).take_all()}
+    # clicks: cents 110, 220, 440
+    assert rows["click"]["sum_cents"] == 770
+    assert rows["click"]["sum_sq_cents"] == 110**2 + 220**2 + 440**2
+    assert rows["click"]["n"] == 3

@@ -1,0 +1,48 @@
+"""Sequence packing / distributed prefix-sum tests."""
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+from pmocr_ray.ops.pack import hash_shuffle_rank, pack_sequences
+
+
+def test_pack_sequences_concat_then_chunk(ray_session):
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["a b c", "", "d e f g h", "i j"],  # tokens: 3,0,5,2
+    })
+    out = (pack_sequences(rd.from_pandas(df), block_tokens=4, part_size=2)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert list(out["n_tokens"]) == [3, 0, 5, 2]
+    assert list(out["tok_start"]) == [0, 3, 3, 8]
+    assert list(out["block_start"]) == [0, 0, 0, 2]
+    # doc2 spans tokens [3, 8) -> blocks 0..1; doc3 tokens [8, 10) -> block 2
+    assert list(out["block_end"]) == [0, 0, 1, 2]
+
+
+def test_pack_sequences_partition_invariant(ray_session):
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({
+        "doc_id": np.arange(200),
+        "text": [" ".join(["w"] * int(n)) for n in rng.integers(0, 30, 200)],
+    })
+    a = (pack_sequences(rd.from_pandas(df), block_tokens=64, part_size=10)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (pack_sequences(rd.from_pandas(df).repartition(13), block_tokens=64,
+                        part_size=37)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    # global invariant: consecutive tok_starts differ by n_tokens
+    assert (a["tok_start"].diff().dropna().to_numpy()
+            == a["n_tokens"].to_numpy()[:-1]).all()
+
+
+def test_hash_shuffle_rank_is_total_order(ray_session):
+    df = pd.DataFrame({"doc_id": np.arange(50),
+                       "text": [f"doc number {i}" for i in range(50)]})
+    out = hash_shuffle_rank(rd.from_pandas(df).repartition(7)).to_pandas()
+    assert sorted(out["rank"]) == list(range(1, 51))  # dense global rank
+    ordered = out.sort_values("rank")
+    hs = list(ordered["h"])
+    assert hs == sorted(hs)  # rank order IS hash order
