@@ -462,6 +462,17 @@ def _q_events_value_stats(sf_dir: str):
         rd.read_parquet(os.path.join(sf_dir, "events.parquet")))
 
 
+def _q_tfidf(sf_dir: str):
+    import ray.data as rd
+
+    from pmocr_ray.ops.text import tfidf_terms
+
+    return tfidf_terms(
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"]),
+        vocab_k=50)
+
+
 def _q_lineitem_agg(sf_dir: str):
     import pyarrow as pa
 
@@ -960,6 +971,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _q_pack_sequences,
         "shuffle_rank": _q_shuffle_rank,
         "events_value_stats": _q_events_value_stats,
+        "tfidf": _q_tfidf,
         # curation / export ops
         "redact_pii": _q_redact_pii,
         "repetition_stats": _q_repetition_stats,
@@ -1480,6 +1492,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(cents * cents) AS BIGINT) AS sum_sq_cents,
                    count(*) AS n
             FROM c GROUP BY event_type""",
+        "tfidf": r"""
+            WITH terms AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(text, '\S+')) AS term
+              FROM documents),
+            df AS (
+              SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+              FROM terms GROUP BY term),
+            vocab AS (
+              SELECT term, df FROM df
+              ORDER BY df DESC, term ASC LIMIT 50),
+            tf AS (
+              SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+              FROM terms GROUP BY doc_id, term)
+            SELECT t.doc_id, t.term, t.tf, v.df
+            FROM tf t JOIN vocab v USING (term)""",
         "orders_by_segment": """
             SELECT c.c_mktsegment,
                    count(*) AS n_orders,

@@ -142,6 +142,13 @@ def run_bench() -> dict:
         text_stats, batch_format="pyarrow").count()
     queries["text_stats"] = round(time.perf_counter() - t0, 3)
 
+    from pmocr_ray.ops.pack import pack_sequences
+
+    t0 = time.perf_counter()
+    pack_sequences(rd.read_parquet(docs_path, columns=["doc_id", "text"]),
+                   block_tokens=2048).count()
+    queries["pack_sequences"] = round(time.perf_counter() - t0, 3)
+
     result = {
         "metric": "headline extraction wall-clock (read→sniff→extract→write) + op benches",
         "value": round(headline, 3),

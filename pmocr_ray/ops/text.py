@@ -14,6 +14,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import ray
+
 # ------------------------------------------------------------ token stats
 
 _WS_RE = r"\s+"
@@ -533,3 +535,40 @@ def grouped_length_quantiles(ds, group_col: str = "lang",
     return pa.table({group_col: pa.array(out_g, pa.string()),
                      "q": pa.array(out_q, pa.float64()),
                      "value": pa.array(out_v, pa.int64())})
+
+
+def tfidf_terms(ds, key: str = "doc_id", column: str = "text",
+                vocab_k: int = 1000):
+    """Per-(doc, term) TF with the term's global DF attached, restricted
+    to the top-``vocab_k`` vocabulary by document frequency — the sparse
+    TF-IDF feature matrix in COO layout (the score ``tf·ln(N/df)`` is a
+    deterministic per-row expression downstream; the integers here are
+    the distributed part).
+
+    Scale shape: the vocabulary is the :func:`doc_frequency` rollup
+    (combiner + tiny shuffle) cut to k rows by a distributed
+    ``sort().limit(k)`` — only vocab_k (term, df) pairs reach the
+    driver and are broadcast (``ray.put``), never the corpus.  The TF
+    pass is map-only: tokenize → ``is_in`` vocab filter → one local
+    (doc, term) count per batch.  No second shuffle: each doc's rows
+    live in one batch, so per-batch counts ARE final.
+    """
+    vocab_rows = doc_frequency(ds, column=column, k=vocab_k).take_all()
+    vocab = {r["term"]: r["df"] for r in vocab_rows}
+    ref = ray.put((pa.array(sorted(vocab)), vocab))
+
+    def tf_pass(batch: pa.Table) -> pa.Table:
+        vocab_arr, df_map = ray.get(ref)
+        toks = pc.split_pattern_regex(batch[column], r"\s+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        keep = pc.is_in(flat, value_set=vocab_arr)
+        ids = batch[key].take(parent.filter(keep))
+        pairs = pa.table({key: ids, "term": flat.filter(keep)})
+        g = pairs.group_by([key, "term"]).aggregate([([], "count_all")])
+        dfs = pa.array([df_map[t] for t in g["term"].to_pylist()], pa.int64())
+        return pa.table({key: g[key], "term": g["term"],
+                         "tf": pc.cast(g["count_all"], pa.int64()),
+                         "df": dfs})
+
+    return ds.map_batches(tf_pass, batch_format="pyarrow")

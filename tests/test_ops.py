@@ -459,3 +459,18 @@ def test_events_value_stats_exact(events_ds):
     assert rows["click"]["sum_cents"] == 770
     assert rows["click"]["sum_sq_cents"] == 110**2 + 220**2 + 440**2
     assert rows["click"]["n"] == 3
+
+
+def test_tfidf_terms_vocab_and_counts(ray_session):
+    from pmocr_ray.ops.text import tfidf_terms
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a a b c", "a b b", "c"],
+    })
+    # DF: a=2, b=2, c=2 -> vocab_k=2 with (df desc, term asc) ties -> {a, b}
+    out = tfidf_terms(rd.from_pandas(df).repartition(3), vocab_k=2).to_pandas()
+    assert set(out["term"]) == {"a", "b"}
+    r = {(int(x["doc_id"]), x["term"]): x for _, x in out.iterrows()}
+    assert r[(1, "a")]["tf"] == 2 and r[(1, "a")]["df"] == 2
+    assert r[(2, "b")]["tf"] == 2
+    assert (3, "c") not in r and (3, "a") not in r
