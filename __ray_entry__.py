@@ -404,6 +404,24 @@ def _q_customers_no_f_orders(sf_dir: str):
                           right_on="o_custkey", num_partitions=8)
 
 
+def _q_customers_no_f_orders_bloom(sf_dir: str):
+    import ray.data as rd
+
+    from pmocr_ray.ops.joins import bloom_anti_join
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name"],
+    )
+    f_orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderstatus"],
+    ).filter(expr="o_orderstatus == 'F'")
+    return bloom_anti_join(cust, f_orders, on="c_custkey",
+                           right_on="o_custkey", n_bits=1 << 20,
+                           num_partitions=8)
+
+
 def _q_lang_len_quantiles(sf_dir: str):
     import ray.data as rd
 
@@ -965,6 +983,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_pivot": _q_event_pivot,
         "hopping_window": _q_hopping_window,
         "customers_no_f_orders": _q_customers_no_f_orders,
+        "customers_no_f_orders_bloom": _q_customers_no_f_orders_bloom,
         "lang_len_quantiles": _q_lang_len_quantiles,
         "label_centroids": _q_label_centroids,
         "orders_running_total": _q_orders_running_total,
@@ -1424,6 +1443,11 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events
             FROM w GROUP BY window_start""",
         "customers_no_f_orders": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')""",
+        "customers_no_f_orders_bloom": """
             SELECT c_custkey, c_name FROM customer c
             WHERE NOT EXISTS (
               SELECT 1 FROM orders o

@@ -156,7 +156,10 @@ class MinHashStage:
                 continue
             for band in range(self.n_bands):
                 chunk = sig[band * rpb : (band + 1) * rpb]
-                bucket = _hash64(chunk.tobytes())
+                # int64 view of the u64 hash: same bucketing bits, but
+                # pandas round-trips (hot-bucket map_groups) keep the
+                # Arrow dtype instead of falling back to pickled objects
+                bucket = _hash64(chunk.tobytes()) - (1 << 63)
                 keys_out.append(k)
                 bands_out.append(band)
                 buckets_out.append(bucket)
@@ -164,7 +167,7 @@ class MinHashStage:
             {
                 "doc_id": pa.array(keys_out, pa.int64()),
                 "band": pa.array(bands_out, pa.int32()),
-                "bucket": pa.array(buckets_out, pa.uint64()),
+                "bucket": pa.array(buckets_out, pa.int64()),
             }
         )
 
@@ -229,10 +232,14 @@ def lsh_candidate_pairs(band_rows: rd.Dataset, max_bucket: int = 64,
     else:
         band_rows = band_rows.materialize()
     # An all-empty hash partition reaches acero as a zero-column table
-    # and fails FieldRef resolution — keep partitions comfortably
-    # populated relative to the row count.
+    # and fails FieldRef resolution — and each join partition costs a
+    # HashShuffleAggregator actor (~0.3s spin-up each, measured 10.7s →
+    # 15.7s at 160k rows going 4 → 16 partitions), so partitions scale
+    # WITH the data: one per ~40k band rows up to the caller's cap
+    # (callers at cluster scale raise ``num_partitions``; the fixed
+    # per-partition cost amortizes there).
     n_rows = band_rows.count()
-    num_partitions = max(1, min(num_partitions, n_rows // 2048 + 1))
+    num_partitions = max(1, min(num_partitions, n_rows // 40_000 + 1))
     counts = band_rows.groupby(["band", "bucket"]).count()
     hot = counts.map_batches(
         lambda t: t.filter(pa.compute.greater(t["count()"], max_bucket)),
@@ -349,6 +356,33 @@ def attach_pair_sides(
     from pmocr_ray.ops.joins import broadcast_semi_join
 
     side = broadcast_semi_join(side, key, pa.array(sorted(pair_ids)))
+
+    # Size-gated hybrid: the semi-join already bounds the side table by
+    # the CANDIDATE set (2×|pairs| rows max — the same ≪-corpus bound
+    # the union-find step relies on), so below a threshold the two hash
+    # joins (two JoinOperator actor pools + exchanges — seconds of fixed
+    # cost) lose to collecting that bounded subset once and attaching
+    # via a broadcast dict.  The corpus itself is still never collected:
+    # what reaches the driver is only rows that appear in some pair.
+    if len(pair_ids) <= 100_000:
+        lookup: dict = {}
+        for blk in side.iter_batches(batch_format="pyarrow"):
+            lookup.update(zip(blk[key].to_pylist(), blk[column].to_pylist()))
+        lookup_ref = ray.put(lookup)
+
+        def attach(t: pa.Table) -> pa.Table:
+            m = ray.get(lookup_ref)
+            return pa.table({
+                "a": t["a"], "b": t["b"],
+                f"{column}_a": pa.array(
+                    [m.get(x) for x in t["a"].to_pylist()]),
+                f"{column}_b": pa.array(
+                    [m.get(x) for x in t["b"].to_pylist()]),
+            })
+
+        return candidates.select_columns(["a", "b"]).map_batches(
+            attach, batch_format="pyarrow")
+
     # keep hash partitions comfortably populated (acero rejects
     # all-empty zero-column partitions)
     parts = max(1, min(num_partitions, n_cand // 2048 + 1))

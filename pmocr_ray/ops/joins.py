@@ -89,3 +89,93 @@ def hash_anti_join(left: rd.Dataset, right: rd.Dataset, on: str,
         return out.drop_columns(drop)
 
     return joined.map_batches(keep_unmatched, batch_format="pyarrow")
+
+
+# ------------------------------------------------------ bloom anti join
+
+def _bloom_indices(keys: list, n_bits: int, k_hashes: int):
+    """k bit positions per key by double hashing over the md5 digest
+    (h1 + i*h2 mod n_bits) — deterministic across processes."""
+    import hashlib
+
+    import numpy as np
+
+    h1 = np.empty(len(keys), np.uint64)
+    h2 = np.empty(len(keys), np.uint64)
+    for i, k in enumerate(keys):
+        d = hashlib.md5(str(k).encode("utf-8")).digest()
+        h1[i] = int.from_bytes(d[:8], "little")
+        h2[i] = int.from_bytes(d[8:], "little") | 1  # odd -> full cycle
+    steps = np.arange(k_hashes, dtype=np.uint64)
+    # (n, k) positions; n_bits is a power of two so & is the mod
+    return (h1[:, None] + steps[None, :] * h2[:, None]) & np.uint64(n_bits - 1)
+
+
+def build_bloom(ds: rd.Dataset, key: str, n_bits: int = 1 << 23,
+                k_hashes: int = 7):
+    """Distributed Bloom filter over a key column: each block sets its
+    bits locally (one ``accumulate_block`` per block), partial bitmaps
+    tree-merge with ``bitwise_or`` — the driver receives ONE
+    ``n_bits/8``-byte array regardless of row count.  This is the
+    scale path past a broadcast key-set: 2^23 bits = 1 MiB covers ~1M
+    keys at <1% false-positive with k=7, and sizing up is linear.
+    """
+    import numpy as np
+
+    from ray.data.aggregate import AggregateFn
+
+    assert n_bits & (n_bits - 1) == 0, "n_bits must be a power of two"
+
+    def accumulate(bitmap, block):
+        tbl = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
+        idx = _bloom_indices(tbl[key].to_pylist(), n_bits, k_hashes)
+        bitmap = bitmap.copy()
+        np.bitwise_or.at(bitmap, (idx >> 3).astype(np.int64).ravel(),
+                         np.left_shift(1, (idx & 7).astype(np.uint8)).ravel()
+                         .astype(np.uint8))
+        return bitmap
+
+    agg = AggregateFn(
+        init=lambda _: np.zeros(n_bits // 8, np.uint8),
+        accumulate_block=accumulate,
+        merge=lambda a, b: np.bitwise_or(a, b),
+        name="bloom",
+    )
+    return ds.aggregate(agg)["bloom"]
+
+
+def bloom_anti_join(left: rd.Dataset, right: rd.Dataset, on: str,
+                    right_on: str | None = None, n_bits: int = 1 << 23,
+                    k_hashes: int = 7,
+                    num_partitions: int = 8) -> rd.Dataset:
+    """EXACT anti join with a Bloom prefilter — the 100 TB shape of the
+    done-manifest exclusion.
+
+    A broadcast key set grows O(right); the Bloom bitmap is fixed-size.
+    Semantics stay exact: rows whose key misses the filter are definite
+    non-members and pass straight through (map-only, the overwhelming
+    majority when the intersection is small); only the possible-members
+    take the hash-partitioned :func:`hash_anti_join` against the right
+    side.  False positives cost a shuffled row, never a wrong answer.
+    """
+    import numpy as np
+
+    r_on = right_on or on
+    bitmap_ref = ray.put(build_bloom(right, r_on, n_bits, k_hashes))
+
+    def split(batch: pa.Table, want_members: bool) -> pa.Table:
+        bitmap = ray.get(bitmap_ref)
+        idx = _bloom_indices(batch[on].to_pylist(), n_bits, k_hashes)
+        bits = (bitmap[(idx >> 3).astype(np.int64)]
+                >> (idx & 7).astype(np.uint8)) & 1
+        member = bits.all(axis=1)
+        mask = member if want_members else ~member
+        return batch.filter(pa.array(mask))
+
+    definite_out = left.map_batches(split, fn_kwargs={"want_members": False},
+                                    batch_format="pyarrow")
+    candidates = left.map_batches(split, fn_kwargs={"want_members": True},
+                                  batch_format="pyarrow")
+    survivors = hash_anti_join(candidates, right, on=on, right_on=r_on,
+                               num_partitions=num_partitions)
+    return definite_out.union(survivors)

@@ -38,3 +38,35 @@ def test_lookup(ray_session):
                            "looked", default="-").take_all()
     got = {r["k"]: r["looked"] for r in out}
     assert got == {1: "x", 2: "-", 3: "y", 4: "-", 5: "-"}
+
+
+def test_build_bloom_no_false_negatives(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from pmocr_ray.ops.joins import _bloom_indices, build_bloom
+
+    keys = [f"url-{i}" for i in range(500)]
+    bm = build_bloom(rd.from_pandas(pd.DataFrame({"k": keys})).repartition(5),
+                     "k", n_bits=1 << 14)
+    idx = _bloom_indices(keys, 1 << 14, 7)
+    bits = (bm[(idx >> 3).astype(np.int64)] >> (idx & 7).astype(np.uint8)) & 1
+    assert bits.all()  # every inserted key is a member
+
+
+def test_bloom_anti_join_exact_under_false_positives(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from pmocr_ray.ops.joins import bloom_anti_join
+
+    left = rd.from_pandas(pd.DataFrame({"k": [f"u{i}" for i in range(300)]}))
+    right = rd.from_pandas(pd.DataFrame(
+        {"k": [f"u{i}" for i in range(0, 300, 3)]}))
+    # 64 bits for 100 keys -> filter is saturated, nearly every probe is
+    # a false positive; the exact verify join must still give the truth
+    out = bloom_anti_join(left, right, on="k", n_bits=64, k_hashes=3,
+                          num_partitions=2).to_pandas()
+    expect = {f"u{i}" for i in range(300) if i % 3 != 0}
+    assert set(out["k"]) == expect
