@@ -480,6 +480,16 @@ def _q_events_value_stats(sf_dir: str):
         rd.read_parquet(os.path.join(sf_dir, "events.parquet")))
 
 
+def _q_kmv_sketch(sf_dir: str):
+    import ray.data as rd
+
+    from pmocr_ray.ops.text import kmv_sketch
+
+    return kmv_sketch(
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["text"]), k=64)
+
+
 def _q_tfidf(sf_dir: str):
     import ray.data as rd
 
@@ -991,6 +1001,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_rank": _q_shuffle_rank,
         "events_value_stats": _q_events_value_stats,
         "tfidf": _q_tfidf,
+        "kmv_sketch": _q_kmv_sketch,
         # curation / export ops
         "redact_pii": _q_redact_pii,
         "repetition_stats": _q_repetition_stats,
@@ -1532,6 +1543,11 @@ def oracle_sql() -> dict[str, str]:
               FROM terms GROUP BY doc_id, term)
             SELECT t.doc_id, t.term, t.tf, v.df
             FROM tf t JOIN vocab v USING (term)""",
+        "kmv_sketch": """
+            SELECT h FROM (
+              SELECT DISTINCT md5(text) AS h FROM documents
+              WHERE text IS NOT NULL)
+            ORDER BY h LIMIT 64""",
         "orders_by_segment": """
             SELECT c.c_mktsegment,
                    count(*) AS n_orders,

@@ -572,3 +572,38 @@ def tfidf_terms(ds, key: str = "doc_id", column: str = "text",
                          "df": dfs})
 
     return ds.map_batches(tf_pass, batch_format="pyarrow")
+
+
+def kmv_sketch(ds, column: str = "text", k: int = 64):
+    """K-minimum-values distinct-count sketch: the k smallest distinct
+    md5 hashes of ``column`` across the corpus.
+
+    The per-batch combiner prunes hard — the global k minima are a
+    subset of the union of per-batch k minima, so each batch forwards
+    ≤ k hashes no matter its size; the tail is one tiny dedup-groupby
+    and a distributed ``sort().limit(k)``.  Feed the result to
+    :func:`kmv_estimate` for the cardinality estimate; with
+    ``k ≥ distinct`` the sketch IS the exact distinct set.
+    """
+    def partial(batch: pa.Table) -> pa.Table:
+        hs = {hashlib.md5(t.encode("utf-8")).hexdigest()
+              for t in batch[column].to_pylist() if t is not None}
+        return pa.table({"h": pa.array(sorted(hs)[:k], pa.string())})
+
+    from ray.data.aggregate import Count
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("h").aggregate(Count(alias_name="_n"))
+            .select_columns(["h"])
+            .sort("h").limit(k))
+
+
+def kmv_estimate(hashes: list[str], k: int) -> float:
+    """Cardinality estimate from a KMV sketch: if fewer than k hashes
+    exist the sketch is exhaustive (exact count); otherwise
+    ``(k-1) / frac(h_k)`` with the k-th smallest hash mapped to (0,1].
+    """
+    if len(hashes) < k:
+        return float(len(hashes))
+    hk = int(max(hashes)[:16], 16) / float(1 << 64)
+    return (k - 1) / hk if hk > 0 else float(len(hashes))

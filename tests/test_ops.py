@@ -474,3 +474,21 @@ def test_tfidf_terms_vocab_and_counts(ray_session):
     assert r[(1, "a")]["tf"] == 2 and r[(1, "a")]["df"] == 2
     assert r[(2, "b")]["tf"] == 2
     assert (3, "c") not in r and (3, "a") not in r
+
+
+def test_kmv_sketch_exact_when_k_covers(ray_session):
+    from pmocr_ray.ops.text import kmv_estimate, kmv_sketch
+    df = pd.DataFrame({"text": [f"doc {i % 7}" for i in range(100)]})
+    rows = kmv_sketch(rd.from_pandas(df).repartition(5), k=64).take_all()
+    hashes = [r["h"] for r in rows]
+    assert len(hashes) == 7  # k >= distinct -> exhaustive
+    assert kmv_estimate(hashes, 64) == 7.0
+
+
+def test_kmv_estimate_within_error(ray_session):
+    from pmocr_ray.ops.text import kmv_estimate, kmv_sketch
+    n = 2000
+    df = pd.DataFrame({"text": [f"unique doc {i}" for i in range(n)]})
+    rows = kmv_sketch(rd.from_pandas(df).repartition(8), k=256).take_all()
+    est = kmv_estimate([r["h"] for r in rows], 256)
+    assert abs(est - n) / n < 0.2  # ~1/sqrt(k) relative error
