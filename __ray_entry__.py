@@ -490,6 +490,36 @@ def _q_kmv_sketch(sf_dir: str):
                         columns=["text"]), k=64)
 
 
+def _q_clean_text(sf_dir: str):
+    import ray.data as rd
+
+    from pmocr_ray.ops.text import clean_text
+
+    return (rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                            columns=["doc_id", "text"])
+            .map_batches(clean_text, batch_format="pyarrow")
+            .select_columns(["doc_id", "text_clean"]))
+
+
+def _q_dedup_incremental(sf_dir: str):
+    import ray.data as rd
+
+    from pmocr_ray.ops.dedup import incremental_exact_dedup
+
+    import pyarrow.compute as _pc
+
+    def _parity(t, odd: bool):
+        m = _pc.equal(_pc.bit_wise_and(t["doc_id"], 1), 1 if odd else 0)
+        return t.filter(m)
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    new = docs.map_batches(_parity, fn_kwargs={"odd": True},
+                           batch_format="pyarrow")
+    history = docs.map_batches(_parity, fn_kwargs={"odd": False},
+                               batch_format="pyarrow")
+    return incremental_exact_dedup(new, history)
+
+
 def _q_tfidf(sf_dir: str):
     import ray.data as rd
 
@@ -1002,6 +1032,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_stats": _q_events_value_stats,
         "tfidf": _q_tfidf,
         "kmv_sketch": _q_kmv_sketch,
+        "clean_text": _q_clean_text,
+        "dedup_incremental": _q_dedup_incremental,
         # curation / export ops
         "redact_pii": _q_redact_pii,
         "repetition_stats": _q_repetition_stats,
@@ -1548,6 +1580,18 @@ def oracle_sql() -> dict[str, str]:
               SELECT DISTINCT md5(text) AS h FROM documents
               WHERE text IS NOT NULL)
             ORDER BY h LIMIT 64""",
+        "clean_text": r"""
+            SELECT doc_id,
+                   trim(regexp_replace(
+                        regexp_replace(lower(text), '[\x00-\x1f\x7f]', ' ', 'g'),
+                        '\s+', ' ', 'g')) AS text_clean
+            FROM documents""",
+        "dedup_incremental": """
+            SELECT doc_id, text, lang, source, n_chars
+            FROM documents n
+            WHERE doc_id % 2 = 1 AND NOT EXISTS (
+              SELECT 1 FROM documents h
+              WHERE h.doc_id % 2 = 0 AND md5(h.text) = md5(n.text))""",
         "orders_by_segment": """
             SELECT c.c_mktsegment,
                    count(*) AS n_orders,

@@ -944,3 +944,27 @@ def decontaminate(ds: rd.Dataset, bench_shingles: set[str], *,
     return ds.map_batches(Flag, fn_constructor_kwargs={"shingles_ref": ref,
                                                        "n": n},
                           batch_format="pyarrow", concurrency=(1, 4))
+
+
+def incremental_exact_dedup(new_docs: rd.Dataset, history: rd.Dataset, *,
+                            column: str = "text", key: str = "doc_id",
+                            n_bits: int = 1 << 20) -> rd.Dataset:
+    """Keep only new docs whose content was never seen in ``history`` —
+    the arriving-batch-vs-corpus dedup every continuously-ingesting
+    pipeline runs (the reference's done-manifest skip generalized from
+    url identity to content identity, /root/reference/pmocr.sh:2126).
+
+    Composition of existing scale pieces: fingerprint both sides
+    (md5, vectorized-ish map), then :func:`bloom_anti_join` new vs
+    history on the fingerprint — history is reduced to a fixed-size
+    bitmap, only bloom-positive candidates take the exact verify join.
+    """
+    from pmocr_ray.ops.joins import bloom_anti_join
+    from pmocr_ray.ops.text import fingerprint
+
+    new_fp = new_docs.map_batches(
+        fingerprint, fn_kwargs={"column": column}, batch_format="pyarrow")
+    hist_fp = history.select_columns([column]).map_batches(
+        fingerprint, fn_kwargs={"column": column}, batch_format="pyarrow")
+    out = bloom_anti_join(new_fp, hist_fp, on="fp", n_bits=n_bits)
+    return out.drop_columns(["fp"])

@@ -174,8 +174,15 @@ def bloom_anti_join(left: rd.Dataset, right: rd.Dataset, on: str,
 
     definite_out = left.map_batches(split, fn_kwargs={"want_members": False},
                                     batch_format="pyarrow")
+    # pin the (small) candidate side: sizes the verify join's partition
+    # count so no hash partition is empty (acero rejects zero-column
+    # empty partitions), and avoids re-running the bloom probe
     candidates = left.map_batches(split, fn_kwargs={"want_members": True},
-                                  batch_format="pyarrow")
+                                  batch_format="pyarrow").materialize()
+    n_cand = candidates.count()
+    if n_cand == 0:
+        return definite_out
+    parts = max(1, min(num_partitions, n_cand // 2048 + 1))
     survivors = hash_anti_join(candidates, right, on=on, right_on=r_on,
-                               num_partitions=num_partitions)
+                               num_partitions=parts)
     return definite_out.union(survivors)

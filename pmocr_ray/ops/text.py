@@ -607,3 +607,17 @@ def kmv_estimate(hashes: list[str], k: int) -> float:
         return float(len(hashes))
     hk = int(max(hashes)[:16], 16) / float(1 << 64)
     return (k - 1) / hk if hk > 0 else float(len(hashes))
+
+
+def clean_text(batch: pa.Table, column: str = "text",
+               out_column: str = "text_clean") -> pa.Table:
+    """Canonical text normalization before fingerprinting/dedup:
+    lowercase, strip control characters, collapse whitespace runs to
+    one space, trim.  Three RE2 passes + one lower — all vectorized
+    Arrow kernels, shared verbatim with the SQL oracle.
+    """
+    col = pc.utf8_lower(batch[column])
+    col = pc.replace_substring_regex(col, r"[\x00-\x1f\x7f]", " ")
+    col = pc.replace_substring_regex(col, r"\s+", " ")
+    col = pc.utf8_trim_whitespace(col)
+    return batch.append_column(out_column, col)

@@ -217,3 +217,31 @@ def test_shard_counts_total(ray_session):
     out = shard_counts(ds, n_shards=5).take_all()
     assert sum(r["n"] for r in out) == 100
     assert all(0 <= r["shard"] < 5 for r in out)
+
+
+def test_clean_text_normalizes(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from pmocr_ray.ops.text import clean_text
+
+    df = pd.DataFrame({"text": ["  Hello\t WORLD\n\nx ", "a\x01b"]})
+    out = (rd.from_pandas(df).map_batches(clean_text, batch_format="pyarrow")
+           .to_pandas())
+    assert list(out["text_clean"]) == ["hello world x", "a b"]
+
+
+def test_incremental_exact_dedup_drops_seen_content(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from pmocr_ray.ops.dedup import incremental_exact_dedup
+
+    history = rd.from_pandas(pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["seen before", "also seen"]}))
+    new = rd.from_pandas(pd.DataFrame(
+        {"doc_id": [10, 11, 12],
+         "text": ["seen before", "brand new", "also seen"]}))
+    out = incremental_exact_dedup(new, history, n_bits=1 << 10).to_pandas()
+    assert list(out["doc_id"]) == [11]
+    assert "fp" not in out.columns
