@@ -520,6 +520,41 @@ def _q_dedup_incremental(sf_dir: str):
     return incremental_exact_dedup(new, history)
 
 
+def _q_lang_label_mix(sf_dir: str):
+    """Cross-modal enrichment: documents ⋈ embeddings on id (two large
+    sides — hash-partitioned join, payload pruned at the read to the
+    three columns used), then the (lang, label) composition rollup via
+    the usual per-batch combiner + tiny global groupby."""
+    import pyarrow as pa
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "lang", "n_chars"])
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "label"])
+    n = docs.count()
+    parts = max(1, min(8, n // 2048 + 1))
+    j = docs.join(emb, join_type="inner", num_partitions=parts,
+                  on=("doc_id",), right_on=("vec_id",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+        g = (t.select(["lang", "label", "n_chars"])
+             .group_by(["lang", "label"])
+             .aggregate([("n_chars", "sum"), ([], "count_all")]))
+        return pa.table({"lang": g["lang"],
+                         "label": _pc.cast(g["label"], pa.int64()),
+                         "sum_chars": g["n_chars_sum"],
+                         "n_docs": g["count_all"]})
+
+    return (j.map_batches(partial, batch_format="pyarrow")
+            .groupby(["lang", "label"])
+            .aggregate(Sum("sum_chars", alias_name="sum_chars"),
+                       Sum("n_docs", alias_name="n_docs")))
+
+
 def _q_tfidf(sf_dir: str):
     import ray.data as rd
 
@@ -1034,6 +1069,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_sketch": _q_kmv_sketch,
         "clean_text": _q_clean_text,
         "dedup_incremental": _q_dedup_incremental,
+        "lang_label_mix": _q_lang_label_mix,
         # curation / export ops
         "redact_pii": _q_redact_pii,
         "repetition_stats": _q_repetition_stats,
@@ -1592,6 +1628,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id % 2 = 1 AND NOT EXISTS (
               SELECT 1 FROM documents h
               WHERE h.doc_id % 2 = 0 AND md5(h.text) = md5(n.text))""",
+        "lang_label_mix": """
+            SELECT d.lang, CAST(e.label AS BIGINT) AS label,
+                   CAST(sum(d.n_chars) AS BIGINT) AS sum_chars,
+                   count(*) AS n_docs
+            FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+            GROUP BY d.lang, e.label""",
         "orders_by_segment": """
             SELECT c.c_mktsegment,
                    count(*) AS n_orders,
