@@ -555,6 +555,32 @@ def _q_lang_label_mix(sf_dir: str):
                        Sum("n_docs", alias_name="n_docs")))
 
 
+def _q_cc_chain(sf_dir: str):
+    """Distributed connected components on a chain graph derived from
+    doc ids (edges i→i+1 within blocks of 10): 10-hop chains force the
+    min-label propagation loop through real multi-hop convergence —
+    the closed-form oracle (label = id - id%10) checks the fixpoint."""
+    import pyarrow as pa
+    import pyarrow.compute as _pc
+
+    import ray.data as rd
+
+    from pmocr_ray.ops.graph import connected_components_distributed
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id"])
+
+    def chain_edges(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"]
+        m = _pc.not_equal(_pc.subtract(ids, _pc.multiply(
+            _pc.divide(ids, 10), 10)), 9)
+        a = ids.filter(m)
+        return pa.table({"a": a, "b": _pc.add(a, 1)})
+
+    edges = docs.map_batches(chain_edges, batch_format="pyarrow")
+    return connected_components_distributed(edges, num_partitions=4)
+
+
 def _q_tfidf(sf_dir: str):
     import ray.data as rd
 
@@ -1070,6 +1096,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_text": _q_clean_text,
         "dedup_incremental": _q_dedup_incremental,
         "lang_label_mix": _q_lang_label_mix,
+        "cc_chain": _q_cc_chain,
         # curation / export ops
         "redact_pii": _q_redact_pii,
         "repetition_stats": _q_repetition_stats,
@@ -1628,6 +1655,10 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id % 2 = 1 AND NOT EXISTS (
               SELECT 1 FROM documents h
               WHERE h.doc_id % 2 = 0 AND md5(h.text) = md5(n.text))""",
+        "cc_chain": """
+            SELECT doc_id AS node,
+                   CAST(doc_id - doc_id % 10 AS BIGINT) AS label
+            FROM documents""",
         "lang_label_mix": """
             SELECT d.lang, CAST(e.label AS BIGINT) AS label,
                    CAST(sum(d.n_chars) AS BIGINT) AS sum_chars,
