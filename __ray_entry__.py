@@ -581,6 +581,18 @@ def _q_cc_chain(sf_dir: str):
     return connected_components_distributed(edges, num_partitions=4)
 
 
+def _q_latest_order(sf_dir: str):
+    import ray.data as rd
+
+    from pmocr_ray.ops.compact import compact_latest
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
+    return compact_latest(orders, key="o_custkey",
+                          order_cols=["o_orderdate", "o_orderkey"])
+
+
 def _q_tfidf(sf_dir: str):
     import ray.data as rd
 
@@ -1097,6 +1109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental": _q_dedup_incremental,
         "lang_label_mix": _q_lang_label_mix,
         "cc_chain": _q_cc_chain,
+        "latest_order": _q_latest_order,
         # curation / export ops
         "redact_pii": _q_redact_pii,
         "repetition_stats": _q_repetition_stats,
@@ -1655,6 +1668,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id % 2 = 1 AND NOT EXISTS (
               SELECT 1 FROM documents h
               WHERE h.doc_id % 2 = 0 AND md5(h.text) = md5(n.text))""",
+        "latest_order": """
+            SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
+              SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate DESC,
+                                                 o_orderkey DESC) AS rn
+              FROM orders)
+            WHERE rn = 1""",
         "cc_chain": """
             SELECT doc_id AS node,
                    CAST(doc_id - doc_id % 10 AS BIGINT) AS label

@@ -492,3 +492,18 @@ def test_kmv_estimate_within_error(ray_session):
     rows = kmv_sketch(rd.from_pandas(df).repartition(8), k=256).take_all()
     est = kmv_estimate([r["h"] for r in rows], 256)
     assert abs(est - n) / n < 0.2  # ~1/sqrt(k) relative error
+
+
+def test_compact_latest_keeps_newest_per_key(ray_session):
+    from pmocr_ray.ops.compact import compact_latest
+    df = pd.DataFrame({
+        "k": [1, 1, 1, 2],
+        "version": [3, 9, 5, 1],
+        "uid": [100, 101, 102, 103],
+        "payload": ["old", "newest", "mid", "only"],
+    })
+    out = (compact_latest(rd.from_pandas(df).repartition(4), key="k",
+                          order_cols=["version", "uid"])
+           .to_pandas().sort_values("k"))
+    assert list(out["payload"]) == ["newest", "only"]
+    assert len(out) == 2
