@@ -593,6 +593,54 @@ def _q_latest_order(sf_dir: str):
                           order_cols=["o_orderdate", "o_orderkey"])
 
 
+def _q_trending_terms(sf_dir: str):
+    import ray.data as rd
+
+    from pmocr_ray.ops.text import top_terms_by_group
+
+    return top_terms_by_group(
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["lang", "text"]), group_col="lang", k=5)
+
+
+def _q_len_percentile(sf_dir: str):
+    """Annotate every doc with the cume_dist of its length: the global
+    CDF is a value-counts rollup (bounded by distinct lengths, not
+    rows), broadcast once; the annotate pass is a map-only
+    searchsorted."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "n_chars"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        g = t.select(["n_chars"]).group_by("n_chars").aggregate(
+            [([], "count_all")])
+        return pa.table({"value": g["n_chars"], "n": g["count_all"]})
+
+    rollup = (docs.map_batches(counts, batch_format="pyarrow")
+              .groupby("value").aggregate(Sum("n", alias_name="n"))
+              .sort("value").take_all())
+    values = np.array([r["value"] for r in rollup], np.int64)
+    cum = np.cumsum([r["n"] for r in rollup]).astype(np.int64)
+    total = int(cum[-1])
+    ref = ray.put((values, cum))
+
+    def annotate(t: pa.Table) -> pa.Table:
+        v, c = ray.get(ref)
+        idx = np.searchsorted(v, t["n_chars"].to_numpy(zero_copy_only=False))
+        pct = c[idx].astype(np.float64) / total
+        return pa.table({"doc_id": t["doc_id"],
+                         "pct": pa.array(pct, pa.float64())})
+
+    return docs.map_batches(annotate, batch_format="pyarrow")
+
+
 def _q_tfidf(sf_dir: str):
     import ray.data as rd
 
@@ -1110,6 +1158,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_label_mix": _q_lang_label_mix,
         "cc_chain": _q_cc_chain,
         "latest_order": _q_latest_order,
+        "trending_terms": _q_trending_terms,
+        "len_percentile": _q_len_percentile,
         # curation / export ops
         "redact_pii": _q_redact_pii,
         "repetition_stats": _q_repetition_stats,
@@ -1668,6 +1718,22 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id % 2 = 1 AND NOT EXISTS (
               SELECT 1 FROM documents h
               WHERE h.doc_id % 2 = 0 AND md5(h.text) = md5(n.text))""",
+        "trending_terms": r"""
+            SELECT lang, term, n, rank FROM (
+              SELECT lang, term, n,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY n DESC, term ASC) AS rank
+              FROM (SELECT lang, term, CAST(count(*) AS BIGINT) AS n
+                    FROM (SELECT lang,
+                                 unnest(regexp_extract_all(text, '\S+'))
+                                   AS term
+                          FROM documents)
+                    GROUP BY lang, term))
+            WHERE rank <= 5""",
+        "len_percentile": """
+            SELECT doc_id,
+                   cume_dist() OVER (ORDER BY n_chars) AS pct
+            FROM documents""",
         "latest_order": """
             SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
               SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,

@@ -621,3 +621,49 @@ def clean_text(batch: pa.Table, column: str = "text",
     col = pc.replace_substring_regex(col, r"\s+", " ")
     col = pc.utf8_trim_whitespace(col)
     return batch.append_column(out_column, col)
+
+
+def top_terms_by_group(ds, group_col: str = "lang", k: int = 5,
+                       column: str = "text"):
+    """Top-k vocabulary terms PER GROUP with exact counts (trending
+    terms per language/source/day).  Combines the :func:`top_terms`
+    combiner with the per-group cap: per-batch local (group, term)
+    counts → one groupby over the partials → per-batch top-k cap per
+    group (global top-k ⊆ union of batch top-k over the rollup) →
+    exact ranked top-k in ``map_groups``.  Ties term-ascending.
+    Returns (group, term, n, rank).
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(batch[column], r"\s+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        mask = pc.not_equal(flat, "")
+        groups = batch[group_col].take(parent.filter(mask))
+        g = (pa.table({group_col: groups, "term": flat.filter(mask)})
+             .group_by([group_col, "term"]).aggregate([([], "count_all")]))
+        return pa.table({group_col: g[group_col], "term": g["term"],
+                         "n": g["count_all"]})
+
+    rollup = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby([group_col, "term"])
+              .aggregate(Sum("n", alias_name="n")))
+
+    def local_cap(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values([group_col, "n", "term"],
+                            ascending=[True, False, True])
+        return pa.Table.from_pandas(
+            df.groupby(group_col, sort=False).head(k), preserve_index=False)
+
+    def exact_top(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n", "term"], ascending=[False, True]).head(k).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return (rollup.map_batches(local_cap, batch_format="pyarrow")
+            .groupby(group_col)
+            .map_groups(exact_top, batch_format="pandas"))

@@ -507,3 +507,18 @@ def test_compact_latest_keeps_newest_per_key(ray_session):
            .to_pandas().sort_values("k"))
     assert list(out["payload"]) == ["newest", "only"]
     assert len(out) == 2
+
+
+def test_top_terms_by_group_exact(ray_session):
+    from pmocr_ray.ops.text import top_terms_by_group
+    df = pd.DataFrame({
+        "lang": ["en", "en", "de"],
+        "text": ["a a b", "a c", "x x y"],
+    })
+    out = (top_terms_by_group(rd.from_pandas(df).repartition(3),
+                              group_col="lang", k=2).to_pandas())
+    en = out[out["lang"] == "en"].sort_values("rank")
+    assert list(en["term"]) == ["a", "b"]  # a:3; b/c tie -> term asc
+    assert list(en["n"]) == [3, 1]
+    de = out[out["lang"] == "de"].sort_values("rank")
+    assert list(de["term"]) == ["x", "y"]
