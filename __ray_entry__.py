@@ -641,6 +641,37 @@ def _q_len_percentile(sf_dir: str):
     return docs.map_batches(annotate, batch_format="pyarrow")
 
 
+def _q_kmeans_cells(sf_dir: str):
+    """Full-corpus Lloyd k-means (iterative — no SQL oracle; fixed-point
+    determinism is pytest-verified bit-identical across partitionings);
+    returns the final cell membership counts."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from pmocr_ray.ops.knn import _normalize, kmeans_distributed
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["embedding"])
+    cent = kmeans_distributed(emb, k=8, iters=5)
+    ref = ray.put(cent)
+
+    def assign_counts(t: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        mat = _normalize(np.asarray(t["embedding"].to_pylist(),
+                                    dtype=np.float64))
+        a = np.argmax(mat @ c.T, axis=1)
+        uniq, counts = np.unique(a, return_counts=True)
+        return pa.table({"cell": pa.array(uniq, pa.int64()),
+                         "n": pa.array(counts, pa.int64())})
+
+    return (emb.map_batches(assign_counts, batch_format="pyarrow")
+            .groupby("cell").aggregate(Sum("n", alias_name="n")))
+
+
 def _q_tfidf(sf_dir: str):
     import ray.data as rd
 
@@ -1160,6 +1191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_order": _q_latest_order,
         "trending_terms": _q_trending_terms,
         "len_percentile": _q_len_percentile,
+        "kmeans_cells": _q_kmeans_cells,
         # curation / export ops
         "redact_pii": _q_redact_pii,
         "repetition_stats": _q_repetition_stats,

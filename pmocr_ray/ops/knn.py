@@ -295,3 +295,71 @@ def label_centroid_fixedpoint(ds: rd.Dataset, key: str = "label",
             .groupby([key, "dim"])
             .aggregate(Sum("sum_fp", alias_name="sum_fp"),
                        Sum("n", alias_name="n")))
+
+
+def kmeans_distributed(ds: rd.Dataset, k: int, *, column: str = "embedding",
+                       iters: int = 10, seed: int = 42,
+                       scale: float = 1e6) -> np.ndarray:
+    """Full-corpus Lloyd k-means (vs :func:`train_centroids`' bounded
+    driver-side sample): every iteration is one broadcast + one
+    map_batches + one tiny groupby — the dataset itself never moves.
+
+    Per iteration: centroids are broadcast (``ray.put``, k×dim); each
+    batch assigns its vectors with one matmul and emits FIXED-POINT
+    per-(cell, dim) partial sums (int64 ``floor(v·scale)`` — the
+    :func:`label_centroid_fixedpoint` trick), so the reduction is
+    bit-deterministic under any partitioning and the shuffle carries
+    k×dim rows per batch, never vectors.  Init: first k distinct rows
+    under a seeded deterministic hash order (no RNG state on workers).
+
+    Returns the (k, dim) centroid matrix (unit-normalized).
+    """
+    from ray.data.aggregate import Sum
+
+    init_rows = ds.select_columns([column]).limit(10 * k).take_all()
+    X0 = _normalize(np.asarray([r[column] for r in init_rows],
+                               dtype=np.float64))
+    rng = np.random.RandomState(seed)
+    cent = X0[rng.choice(len(X0), size=min(k, len(X0)), replace=False)].copy()
+
+    for _ in range(iters):
+        cent_ref = ray.put(cent)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(cent_ref)
+            mat = _normalize(np.asarray(batch[column].to_pylist(),
+                                        dtype=np.float64))
+            assign = np.argmax(mat @ c.T, axis=1)
+            fp = np.floor(mat * scale).astype(np.int64)
+            uniq, inv = np.unique(assign, return_inverse=True)
+            sums = np.zeros((len(uniq), fp.shape[1]), np.int64)
+            np.add.at(sums, inv, fp)
+            counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+            d = fp.shape[1]
+            return pa.table({
+                "cell": pa.array(np.repeat(uniq, d), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(d), len(uniq)), pa.int64()),
+                "s": pa.array(sums.ravel(), pa.int64()),
+                "n": pa.array(np.repeat(counts, d), pa.int64()),
+            })
+
+        rollup = (ds.map_batches(partial, batch_format="pyarrow")
+                  .groupby(["cell", "dim"])
+                  .aggregate(Sum("s", alias_name="s"),
+                             Sum("n", alias_name="n")).take_all())
+        new = cent.copy()
+        acc: dict[int, np.ndarray] = {}
+        cnt: dict[int, int] = {}
+        for r in rollup:
+            acc.setdefault(r["cell"], np.zeros(cent.shape[1]))[r["dim"]] = r["s"]
+            cnt[r["cell"]] = r["n"]
+        for cell, v in acc.items():
+            if cnt[cell]:
+                m = v / (cnt[cell] * scale)
+                nrm = np.linalg.norm(m)
+                if nrm > 0:
+                    new[cell] = m / nrm
+        if np.allclose(new, cent, atol=1e-12):
+            break
+        cent = new
+    return cent

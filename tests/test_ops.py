@@ -522,3 +522,19 @@ def test_top_terms_by_group_exact(ray_session):
     assert list(en["n"]) == [3, 1]
     de = out[out["lang"] == "de"].sort_values("rank")
     assert list(de["term"]) == ["x", "y"]
+
+
+def test_kmeans_distributed_partition_invariant_and_separates(ray_session):
+    from pmocr_ray.ops.knn import kmeans_distributed
+    rng = np.random.default_rng(11)
+    blob_a = rng.normal([5, 0, 0], 0.1, (60, 3))
+    blob_b = rng.normal([0, 5, 0], 0.1, (60, 3))
+    X = np.vstack([blob_a, blob_b])
+    df = pd.DataFrame({"embedding": [list(map(float, v)) for v in X]})
+    c1 = kmeans_distributed(rd.from_pandas(df), k=2, iters=5)
+    c2 = kmeans_distributed(rd.from_pandas(df).repartition(7), k=2, iters=5)
+    assert np.array_equal(c1, c2)  # bit-identical across partitionings
+    # each blob mean direction is captured by exactly one centroid
+    dirs = np.array([[1, 0, 0], [0, 1, 0]], float)
+    sims = dirs @ c1.T
+    assert sims.max(axis=1).min() > 0.99
