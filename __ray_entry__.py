@@ -672,6 +672,25 @@ def _q_kmeans_cells(sf_dir: str):
             .groupby("cell").aggregate(Sum("n", alias_name="n")))
 
 
+def _q_events_with_session(sf_dir: str):
+    import ray.data as rd
+
+    from pmocr_ray.ops.events import events_with_session
+
+    return events_with_session(
+        rd.read_parquet(os.path.join(sf_dir, "events.parquet")))
+
+
+def _q_len_bucket(sf_dir: str):
+    import ray.data as rd
+
+    from pmocr_ray.ops.text import range_bucket
+
+    return range_bucket(
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "n_chars"]))
+
+
 def _q_tfidf(sf_dir: str):
     import ray.data as rd
 
@@ -1192,6 +1211,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trending_terms": _q_trending_terms,
         "len_percentile": _q_len_percentile,
         "kmeans_cells": _q_kmeans_cells,
+        "events_with_session": _q_events_with_session,
+        "len_bucket": _q_len_bucket,
         # curation / export ops
         "redact_pii": _q_redact_pii,
         "repetition_stats": _q_repetition_stats,
@@ -1750,6 +1771,34 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id % 2 = 1 AND NOT EXISTS (
               SELECT 1 FROM documents h
               WHERE h.doc_id % 2 = 0 AND md5(h.text) = md5(n.text))""",
+        "events_with_session": """
+            WITH o AS (
+              SELECT event_id, user_id, ts,
+                     CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                                  ORDER BY ts, event_id)
+                               > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+              FROM events),
+            s AS (
+              SELECT event_id, user_id, ts,
+                     sum(new_s) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sess
+              FROM o)
+            SELECT event_id, user_id, ts,
+                   min(ts) OVER (PARTITION BY user_id, sess) AS session_start
+            FROM s""",
+        "len_bucket": """
+            WITH b AS (
+              SELECT quantile_disc(n_chars, 0.25) AS q1,
+                     quantile_disc(n_chars, 0.5)  AS q2,
+                     quantile_disc(n_chars, 0.75) AS q3
+              FROM documents)
+            SELECT doc_id,
+                   CAST(CASE WHEN n_chars <= q1 THEN 0
+                             WHEN n_chars <= q2 THEN 1
+                             WHEN n_chars <= q3 THEN 2
+                             ELSE 3 END AS BIGINT) AS bucket
+            FROM documents, b""",
         "trending_terms": r"""
             SELECT lang, term, n, rank FROM (
               SELECT lang, term, n,

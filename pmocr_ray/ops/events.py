@@ -298,3 +298,33 @@ def events_value_stats(events: rd.Dataset) -> rd.Dataset:
             .aggregate(Sum("sum_cents", alias_name="sum_cents"),
                        Sum("sum_sq_cents", alias_name="sum_sq_cents"),
                        Sum("n", alias_name="n")))
+
+
+def events_with_session(events: rd.Dataset,
+                        gap_minutes: int = 30) -> rd.Dataset:
+    """Interval join: attach to every event the start of the session
+    window containing it — the sessionized-events view downstream
+    funnel analysis consumes.
+
+    Ray Data has no interval join; for key-scoped intervals the shape
+    is a per-key cogroup: one ``groupby(user).map_groups`` that
+    derives the session windows from the (sorted) group and assigns
+    each event its window in the same pass — no event×interval blowup,
+    O(group) per user.
+    """
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        sess = (g["ts"].diff() > gap).cumsum()
+        start = g.groupby(sess)["ts"].transform("min")
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "user_id": g["user_id"].to_numpy(),
+            "ts": g["ts"].to_numpy(),
+            "session_start": start.to_numpy(),
+        })
+
+    return (events.select_columns(["event_id", "user_id", "ts"])
+            .groupby("user_id")
+            .map_groups(per_user, batch_format="pandas"))

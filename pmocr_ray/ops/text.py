@@ -667,3 +667,29 @@ def top_terms_by_group(ds, group_col: str = "lang", k: int = 5,
     return (rollup.map_batches(local_cap, batch_format="pyarrow")
             .groupby(group_col)
             .map_groups(exact_top, batch_format="pandas"))
+
+
+def range_bucket(ds, column: str = "n_chars",
+                 qs: tuple[float, ...] = (0.25, 0.5, 0.75),
+                 key: str = "doc_id"):
+    """Range-partitioner primitive: bucket each row by which exact
+    quantile interval its value falls in (boundaries inclusive on the
+    left bucket, ``value <= q_i``).  The boundaries come from the
+    :func:`length_quantiles` rollup (bounded by distinct values),
+    broadcast once; the assignment is a map-only vectorized
+    searchsorted — this is how a distributed range sort/partition picks
+    its split points without sampling error.
+    Returns (key, bucket).
+    """
+    bounds_tbl = length_quantiles(ds, column=column, qs=qs)
+    bounds = np.array(bounds_tbl["value"].to_pylist(), np.int64)
+    ref = ray.put(bounds)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        b = ray.get(ref)
+        v = batch[column].to_numpy(zero_copy_only=False)
+        bucket = np.searchsorted(b, v, side="left").astype(np.int64)
+        return pa.table({key: batch[key],
+                         "bucket": pa.array(bucket, pa.int64())})
+
+    return ds.map_batches(assign, batch_format="pyarrow")

@@ -538,3 +538,23 @@ def test_kmeans_distributed_partition_invariant_and_separates(ray_session):
     dirs = np.array([[1, 0, 0], [0, 1, 0]], float)
     sims = dirs @ c1.T
     assert sims.max(axis=1).min() > 0.99
+
+
+def test_events_with_session_assigns_window(events_ds):
+    from pmocr_ray.ops.events import events_with_session
+    rows = {r["event_id"]: str(r["session_start"])
+            for r in events_with_session(events_ds).take_all()}
+    # u1 session 1 (00:05, 00:10) -> both start 00:05; event 3 is its own
+    assert rows[1] == rows[2] == "2024-01-01 00:05:00"
+    assert rows[3] == "2024-01-01 02:00:00"
+    assert rows[4] == "2024-01-01 00:07:00"
+
+
+def test_range_bucket_quantile_boundaries(ray_session):
+    from pmocr_ray.ops.text import range_bucket
+    df = pd.DataFrame({"doc_id": np.arange(8, dtype=np.int64),
+                       "n_chars": [1, 2, 3, 4, 5, 6, 7, 8]})
+    out = (range_bucket(rd.from_pandas(df).repartition(3))
+           .to_pandas().sort_values("doc_id"))
+    # quantile_disc boundaries: q25=2, q50=4, q75=6
+    assert list(out["bucket"]) == [0, 0, 1, 1, 2, 2, 3, 3]
