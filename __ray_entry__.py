@@ -691,6 +691,24 @@ def _q_len_bucket(sf_dir: str):
                         columns=["doc_id", "n_chars"]))
 
 
+def _q_funnel_stages(sf_dir: str):
+    import ray.data as rd
+
+    from pmocr_ray.ops.events import funnel_stages
+
+    return funnel_stages(
+        rd.read_parquet(os.path.join(sf_dir, "events.parquet")))
+
+
+def _q_hourly_retention(sf_dir: str):
+    import ray.data as rd
+
+    from pmocr_ray.ops.events import hourly_retention
+
+    return hourly_retention(
+        rd.read_parquet(os.path.join(sf_dir, "events.parquet")))
+
+
 def _q_tfidf(sf_dir: str):
     import ray.data as rd
 
@@ -1213,6 +1231,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_cells": _q_kmeans_cells,
         "events_with_session": _q_events_with_session,
         "len_bucket": _q_len_bucket,
+        "funnel_stages": _q_funnel_stages,
+        "hourly_retention": _q_hourly_retention,
         # curation / export ops
         "redact_pii": _q_redact_pii,
         "repetition_stats": _q_repetition_stats,
@@ -1771,6 +1791,34 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id % 2 = 1 AND NOT EXISTS (
               SELECT 1 FROM documents h
               WHERE h.doc_id % 2 = 0 AND md5(h.text) = md5(n.text))""",
+        "funnel_stages": """
+            WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+                       WHERE event_type = 'view' GROUP BY user_id),
+            c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+                  JOIN v ON e.user_id = v.user_id
+                  WHERE e.event_type = 'click' AND e.ts > v.t1
+                  GROUP BY e.user_id),
+            p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+                  JOIN c ON e.user_id = c.user_id
+                  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+                  GROUP BY e.user_id),
+            u AS (SELECT DISTINCT user_id FROM events)
+            SELECT u.user_id,
+                   CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                             WHEN c.user_id IS NOT NULL THEN 2
+                             WHEN v.user_id IS NOT NULL THEN 1
+                             ELSE 0 END AS BIGINT) AS stage
+            FROM u LEFT JOIN v USING (user_id)
+                   LEFT JOIN c USING (user_id)
+                   LEFT JOIN p USING (user_id)""",
+        "hourly_retention": """
+            WITH p AS (SELECT DISTINCT user_id,
+                              date_trunc('hour', ts) AS hour
+                       FROM events)
+            SELECT a.hour, count(*) AS retained_users
+            FROM p a JOIN p b ON a.user_id = b.user_id
+                             AND b.hour = a.hour + INTERVAL 1 HOUR
+            GROUP BY a.hour""",
         "events_with_session": """
             WITH o AS (
               SELECT event_id, user_id, ts,

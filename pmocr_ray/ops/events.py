@@ -328,3 +328,63 @@ def events_with_session(events: rd.Dataset,
     return (events.select_columns(["event_id", "user_id", "ts"])
             .groupby("user_id")
             .map_groups(per_user, batch_format="pandas"))
+
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def funnel_stages(events: rd.Dataset,
+                  steps: tuple[str, ...] = FUNNEL_STEPS) -> rd.Dataset:
+    """Ordered-funnel stage per user: how far along ``steps`` each user
+    got, where step i+1 must occur STRICTLY AFTER the first qualifying
+    occurrence of step i (the product-analytics conversion funnel).
+
+    Per-user sorted scan in ``map_groups`` — one pass, O(group);
+    no per-step self-joins.  Returns (user_id, stage) with stage in
+    [0, len(steps)].
+    """
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        stage, after = 0, None
+        types = g["event_type"].to_numpy()
+        ts = g["ts"].to_numpy()
+        for i in range(len(g)):
+            if stage >= len(steps):
+                break
+            if types[i] == steps[stage] and (after is None or ts[i] > after):
+                after = ts[i]
+                stage += 1
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
+                             "stage": pd.Series([stage], dtype="int64")})
+
+    return (events.select_columns(["user_id", "ts", "event_id", "event_type"])
+            .groupby("user_id")
+            .map_groups(per_user, batch_format="pandas"))
+
+
+def hourly_retention(events: rd.Dataset) -> rd.Dataset:
+    """Cohort retention: per hour h, how many of h's active users were
+    also active in h+1.
+
+    Scale shape: dedup to (user, hour) pairs per batch (combiner) →
+    global pair dedup → per-user sorted hour scan emits (hour,
+    retained=1) for consecutive-hour pairs → tiny count groupby.  The
+    heavy exchange carries distinct (user, hour) pairs only.
+    """
+    def pair_dedup(batch: pa.Table) -> pa.Table:
+        b = add_hour_bucket(batch)
+        return b.select(["user_id", "hour"]).group_by(
+            ["user_id", "hour"]).aggregate([])
+
+    pairs = (events.map_batches(pair_dedup, batch_format="pyarrow")
+             .groupby(["user_id", "hour"]).aggregate(Count(alias_name="_n")))
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        hs = np.sort(g["hour"].to_numpy())
+        nxt = hs + np.timedelta64(1, "h")
+        retained = hs[np.isin(nxt, hs)]
+        return pd.DataFrame({"hour": retained})
+
+    ret = pairs.groupby("user_id").map_groups(per_user,
+                                              batch_format="pandas")
+    return ret.groupby("hour").aggregate(Count(alias_name="retained_users"))

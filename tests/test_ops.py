@@ -558,3 +558,40 @@ def test_range_bucket_quantile_boundaries(ray_session):
            .to_pandas().sort_values("doc_id"))
     # quantile_disc boundaries: q25=2, q50=4, q75=6
     assert list(out["bucket"]) == [0, 0, 1, 1, 2, 2, 3, 3]
+
+
+def test_funnel_stages_strict_ordering(ray_session):
+    from pmocr_ray.ops.events import funnel_stages
+    ts = pd.to_datetime([
+        "2024-01-01 00:00", "2024-01-01 00:10", "2024-01-01 00:20",  # u1 full
+        "2024-01-01 00:10", "2024-01-01 00:05",  # u2: click BEFORE view
+        "2024-01-01 01:00",                      # u3: click only
+    ])
+    df = pd.DataFrame({
+        "event_id": [1, 2, 3, 4, 5, 6],
+        "user_id": [1, 1, 1, 2, 2, 3],
+        "ts": ts,
+        "event_type": ["view", "click", "purchase",
+                       "click", "view", "click"],
+    })
+    out = {r["user_id"]: r["stage"]
+           for r in funnel_stages(rd.from_pandas(df)).take_all()}
+    assert out[1] == 3
+    assert out[2] == 1  # view found, but no click after it
+    assert out[3] == 0  # never viewed
+
+
+def test_hourly_retention_consecutive_hours(ray_session):
+    from pmocr_ray.ops.events import hourly_retention
+    ts = pd.to_datetime([
+        "2024-01-01 00:05", "2024-01-01 01:10",  # u1 active h0 and h1
+        "2024-01-01 00:30",                       # u2 only h0
+        "2024-01-01 01:00", "2024-01-01 02:00",  # u3 h1 and h2
+    ])
+    df = pd.DataFrame({"event_id": range(5), "user_id": [1, 1, 2, 3, 3],
+                       "ts": ts, "event_type": ["view"] * 5,
+                       "value": [1.0] * 5, "props": ["{}"] * 5})
+    rows = {str(r["hour"]): r["retained_users"]
+            for r in hourly_retention(rd.from_pandas(df)).take_all()}
+    assert rows == {"2024-01-01 00:00:00": 1,   # u1 retained h0->h1
+                    "2024-01-01 01:00:00": 1}   # u3 retained h1->h2
