@@ -564,7 +564,7 @@ def test_funnel_stages_strict_ordering(ray_session):
     from pmocr_ray.ops.events import funnel_stages
     ts = pd.to_datetime([
         "2024-01-01 00:00", "2024-01-01 00:10", "2024-01-01 00:20",  # u1 full
-        "2024-01-01 00:10", "2024-01-01 00:05",  # u2: click BEFORE view
+        "2024-01-01 00:05", "2024-01-01 00:10",  # u2: click BEFORE view
         "2024-01-01 01:00",                      # u3: click only
     ])
     df = pd.DataFrame({
