@@ -105,12 +105,14 @@ def props_value_agg(events: rd.Dataset) -> rd.Dataset:
     def partial(batch: pa.Table) -> pa.Table:
         m = pc.extract_regex(batch["props"], r'"k":\s*(?P<k>-?\d+)')
         k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        # count_all, not count("k"): a row whose props doesn't match the
+        # pattern extracts null but must still be counted like count(*)
         g = pa.table({"event_type": batch["event_type"], "k": k}) \
             .group_by("event_type") \
-            .aggregate([("k", "sum"), ("k", "count")])
+            .aggregate([("k", "sum"), ([], "count_all")])
         return pa.table({"event_type": g["event_type"],
                          "sum_k": g["k_sum"],
-                         "n": pc.cast(g["k_count"], pa.int64())})
+                         "n": g["count_all"]})
 
     return (events.map_batches(partial, batch_format="pyarrow")
             .groupby("event_type")

@@ -52,7 +52,9 @@ def pack_sequences(docs: rd.Dataset, block_tokens: int,
     the span stays well-formed).
     """
     def count_tokens(batch: pa.Table) -> pa.Table:
-        n = pc.count_substring_regex(batch[column], r"\S+").cast(pa.int64())
+        # null text = zero tokens (a null would poison the cumsum)
+        n = pc.fill_null(
+            pc.count_substring_regex(batch[column], r"\S+").cast(pa.int64()), 0)
         part = pc.divide(batch[key], part_size).cast(pa.int64())
         return pa.table({key: batch[key], "part": part, "n_tokens": n})
 
