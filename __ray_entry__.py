@@ -709,6 +709,21 @@ def _q_hourly_retention(sf_dir: str):
         rd.read_parquet(os.path.join(sf_dir, "events.parquet")))
 
 
+def _q_webdataset_audit(sf_dir: str):
+    """WebDataset tar export (side effect under /tmp) returning the
+    per-shard audit rows; the oracle replays the md5 shard rule."""
+    import ray.data as rd
+
+    from pmocr_ray.ops.export import webdataset_export
+
+    out = f"/tmp/pmocr_wds/{os.path.basename(os.path.normpath(sf_dir))}"
+    audit = webdataset_export(
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"]),
+        out, n_shards=8)
+    return audit.select_columns(["shard", "n_members"])
+
+
 def _q_tfidf(sf_dir: str):
     import ray.data as rd
 
@@ -1233,6 +1248,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "len_bucket": _q_len_bucket,
         "funnel_stages": _q_funnel_stages,
         "hourly_retention": _q_hourly_retention,
+        "webdataset_audit": _q_webdataset_audit,
         # curation / export ops
         "redact_pii": _q_redact_pii,
         "repetition_stats": _q_repetition_stats,
@@ -1791,6 +1807,11 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id % 2 = 1 AND NOT EXISTS (
               SELECT 1 FROM documents h
               WHERE h.doc_id % 2 = 0 AND md5(h.text) = md5(n.text))""",
+        "webdataset_audit": """
+            SELECT CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                             AS UBIGINT) % 8 AS BIGINT) AS shard,
+                   count(*) AS n_members
+            FROM documents GROUP BY shard""",
         "funnel_stages": """
             WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
                        WHERE event_type = 'view' GROUP BY user_id),

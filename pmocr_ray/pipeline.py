@@ -47,10 +47,18 @@ def _cluster_cpus() -> int:
         return 4
 
 
-def read_pages(pages_path: str | list[str], num_blocks: int | None = None) -> rd.Dataset:
+def read_pages(pages_path: str | list[str] | rd.Dataset,
+               num_blocks: int | None = None) -> rd.Dataset:
     """Source: Parquet shards of pages (reference: find-based discovery,
     /root/reference/pmocr.sh:2183).  Column pruning happens here — all
-    five input columns are genuinely consumed downstream."""
+    five input columns are genuinely consumed downstream.
+
+    An already-constructed ``Dataset`` in the canonical pages schema
+    (e.g. from :mod:`pmocr_ray.sources` JSONL ingest) passes through —
+    the rest of the pipeline is source-agnostic."""
+    if isinstance(pages_path, rd.Dataset):
+        return pages_path.select_columns(
+            ["url", "warc_ts", "html", "text", "lang"])
     kwargs = {}
     if num_blocks is not None:
         kwargs["override_num_blocks"] = num_blocks
@@ -82,7 +90,7 @@ def load_done_urls_ref(done_manifest_path: str | None):
 
 
 def run_extraction(
-    pages_path: str | list[str],
+    pages_path: str | list[str] | rd.Dataset,
     done_manifest_path: str | None = None,
     *,
     run_id: str | None = None,

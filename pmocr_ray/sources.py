@@ -1,0 +1,68 @@
+"""Alternate page-source formats beyond Parquet.
+
+The reference ingests whatever files land in a watched directory
+(/root/reference/pmocr.sh:2183); the Parquet reader is the primary
+scale path here, and this module adds the common interchange formats a
+crawl pipeline actually receives, normalized to the canonical pages
+schema (url, warc_ts, html, text, lang) so every downstream stage is
+source-agnostic.
+
+JSONL carries binary html as base64 (JSON has no bytes type); the
+decode is per-batch inside the read pipeline, not a driver loop.
+"""
+
+from __future__ import annotations
+
+import base64
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+PAGES_COLUMNS = ("url", "warc_ts", "html", "text", "lang")
+
+
+def pages_to_jsonl(pages_dir: str, out_dir: str) -> None:
+    """Export canonical pages to JSONL shards (html base64-encoded) —
+    the fixture writer for the JSONL ingest path and a real export."""
+    def encode(batch: pa.Table) -> pa.Table:
+        b64 = pa.array(
+            [base64.b64encode(v).decode("ascii") if v is not None else None
+             for v in batch["html"].to_pylist()],
+            pa.string(),
+        )
+        t = batch.set_column(batch.schema.get_field_index("html"),
+                             "html_b64", b64)
+        return t
+
+    (rd.read_parquet(pages_dir)
+     .map_batches(encode, batch_format="pyarrow")
+     .write_json(out_dir))
+
+
+def read_pages_jsonl(path: str) -> rd.Dataset:
+    """Read JSONL page shards into the canonical pages schema: base64
+    html decoded per batch, warc_ts restored to timestamp[us]."""
+    def decode(batch: pa.Table) -> pa.Table:
+        html = pa.array(
+            [base64.b64decode(v) if v is not None else None
+             for v in batch["html_b64"].to_pylist()],
+            pa.binary(),
+        )
+        ts = batch["warc_ts"]
+        if not pa.types.is_timestamp(ts.type):
+            ts = pc.cast(ts, pa.timestamp("us"))
+        else:
+            ts = pc.cast(ts, pa.timestamp("us"))
+        return pa.table({
+            "url": pc.cast(batch["url"], pa.string()),
+            "warc_ts": ts,
+            "html": html,
+            "text": pc.cast(batch["text"], pa.string())
+            if "text" in batch.column_names
+            else pa.nulls(len(batch), pa.string()),
+            "lang": pc.cast(batch["lang"], pa.string()),
+        })
+
+    return rd.read_json(path).map_batches(decode, batch_format="pyarrow")

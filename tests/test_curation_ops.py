@@ -245,3 +245,59 @@ def test_incremental_exact_dedup_drops_seen_content(ray_session):
     out = incremental_exact_dedup(new, history, n_bits=1 << 10).to_pandas()
     assert list(out["doc_id"]) == [11]
     assert "fp" not in out.columns
+
+
+def test_webdataset_export_deterministic_tars(ray_session, tmp_path):
+    import hashlib
+    import tarfile
+
+    import pandas as pd
+    import ray.data as rd
+
+    from pmocr_ray.ops.export import webdataset_export
+
+    df = pd.DataFrame({"doc_id": range(20),
+                       "text": [f"doc body {i}" for i in range(20)]})
+    out1, out2 = str(tmp_path / "a"), str(tmp_path / "b")
+    audit = webdataset_export(rd.from_pandas(df), out1,
+                              n_shards=4).to_pandas()
+    assert audit["n_members"].sum() == 20
+    # re-export under a different partitioning: identical shard bytes
+    webdataset_export(rd.from_pandas(df).repartition(7), out2,
+                      n_shards=4).to_pandas()
+    for s in audit["shard"]:
+        h1 = hashlib.md5(open(f"{out1}/shard-{s}.tar", "rb").read()).hexdigest()
+        h2 = hashlib.md5(open(f"{out2}/shard-{s}.tar", "rb").read()).hexdigest()
+        assert h1 == h2
+    # members are readable and named by key
+    with tarfile.open(f"{out1}/shard-{audit['shard'].iloc[0]}.tar") as tar:
+        names = tar.getnames()
+        assert all(n.endswith(".txt") for n in names)
+        m = tar.extractfile(names[0]).read().decode()
+        assert m.startswith("doc body ")
+
+
+def test_jsonl_source_roundtrip_extraction(ray_session, tmp_path):
+    """JSONL ingest path produces byte-identical extraction output to
+    the Parquet path over the same pages."""
+    import collections
+
+    from pmocr_ray.fixtures import ensure_pages_fixture
+    from pmocr_ray.pipeline import run_extraction
+    from pmocr_ray.sources import pages_to_jsonl, read_pages_jsonl
+
+    pages, manifest = ensure_pages_fixture("/root/testdata/sf0.001")
+    jdir = str(tmp_path / "pages_jsonl")
+    pages_to_jsonl(pages, jdir)
+
+    via_jsonl = run_extraction(read_pages_jsonl(jdir), manifest,
+                               run_id="jsonl")
+    via_parquet = run_extraction(pages, manifest, run_id="parquet")
+    a = {r["url"]: (r["status"], r["extracted_text"])
+         for r in via_jsonl.select_columns(
+             ["url", "status", "extracted_text"]).take_all()}
+    b = {r["url"]: (r["status"], r["extracted_text"])
+         for r in via_parquet.select_columns(
+             ["url", "status", "extracted_text"]).take_all()}
+    assert a == b
+    assert collections.Counter(s for s, _ in a.values())["done"] == 3000
