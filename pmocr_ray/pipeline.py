@@ -232,3 +232,33 @@ def write_output(result_ds: rd.Dataset, out_dir: str,
         result_ds.write_parquet(out_dir, partition_cols=["status"])
     else:
         result_ds.write_parquet(out_dir)
+
+
+def run_extraction_bloom_skip(
+    pages_path: str | list[str] | rd.Dataset,
+    done_manifest_path: str,
+    **kwargs,
+) -> rd.Dataset:
+    """Flagship variant for done sets too large to broadcast: the
+    done-url skip becomes a :func:`pmocr_ray.ops.joins.bloom_anti_join`
+    of pages against the manifest BEFORE extraction.
+
+    The broadcast done-set in :func:`run_extraction` is O(done urls);
+    the Bloom bitmap is fixed-size, and exactness is preserved by the
+    verify join inside the operator (a false positive costs a shuffled
+    row, never a wrongly skipped url).  Semantics differ in ONE way,
+    deliberate: previously-done urls are DROPPED from the output
+    instead of carried as ``status="skipped_suffix"`` rows — at 10^12
+    done urls you do not re-emit a skip row per done url every run.
+    Non-done rows produce byte-identical output to the broadcast path
+    (tested).
+    """
+    from pmocr_ray.ops.joins import bloom_anti_join
+    from pmocr_ray.state.manifest import _manifest_shard_files
+
+    files = _manifest_shard_files(done_manifest_path)
+    pages = read_pages(pages_path)
+    if files:
+        done = rd.read_parquet(files, columns=["url"])
+        pages = bloom_anti_join(pages, done, on="url")
+    return run_extraction(pages, None, **kwargs)

@@ -202,3 +202,25 @@ def test_alert_hook_fires_on_failures(tmp_env, tmp_path):
     run_incremental(tmp_env["monitored"], tmp_env["out"],
                     tmp_env["manifest"], tmp_env["done"], on_complete=hook)
     assert len(open(alerts).readlines()) == 1
+
+
+def test_bloom_skip_matches_broadcast_path(ray_session, tmp_path):
+    """run_extraction_bloom_skip: non-done rows byte-identical to the
+    broadcast done-set path; done rows dropped (not skip-marked)."""
+    from pmocr_ray.fixtures import ensure_pages_fixture
+    from pmocr_ray.pipeline import run_extraction, run_extraction_bloom_skip
+
+    pages, manifest = ensure_pages_fixture("/root/testdata/sf0.001")
+    broadcast = {
+        r["url"]: (r["status"], r["extracted_text"])
+        for r in run_extraction(pages, manifest, run_id="x")
+        .select_columns(["url", "status", "extracted_text"]).take_all()}
+    bloom = {
+        r["url"]: (r["status"], r["extracted_text"])
+        for r in run_extraction_bloom_skip(pages, manifest, run_id="x")
+        .select_columns(["url", "status", "extracted_text"]).take_all()}
+    done_urls = {u for u, (s, _) in broadcast.items() if s == "skipped_suffix"}
+    assert done_urls and done_urls.isdisjoint(bloom)  # dropped, not marked
+    for u, v in bloom.items():
+        assert broadcast[u] == v
+    assert set(bloom) == set(broadcast) - done_urls
