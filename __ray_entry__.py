@@ -641,6 +641,20 @@ def _q_len_percentile(sf_dir: str):
     return docs.map_batches(annotate, batch_format="pyarrow")
 
 
+def _q_lm_score(sf_dir: str):
+    """Char-bigram LM quality scoring (train-then-score; no SQL oracle —
+    the model is corpus-trained; determinism and ordering are
+    pytest-verified)."""
+    import ray.data as rd
+
+    from pmocr_ray.ops.text import lm_score
+
+    return (lm_score(rd.read_parquet(
+                os.path.join(sf_dir, "documents.parquet"),
+                columns=["doc_id", "text"]))
+            .select_columns(["doc_id", "lm_logprob"]))
+
+
 def _q_kmeans_cells(sf_dir: str):
     """Full-corpus Lloyd k-means (iterative — no SQL oracle; fixed-point
     determinism is pytest-verified bit-identical across partitionings);
@@ -1244,6 +1258,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trending_terms": _q_trending_terms,
         "len_percentile": _q_len_percentile,
         "kmeans_cells": _q_kmeans_cells,
+        "lm_score": _q_lm_score,
         "events_with_session": _q_events_with_session,
         "len_bucket": _q_len_bucket,
         "funnel_stages": _q_funnel_stages,

@@ -693,3 +693,97 @@ def range_bucket(ds, column: str = "n_chars",
                          "bucket": pa.array(bucket, pa.int64())})
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def train_char_bigram_lm(ds, column: str = "text",
+                         top_chars: int = 64) -> dict:
+    """Train a character-bigram language model over the corpus: counts
+    of (prev, next) over the ``top_chars`` most frequent characters
+    (everything else folds to one OOV bucket).
+
+    Combiner shape: per-batch local bigram count tables → one tiny
+    groupby (≤ (top_chars+1)² keys) → driver assembles the count
+    matrix (bounded, independent of corpus size).  Returns a dict
+    {"chars": str, "counts": (V+1, V+1) int64 ndarray} for
+    :class:`BigramScoreStage`.
+    """
+    from ray.data.aggregate import Sum
+
+    def char_partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        c: Counter = Counter()
+        for t in batch[column].to_pylist():
+            if t:
+                c.update(t)
+        items = c.most_common()
+        return pa.table({"ch": pa.array([k for k, _ in items], pa.string()),
+                         "n": pa.array([v for _, v in items], pa.int64())})
+
+    char_rows = (ds.map_batches(char_partial, batch_format="pyarrow")
+                 .groupby("ch").aggregate(Sum("n", alias_name="n"))
+                 .sort(["n", "ch"], descending=[True, False])
+                 .limit(top_chars).take_all())
+    chars = "".join(sorted(r["ch"] for r in char_rows))
+    idx = {c: i for i, c in enumerate(chars)}
+    V = len(chars)
+
+    def bigram_partial(batch: pa.Table) -> pa.Table:
+        counts = np.zeros((V + 1, V + 1), np.int64)
+        for t in batch[column].to_pylist():
+            if not t or len(t) < 2:
+                continue
+            ids = np.array([idx.get(c, V) for c in t], np.int64)
+            np.add.at(counts, (ids[:-1], ids[1:]), 1)
+        nz = np.nonzero(counts)
+        return pa.table({
+            "i": pa.array(nz[0], pa.int64()),
+            "j": pa.array(nz[1], pa.int64()),
+            "n": pa.array(counts[nz], pa.int64()),
+        })
+
+    rows = (ds.map_batches(bigram_partial, batch_format="pyarrow")
+            .groupby(["i", "j"]).aggregate(Sum("n", alias_name="n"))
+            .take_all())
+    counts = np.ones((V + 1, V + 1), np.int64)  # add-one smoothing
+    for r in rows:
+        counts[r["i"], r["j"]] += r["n"]
+    return {"chars": chars, "counts": counts}
+
+
+class BigramScoreStage:
+    """Actor-pool stage: per-doc mean log-probability under the trained
+    char-bigram LM (higher = more corpus-like; the classic
+    perplexity-style quality filter).  The model (log-prob matrix) is
+    broadcast once and turned into a lookup in ``__init__``; scoring a
+    doc is one vectorized gather + mean.
+    """
+
+    def __init__(self, model_ref, column: str = "text") -> None:
+        model = ray.get(model_ref)
+        self.idx = {c: i for i, c in enumerate(model["chars"])}
+        counts = model["counts"].astype(np.float64)
+        self.logp = np.log(counts / counts.sum(axis=1, keepdims=True))
+        self.oov = len(model["chars"])
+        self.column = column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = np.full(len(batch), -np.inf)
+        for r, t in enumerate(batch[self.column].to_pylist()):
+            if not t or len(t) < 2:
+                continue
+            ids = np.array([self.idx.get(c, self.oov) for c in t], np.int64)
+            out[r] = float(self.logp[ids[:-1], ids[1:]].mean())
+        return batch.append_column("lm_logprob", pa.array(out, pa.float64()))
+
+
+def lm_score(ds, column: str = "text", top_chars: int = 64,
+             concurrency=(1, 4)):
+    """Train-then-score composition: train the bigram LM on the corpus
+    (combiner + tiny groupby), broadcast it, score every doc in an
+    actor pool.  Deterministic given the corpus."""
+    model = train_char_bigram_lm(ds, column=column, top_chars=top_chars)
+    ref = ray.put(model)
+    return ds.map_batches(BigramScoreStage,
+                          fn_constructor_kwargs={"model_ref": ref,
+                                                 "column": column},
+                          batch_format="pyarrow", concurrency=concurrency)

@@ -595,3 +595,26 @@ def test_hourly_retention_consecutive_hours(ray_session):
             for r in hourly_retention(rd.from_pandas(df)).take_all()}
     assert rows == {"2024-01-01 00:00:00": 1,   # u1 retained h0->h1
                     "2024-01-01 01:00:00": 1}   # u3 retained h1->h2
+
+
+def test_lm_score_prefers_corpus_like_text(ray_session):
+    from pmocr_ray.ops.text import lm_score
+    corpus = ["the quick brown fox jumps over the lazy dog"] * 20
+    probe = ["the quick brown fox", "zzqxj zzqxj qqqq"]
+    df = pd.DataFrame({"doc_id": range(22), "text": corpus + probe})
+    out = lm_score(rd.from_pandas(df)).to_pandas()
+    fluent = float(out[out["doc_id"] == 20]["lm_logprob"].iloc[0])
+    garbage = float(out[out["doc_id"] == 21]["lm_logprob"].iloc[0])
+    assert fluent > garbage
+
+
+def test_lm_score_partition_invariant(ray_session):
+    from pmocr_ray.ops.text import lm_score
+    df = pd.DataFrame({"doc_id": range(30),
+                       "text": [f"sample text number {i} with words" * 3
+                                for i in range(30)]})
+    a = lm_score(rd.from_pandas(df)).to_pandas().sort_values("doc_id")
+    b = (lm_score(rd.from_pandas(df).repartition(7))
+         .to_pandas().sort_values("doc_id"))
+    assert np.array_equal(a["lm_logprob"].to_numpy(),
+                          b["lm_logprob"].to_numpy())
