@@ -655,6 +655,16 @@ def _q_lm_score(sf_dir: str):
             .select_columns(["doc_id", "lm_logprob"]))
 
 
+def _q_quantize_embeddings(sf_dir: str):
+    import ray.data as rd
+
+    from pmocr_ray.ops.knn import quantize_embeddings
+
+    return quantize_embeddings(
+        rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"]))
+
+
 def _q_kmeans_cells(sf_dir: str):
     """Full-corpus Lloyd k-means (iterative — no SQL oracle; fixed-point
     determinism is pytest-verified bit-identical across partitionings);
@@ -1259,6 +1269,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "len_percentile": _q_len_percentile,
         "kmeans_cells": _q_kmeans_cells,
         "lm_score": _q_lm_score,
+        "quantize_embeddings": _q_quantize_embeddings,
         "events_with_session": _q_events_with_session,
         "len_bucket": _q_len_bucket,
         "funnel_stages": _q_funnel_stages,
@@ -1737,6 +1748,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, 0.99::DOUBLE,
                    CAST(quantile_disc(n_chars, 0.99) AS BIGINT)
             FROM documents GROUP BY lang""",
+        "quantize_embeddings": """
+            WITH u AS (
+              SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+                     CAST(unnest(embedding) AS DOUBLE) AS v
+              FROM embeddings),
+            b AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM u GROUP BY dim)
+            SELECT u.vec_id, u.dim,
+                   CAST(CASE WHEN b.mx > b.mn
+                             THEN floor((u.v - b.mn) / (b.mx - b.mn) * 255)
+                             ELSE 0 END AS BIGINT) AS q
+            FROM u JOIN b USING (dim)""",
         "label_centroids": """
             SELECT label, dim,
                    CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT))

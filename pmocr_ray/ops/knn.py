@@ -363,3 +363,52 @@ def kmeans_distributed(ds: rd.Dataset, k: int, *, column: str = "embedding",
             break
         cent = new
     return cent
+
+
+def quantize_embeddings(ds: rd.Dataset, *, key: str = "vec_id",
+                        column: str = "embedding") -> rd.Dataset:
+    """Uniform int8 quantization of an embedding column — the
+    storage/serving compression step of an ANN index build.
+
+    Two passes, both shuffle-light: (1) per-dim min/max via per-batch
+    numpy partials → a groupby bounded by the dimension count; (2) the
+    bounds (two dim-length arrays) broadcast to a map-only vectorized
+    quantize.  All arithmetic in float64 (exact for float32 inputs), so
+    the codes are bit-deterministic: ``q = floor((v-mn)/(mx-mn)*255)``,
+    0 where a dim is constant.  Returns COO rows (key, dim, q).
+    """
+    from ray.data.aggregate import Max, Min
+
+    def bounds_partial(batch: pa.Table) -> pa.Table:
+        mat = np.asarray(batch[column].to_pylist(), dtype=np.float64)
+        d = mat.shape[1]
+        return pa.table({
+            "dim": pa.array(np.arange(1, d + 1), pa.int64()),
+            "mn": pa.array(mat.min(axis=0), pa.float64()),
+            "mx": pa.array(mat.max(axis=0), pa.float64()),
+        })
+
+    rollup = (ds.map_batches(bounds_partial, batch_format="pyarrow")
+              .groupby("dim").aggregate(Min("mn", alias_name="mn"),
+                                        Max("mx", alias_name="mx"))
+              .sort("dim").take_all())
+    mn = np.array([r["mn"] for r in rollup])
+    mx = np.array([r["mx"] for r in rollup])
+    ref = ray.put((mn, mx))
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        lo, hi = ray.get(ref)
+        mat = np.asarray(batch[column].to_pylist(), dtype=np.float64)
+        span = hi - lo
+        with np.errstate(divide="ignore", invalid="ignore"):
+            q = np.floor((mat - lo) / span * 255.0)
+        q = np.where(span > 0, q, 0.0).astype(np.int64)
+        n, d = mat.shape
+        ids = np.asarray(batch[key].to_pylist(), dtype=np.int64)
+        return pa.table({
+            key: pa.array(np.repeat(ids, d), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(1, d + 1), n), pa.int64()),
+            "q": pa.array(q.ravel(), pa.int64()),
+        })
+
+    return ds.map_batches(quantize, batch_format="pyarrow")

@@ -618,3 +618,17 @@ def test_lm_score_partition_invariant(ray_session):
          .to_pandas().sort_values("doc_id"))
     assert np.array_equal(a["lm_logprob"].to_numpy(),
                           b["lm_logprob"].to_numpy())
+
+
+def test_quantize_embeddings_codes(ray_session):
+    from pmocr_ray.ops.knn import quantize_embeddings
+    df = pd.DataFrame({
+        "vec_id": pd.array([0, 1, 2], dtype="int64"),
+        "embedding": [[0.0, 5.0], [1.0, 5.0], [2.0, 5.0]],
+    })
+    out = quantize_embeddings(rd.from_pandas(df).repartition(3)).to_pandas()
+    r = {(int(x["vec_id"]), int(x["dim"])): int(x["q"])
+         for _, x in out.iterrows()}
+    assert r[(0, 1)] == 0 and r[(2, 1)] == 255  # min->0, max->255
+    assert r[(1, 1)] == 127                      # floor(0.5*255)
+    assert r[(0, 2)] == r[(1, 2)] == r[(2, 2)] == 0  # constant dim
