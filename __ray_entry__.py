@@ -665,6 +665,17 @@ def _q_quantize_embeddings(sf_dir: str):
                         columns=["vec_id", "embedding"]))
 
 
+def _q_span_extract(sf_dir: str):
+    import ray.data as rd
+
+    from pmocr_ray.ops.text import regex_explode
+
+    return regex_explode(
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"]),
+        r"scan \w+")
+
+
 def _q_kmeans_cells(sf_dir: str):
     """Full-corpus Lloyd k-means (iterative — no SQL oracle; fixed-point
     determinism is pytest-verified bit-identical across partitionings);
@@ -1270,6 +1281,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_cells": _q_kmeans_cells,
         "lm_score": _q_lm_score,
         "quantize_embeddings": _q_quantize_embeddings,
+        "span_extract": _q_span_extract,
         "events_with_session": _q_events_with_session,
         "len_bucket": _q_len_bucket,
         "funnel_stages": _q_funnel_stages,
@@ -1748,6 +1760,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, 0.99::DOUBLE,
                    CAST(quantile_disc(n_chars, 0.99) AS BIGINT)
             FROM documents GROUP BY lang""",
+        "span_extract": r"""
+            SELECT doc_id, unnest(regexp_extract_all(text, 'scan \w+'))
+                     AS match
+            FROM documents""",
         "quantize_embeddings": """
             WITH u AS (
               SELECT vec_id, generate_subscripts(embedding, 1) AS dim,

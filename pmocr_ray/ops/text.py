@@ -787,3 +787,41 @@ def lm_score(ds, column: str = "text", top_chars: int = 64,
                           fn_constructor_kwargs={"model_ref": ref,
                                                  "column": column},
                           batch_format="pyarrow", concurrency=concurrency)
+
+
+class RegexExplodeStage:
+    """Actor-pool stage: explode every regex match of ``pattern`` into
+    its own (key, match) row — span/entity extraction (urls, emails,
+    phrases) as a dataflow op.  The compiled pattern is per-actor state
+    (amortized-init); output cardinality is match count, so a batch's
+    fan-out is data-dependent — exactly what ``map_batches`` with a
+    variable-length output table handles.
+    """
+
+    def __init__(self, pattern: str, key: str = "doc_id",
+                 column: str = "text") -> None:
+        self.rx = re.compile(pattern)
+        self.key = key
+        self.column = column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys_out, matches = [], []
+        for k, t in zip(batch[self.key].to_pylist(),
+                        batch[self.column].to_pylist()):
+            if not t:
+                continue
+            for m in self.rx.findall(t):
+                keys_out.append(k)
+                matches.append(m)
+        return pa.table({self.key: pa.array(keys_out, pa.int64()),
+                         "match": pa.array(matches, pa.string())})
+
+
+def regex_explode(ds, pattern: str, *, key: str = "doc_id",
+                  column: str = "text", concurrency=(1, 4)):
+    """One (key, match) row per regex hit across the corpus."""
+    return ds.map_batches(RegexExplodeStage,
+                          fn_constructor_kwargs={"pattern": pattern,
+                                                 "key": key,
+                                                 "column": column},
+                          batch_format="pyarrow", concurrency=concurrency)

@@ -632,3 +632,12 @@ def test_quantize_embeddings_codes(ray_session):
     assert r[(0, 1)] == 0 and r[(2, 1)] == 255  # min->0, max->255
     assert r[(1, 1)] == 127                      # floor(0.5*255)
     assert r[(0, 2)] == r[(1, 2)] == r[(2, 2)] == 0  # constant dim
+
+
+def test_regex_explode_matches(ray_session):
+    from pmocr_ray.ops.text import regex_explode
+    df = pd.DataFrame({"doc_id": [1, 2],
+                       "text": ["scan fast scan slow", "no hits here"]})
+    out = regex_explode(rd.from_pandas(df), r"scan \w+").to_pandas()
+    assert sorted(out["match"]) == ["scan fast", "scan slow"]
+    assert set(out["doc_id"]) == {1}
