@@ -1206,6 +1206,114 @@ def _q_shard_counts(sf_dir: str):
                         key="url", n_shards=16)
 
 
+def _q_gopher_quality(sf_dir: str):
+    """Gopher-style document shape rules (arXiv:2112.11446 §A1.1) as a
+    map-only vectorized Arrow stage; integer cross-multiplied
+    thresholds so the verdict is exactly SQL-reproducible."""
+    from pmocr_ray.ops.filters import gopher_quality
+
+    return _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        gopher_quality, batch_format="pyarrow")
+
+
+def _q_c4_filter(sf_dir: str):
+    """C4-style line filter (arXiv:1910.10683 §2.2) over a derived
+    multi-line view of the corpus (newline every 8 words — the raw
+    fixture is single-line prose, so the strict terminal-punctuation
+    rule would be degenerate; the line rule here keeps lines
+    containing the token 'table' with ≥8 words).  Exercises the full
+    machinery: split → per-line vectorized mask → ListArray rebuild →
+    binary_join reassembly → doc verdict."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from pmocr_ray.ops.filters import c4_line_filter
+
+    def derive_lines(t: pa.Table) -> pa.Table:
+        t2 = pc.replace_substring_regex(
+            t["text"], r"((?:\S+ ){7}\S+) ", "\\1\n")
+        return pa.table({"doc_id": t["doc_id"], "text": t2})
+
+    return (_docs(sf_dir).select_columns(["doc_id", "text"])
+            .map_batches(derive_lines, batch_format="pyarrow")
+            .map_batches(lambda t: c4_line_filter(
+                t, line_keep_re=r"(?:^|[ \t])table(?:[ \t]|$)",
+                min_line_words=8, min_kept_lines=2),
+                batch_format="pyarrow"))
+
+
+def _q_ntile_buckets(sf_dir: str):
+    """Equal-frequency NTILE(8) bucketing over (n_chars, doc_id) order
+    — distributed two-pass ordered scan, exact SQL NTILE semantics."""
+    import ray.data as rd
+
+    from pmocr_ray.ops.pack import ntile_buckets
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "n_chars"])
+    return ntile_buckets(ds, 8)
+
+
+def _q_rollup_orders(sf_dir: str):
+    """GROUP BY ROLLUP(segment, nation) in one pass: pre-aggregate
+    orders per customer INSIDE map_batches (combiner), one hash join
+    to customer, one fine-grained groupby — then the coarser rollup
+    levels are derived from the ≤ |segments|×|nations| fine rows (a
+    bounded-size result, safe to fold on the driver at any corpus
+    scale).  Rolled-up keys use 'ALL' / -1 sentinels (COALESCE'd the
+    same way in the oracle) so the three levels union into one
+    hash-stable table."""
+    import pyarrow as pa
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_custkey", "o_totalprice"])
+
+    def per_cust_partial(t: pa.Table) -> pa.Table:
+        cents = np.rint(np.asarray(
+            t["o_totalprice"].to_numpy(zero_copy_only=False)) * 100
+        ).astype(np.int64)
+        g = pa.table({"o_custkey": t["o_custkey"],
+                      "cents": pa.array(cents, pa.int64())}) \
+            .group_by("o_custkey").aggregate([("cents", "sum"),
+                                              ([], "count_all")])
+        return pa.table({"o_custkey": g["o_custkey"],
+                         "cents": g["cents_sum"],
+                         "n": g["count_all"]})
+
+    per_cust = (orders.map_batches(per_cust_partial, batch_format="pyarrow")
+                .groupby("o_custkey")
+                .aggregate(Sum("cents", alias_name="cents"),
+                           Sum("n", alias_name="n")))
+    customer = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                               columns=["c_custkey", "c_mktsegment",
+                                        "c_nationkey"])
+    joined = per_cust.join(customer, join_type="inner", num_partitions=8,
+                           on=("o_custkey",), right_on=("c_custkey",))
+    fine = joined.groupby(["c_mktsegment", "c_nationkey"]).aggregate(
+        Sum("n", alias_name="n_orders"),
+        Sum("cents", alias_name="total_cents"))
+    rows = fine.take_all()  # bounded: |segments| x |nations|
+    out = [{"seg": r["c_mktsegment"], "nationkey": r["c_nationkey"],
+            "n_orders": r["n_orders"], "total_cents": r["total_cents"]}
+           for r in rows]
+    seg_level: dict[str, list[int]] = {}
+    for r in rows:
+        a = seg_level.setdefault(r["c_mktsegment"], [0, 0])
+        a[0] += r["n_orders"]; a[1] += r["total_cents"]
+    for seg, (n, c) in seg_level.items():
+        out.append({"seg": seg, "nationkey": -1, "n_orders": n,
+                    "total_cents": c})
+    out.append({"seg": "ALL", "nationkey": -1,
+                "n_orders": sum(r["n_orders"] for r in rows),
+                "total_cents": sum(r["total_cents"] for r in rows)})
+    return pa.Table.from_pylist(out, schema=pa.schema([
+        ("seg", pa.string()), ("nationkey", pa.int64()),
+        ("n_orders", pa.int64()), ("total_cents", pa.int64())]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction pipeline family (pages fixture derived from documents)
@@ -1295,6 +1403,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup": _q_line_dedup,
         "decontaminate": _q_decontaminate,
         "shard_counts": _q_shard_counts,
+        "gopher_quality": _q_gopher_quality,
+        "c4_filter": _q_c4_filter,
+        "ntile_buckets": _q_ntile_buckets,
+        "rollup_orders": _q_rollup_orders,
         # composed curation
         "curate": _q_curate,
         # multimodal
@@ -1665,6 +1777,64 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_chars // 100 AS bucket,
                    CAST(count(*) AS BIGINT) AS n
             FROM documents GROUP BY bucket""",
+        "gopher_quality": r"""
+            WITH g AS (
+              SELECT doc_id,
+                len(regexp_extract_all(text, '\S+')) AS n_words,
+                CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT)
+                  AS n_word_chars,
+                len(regexp_extract_all(text, '\S*[A-Za-z]\S*'))
+                  AS n_alpha_words,
+                CAST(1 + length(text) - length(replace(text, chr(10), ''))
+                     AS BIGINT) AS n_lines,
+                len(regexp_extract_all(text, '(?m)^[ \t]*[-*•]'))
+                  AS n_bullet_lines,
+                len(regexp_extract_all(text, '(?m)(\.\.\.|…)[ \t]*$'))
+                  AS n_ellipsis_lines
+              FROM documents)
+            SELECT doc_id, n_words, n_word_chars, n_alpha_words, n_lines,
+                   n_bullet_lines, n_ellipsis_lines,
+                   (n_words BETWEEN 50 AND 100000
+                    AND n_word_chars BETWEEN 3 * n_words AND 10 * n_words
+                    AND 100 * n_bullet_lines <= 90 * n_lines
+                    AND 100 * n_ellipsis_lines <= 30 * n_lines
+                    AND 100 * n_alpha_words >= 80 * n_words) AS keep
+            FROM g""",
+        "c4_filter": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     regexp_replace(text, '((?:\S+ ){7}\S+) ',
+                                    '\1' || chr(10), 'g') AS t2
+              FROM documents
+            ), f AS (
+              SELECT doc_id, t2,
+                CAST(len(split(t2, chr(10))) AS BIGINT) AS n_lines,
+                list_filter(split(t2, chr(10)),
+                    l -> regexp_matches(l, '(?:^|[ \t])table(?:[ \t]|$)')
+                         AND len(regexp_extract_all(l, '\S+')) >= 8) AS kept
+              FROM d)
+            SELECT doc_id, n_lines,
+                   CAST(len(kept) AS BIGINT) AS n_kept_lines,
+                   COALESCE(array_to_string(kept, chr(10)), '') AS kept_text,
+                   (len(kept) >= 2
+                    AND NOT contains(lower(t2), 'lorem ipsum')
+                    AND NOT contains(t2, '{')) AS keep
+            FROM f""",
+        "ntile_buckets": """
+            SELECT doc_id, n_chars,
+                   CAST(row_number() OVER (ORDER BY n_chars, doc_id)
+                        AS BIGINT) AS rnk,
+                   CAST(ntile(8) OVER (ORDER BY n_chars, doc_id)
+                        AS BIGINT) AS bucket
+            FROM documents""",
+        "rollup_orders": """
+            SELECT COALESCE(c_mktsegment, 'ALL') AS seg,
+                   CAST(COALESCE(c_nationkey, -1) AS BIGINT) AS nationkey,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS total_cents
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY ROLLUP(c_mktsegment, c_nationkey)""",
         "knn_multi": """
             SELECT CAST(qid AS INTEGER) AS query_idx, vec_id,
                    CAST(rank AS INTEGER) AS rank FROM (

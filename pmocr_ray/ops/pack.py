@@ -138,3 +138,63 @@ def hash_shuffle_rank(docs: rd.Dataset, key: str = "doc_id",
         })
 
     return hashed.groupby("part").map_groups(per_part, batch_format="pandas")
+
+
+def ntile_buckets(docs: rd.Dataset, k: int, order_col: str = "n_chars",
+                  key: str = "doc_id", part_width: int = 16) -> rd.Dataset:
+    """Equal-frequency bucket assignment: SQL ``NTILE(k) OVER (ORDER BY
+    order_col, key)`` as a distributed operator.
+
+    Third reuse of the two-pass ordered scan (see
+    :func:`pack_sequences`): partition the sort ORDER into contiguous
+    ranges (``part = order_col // part_width`` — order-preserving), per
+    -part counts → broadcast exclusive offsets → per-part local sort +
+    ``arange`` gives the exact global rank; the NTILE boundary formula
+    is then a pure per-row computation against the broadcast total.
+
+    ``part_width`` bounds per-part memory at the cost of balance; at
+    scale, replace the fixed width with sampled order-statistic range
+    boundaries (same shape as ``ops/knn.kmeans_cells`` sampling) so
+    parts stay even under any value distribution.  Emits
+    (key, order_col, rnk [1-based], bucket [1-based NTILE semantics:
+    the first ``N % k`` buckets get the extra row]).
+    """
+    from ray.data.aggregate import Count
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        part = pc.divide(batch[order_col], part_width).cast(pa.int64())
+        return pa.table({key: batch[key], order_col: batch[order_col],
+                         "part": part})
+
+    keyed_ds = docs.map_batches(keyed, batch_format="pyarrow")
+    totals = (keyed_ds.select_columns(["part"])
+              .groupby("part").aggregate(Count(alias_name="n")).take_all())
+    totals.sort(key=lambda r: r["part"])
+    offsets, acc = {}, 0
+    for r in totals:
+        offsets[r["part"]] = acc
+        acc += r["n"]
+    n_total = acc
+    offsets_ref = ray.put(offsets)
+
+    size, rem = divmod(n_total, k)
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(offsets_ref)[int(g["part"].iloc[0])]
+        g = g.sort_values([order_col, key])
+        r0 = off + np.arange(len(g), dtype=np.int64)  # 0-based global rank
+        cut = (size + 1) * rem  # ranks below this fall in the fat buckets
+        bucket = np.where(
+            r0 < cut,
+            r0 // (size + 1) if size + 1 > 0 else 0,
+            rem + (np.maximum(r0 - cut, 0) // size if size > 0 else 0),
+        ).astype(np.int64) + 1
+        return pd.DataFrame({
+            key: g[key].to_numpy(),
+            order_col: g[order_col].to_numpy(),
+            "rnk": r0 + 1,
+            "bucket": bucket,
+        })
+
+    return keyed_ds.groupby("part").map_groups(per_part,
+                                               batch_format="pandas")
