@@ -1206,6 +1206,22 @@ def _q_shard_counts(sf_dir: str):
                         key="url", n_shards=16)
 
 
+def _q_domain_reweight(sf_dir: str):
+    """Uniform-mix rebalancing: per-group counts (tiny groupby) →
+    broadcast integer thresholds → deterministic md5-bucket filter."""
+    from pmocr_ray.ops.text import domain_reweight
+
+    return domain_reweight(_docs(sf_dir).select_columns(["doc_id", "lang"]))
+
+
+def _q_posting_lists(sf_dir: str):
+    """Inverted-index export: exact df + first-20 posting list per
+    term; per-batch capped candidates bound the shuffle at vocab×cap."""
+    from pmocr_ray.ops.text import posting_lists
+
+    return posting_lists(_docs(sf_dir).select_columns(["doc_id", "text"]))
+
+
 def _q_gopher_quality(sf_dir: str):
     """Gopher-style document shape rules (arXiv:2112.11446 §A1.1) as a
     map-only vectorized Arrow stage; integer cross-multiplied
@@ -1403,6 +1419,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup": _q_line_dedup,
         "decontaminate": _q_decontaminate,
         "shard_counts": _q_shard_counts,
+        "domain_reweight": _q_domain_reweight,
+        "posting_lists": _q_posting_lists,
         "gopher_quality": _q_gopher_quality,
         "c4_filter": _q_c4_filter,
         "ntile_buckets": _q_ntile_buckets,
@@ -1777,6 +1795,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_chars // 100 AS bucket,
                    CAST(count(*) AS BIGINT) AS n
             FROM documents GROUP BY bucket""",
+        "domain_reweight": """
+            WITH n AS (SELECT lang, count(*) AS n_g
+                       FROM documents GROUP BY lang),
+                 t AS (SELECT min(n_g) AS target_n FROM n)
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN n USING (lang) CROSS JOIN t
+            WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                       AS UBIGINT) % 1048576
+                  < (t.target_n * 1048576) // n.n_g""",
+        "posting_lists": r"""
+            WITH pairs AS (
+              SELECT DISTINCT term, doc_id FROM (
+                SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term
+                FROM documents))
+            SELECT term, CAST(count(*) AS BIGINT) AS df,
+                   array_to_string(
+                     list_slice(list(doc_id ORDER BY doc_id), 1, 20), ',')
+                     AS postings
+            FROM pairs GROUP BY term""",
         "gopher_quality": r"""
             WITH g AS (
               SELECT doc_id,

@@ -825,3 +825,99 @@ def regex_explode(ds, pattern: str, *, key: str = "doc_id",
                                                  "key": key,
                                                  "column": column},
                           batch_format="pyarrow", concurrency=concurrency)
+
+
+# ------------------------------------------- mix rebalancing / indexing
+
+
+def domain_reweight(ds, group_column: str = "lang",
+                    key_column: str = "doc_id",
+                    bucket_bits: int = 20):
+    """Rebalance a corpus to a uniform group mix by deterministic
+    down-sampling: every group is reduced to (about) the size of the
+    SMALLEST group — the language/domain rebalancing step a
+    pre-training mix applies, with the rates *computed from the data*
+    rather than supplied (contrast :func:`stratified_sample`).
+
+    Two phases, both scale-safe:
+
+    1. per-group row counts (a tiny combiner groupby — one row per
+       group crosses the wire);
+    2. the driver turns counts into integer keep-thresholds
+       ``t_g = target_n * 2^bucket_bits // n_g`` (target_n = min group
+       count) and broadcasts the dict; a map-only filter keeps a row
+       iff ``md5(key) mod 2^bucket_bits < t_g`` — deterministic,
+       partition-invariant, and exactly reproducible in SQL (same md5
+       prefix arithmetic as :func:`hash_sample`).
+    """
+    import hashlib as _hl
+
+    from ray.data.aggregate import Count
+
+    counts = {r[group_column]: r["n"] for r in
+              ds.select_columns([group_column]).groupby(group_column)
+              .aggregate(Count(alias_name="n")).take_all()}
+    target_n = min(counts.values())
+    mod = 1 << bucket_bits
+    thresholds = {g: target_n * mod // n for g, n in counts.items()}
+
+    def keep(batch: pa.Table) -> pa.Table:
+        keys = batch[key_column].to_pylist()
+        grps = batch[group_column].to_pylist()
+        mask = pa.array(
+            [int(_hl.md5(str(k).encode()).hexdigest()[:8], 16) % mod
+             < thresholds[g] for k, g in zip(keys, grps)],
+            pa.bool_())
+        return batch.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def posting_lists(ds, column: str = "text", key: str = "doc_id",
+                  cap: int = 20):
+    """Inverted-index export: per term, the exact document frequency
+    and the first ``cap`` doc ids (ascending) of its posting list.
+
+    The cap is the scale story: a stop-word's full posting list at
+    corpus scale is the corpus itself, so each batch contributes at
+    most ``cap`` candidate ids per term (a doc lives in exactly one
+    batch, so per-batch distinct (term, doc) pairs are globally
+    distinct and partial DFs sum exactly); the per-term merge then
+    keeps the ``cap`` smallest of the ≤ cap×n_batches candidates.
+    Shuffle volume is bounded by vocab × cap, never corpus size.
+    """
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(batch[column], r"\s+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        mask = pc.not_equal(flat, "")
+        ids = batch[key].take(parent.filter(mask))
+        pairs = pa.table({"term": flat.filter(mask), "d": ids}) \
+            .group_by(["term", "d"]).aggregate([])
+        df = pairs.to_pandas().sort_values(["term", "d"])
+        g = df.groupby("term", sort=False)
+        head = g.head(cap)
+        agg = head.groupby("term", sort=False)["d"].agg(list)
+        partial_df = g.size()
+        return pa.table({
+            "term": pa.array(agg.index, pa.string()),
+            "pdf": pa.array(partial_df[agg.index].to_numpy(), pa.int64()),
+            "cand": pa.array(agg.to_numpy().tolist(),
+                             pa.list_(pa.int64())),
+        })
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        ids = np.sort(np.concatenate([np.asarray(c, dtype=np.int64)
+                                      for c in g["cand"]]))[:cap]
+        return pd.DataFrame({
+            "term": [g["term"].iloc[0]],
+            "df": np.asarray([g["pdf"].sum()], dtype=np.int64),
+            "postings": [",".join(str(i) for i in ids)],
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("term").map_groups(merge, batch_format="pandas"))

@@ -171,3 +171,61 @@ def test_ntile_partition_invariance():
          .to_pandas().sort_values("doc_id").reset_index(drop=True))
     assert (a["rnk"].to_numpy() == b["rnk"].to_numpy()).all()
     assert (a["bucket"].to_numpy() == b["bucket"].to_numpy()).all()
+
+
+# ------------------------------------- domain reweight / posting lists
+
+def test_domain_reweight_balances_groups():
+    from pmocr_ray.ops.text import domain_reweight
+
+    # 400 'en' + 40 'de': en must shrink to ~40, de keeps everything
+    t = pa.table({
+        "doc_id": list(range(440)),
+        "lang": ["en"] * 400 + ["de"] * 40,
+    })
+    out = domain_reweight(rd.from_arrow(t)).to_pandas()
+    counts = out["lang"].value_counts().to_dict()
+    assert counts.get("de", 0) == 40           # threshold = mod -> keep all
+    assert 20 <= counts.get("en", 0) <= 60     # ~40 expected, hash jitter
+
+
+def test_domain_reweight_deterministic_and_partition_invariant():
+    from pmocr_ray.ops.text import domain_reweight
+
+    t = pa.table({"doc_id": list(range(300)),
+                  "lang": (["en"] * 200 + ["fr"] * 100)})
+    a = domain_reweight(rd.from_arrow(t)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = domain_reweight(rd.from_arrow(t).repartition(7)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert (a["doc_id"].to_numpy() == b["doc_id"].to_numpy()).all()
+
+
+def test_posting_lists_cap_and_df():
+    from pmocr_ray.ops.text import posting_lists
+
+    # 30 docs all containing 'common'; only doc 5 contains 'rare rare'
+    texts = ["common filler words here"] * 30
+    texts[5] = "common rare rare token"
+    t = pa.table({"doc_id": list(range(30)), "text": texts})
+    out = posting_lists(rd.from_arrow(t), cap=10).to_pandas() \
+        .set_index("term")
+    assert out.loc["common", "df"] == 30
+    # capped at the 10 smallest doc ids, df still exact
+    assert out.loc["common", "postings"] == ",".join(map(str, range(10)))
+    assert out.loc["rare", "df"] == 1          # distinct docs, not occurrences
+    assert out.loc["rare", "postings"] == "5"
+
+
+def test_posting_lists_cross_batch_merge():
+    from pmocr_ray.ops.text import posting_lists
+
+    # high doc_ids appear in a different partition than low ones; merge
+    # must still keep the globally smallest ids
+    t = pa.table({"doc_id": [100, 101, 1, 2, 3],
+                  "text": ["x shared", "x", "x shared", "x", "x"]})
+    out = posting_lists(rd.from_arrow(t).repartition(3), cap=3).to_pandas() \
+        .set_index("term")
+    assert out.loc["x", "df"] == 5
+    assert out.loc["x", "postings"] == "1,2,3"
+    assert out.loc["shared", "postings"] == "1,100"
