@@ -1206,6 +1206,40 @@ def _q_shard_counts(sf_dir: str):
                         key="url", n_shards=16)
 
 
+def _q_chunk_tokens(sf_dir: str):
+    """Sliding-window token chunking (window 64, stride 48): flat-map
+    explode, numpy-indexed gather, ListArray+binary_join reassembly."""
+    from pmocr_ray.ops.pack import chunk_tokens
+
+    return chunk_tokens(_docs(sf_dir).select_columns(["doc_id", "text"]),
+                        window=64, stride=48)
+
+
+def _q_line_self_dedup(sf_dir: str):
+    """Within-document line dedup over the derived multi-line view
+    (newline every 8 words, same derivation as c4_filter)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from pmocr_ray.ops.dedup import line_self_dedup
+
+    def derive_lines(t: pa.Table) -> pa.Table:
+        t2 = pc.replace_substring_regex(
+            t["text"], r"((?:\S+ ){7}\S+) ", "\\1\n")
+        return pa.table({"doc_id": t["doc_id"], "text": t2})
+
+    return line_self_dedup(
+        _docs(sf_dir).select_columns(["doc_id", "text"])
+        .map_batches(derive_lines, batch_format="pyarrow"))
+
+
+def _q_split_assign(sf_dir: str):
+    """Deterministic 80/10/10 train/val/test assignment by md5 bucket."""
+    from pmocr_ray.ops.text import split_assign
+
+    return split_assign(_docs(sf_dir).select_columns(["doc_id", "lang"]))
+
+
 def _q_domain_reweight(sf_dir: str):
     """Uniform-mix rebalancing: per-group counts (tiny groupby) →
     broadcast integer thresholds → deterministic md5-bucket filter."""
@@ -1419,6 +1453,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup": _q_line_dedup,
         "decontaminate": _q_decontaminate,
         "shard_counts": _q_shard_counts,
+        "chunk_tokens": _q_chunk_tokens,
+        "line_self_dedup": _q_line_self_dedup,
+        "split_assign": _q_split_assign,
         "domain_reweight": _q_domain_reweight,
         "posting_lists": _q_posting_lists,
         "gopher_quality": _q_gopher_quality,
@@ -1795,6 +1832,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_chars // 100 AS bucket,
                    CAST(count(*) AS BIGINT) AS n
             FROM documents GROUP BY bucket""",
+        "chunk_tokens": r"""
+            WITH tok AS (
+              SELECT doc_id, regexp_extract_all(text, '\S+') AS ts
+              FROM documents),
+            ch AS (
+              SELECT doc_id, ts,
+                unnest(range(CASE WHEN len(ts) = 0 THEN 0
+                                  WHEN len(ts) <= 64 THEN 1
+                                  ELSE (len(ts) - 64 + 47) // 48 + 1 END))
+                  AS k
+              FROM tok)
+            SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
+                   CAST(least(k * 48 + 64, len(ts)) - k * 48 AS BIGINT)
+                     AS n_tokens,
+                   array_to_string(ts[k * 48 + 1 : least(k * 48 + 64,
+                                                         len(ts))], ' ')
+                     AS chunk_text
+            FROM ch""",
+        "line_self_dedup": r"""
+            WITH d AS (
+              SELECT doc_id, regexp_replace(text, '((?:\S+ ){7}\S+) ',
+                                            '\1' || chr(10), 'g') AS t2
+              FROM documents),
+            l AS (
+              SELECT doc_id,
+                     unnest(split(t2, chr(10))) AS line,
+                     unnest(range(len(split(t2, chr(10))))) AS pos
+              FROM d),
+            f AS (
+              SELECT doc_id, line, min(pos) AS p
+              FROM l GROUP BY doc_id, line)
+            SELECT f.doc_id,
+                   CAST(any_value(nl.n) AS BIGINT) AS n_lines,
+                   CAST(count(*) AS BIGINT) AS n_unique_lines,
+                   string_agg(f.line, chr(10) ORDER BY f.p) AS dedup_text
+            FROM f JOIN (SELECT doc_id,
+                                len(split(t2, chr(10))) AS n FROM d) nl
+                   ON f.doc_id = nl.doc_id
+            GROUP BY f.doc_id""",
+        "split_assign": """
+            SELECT doc_id, lang,
+                   CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS
+                          VARCHAR)), 1, 8)) AS UBIGINT) % 100 < 80
+                          THEN 'train'
+                        WHEN CAST(('0x' || substr(md5(CAST(doc_id AS
+                          VARCHAR)), 1, 8)) AS UBIGINT) % 100 < 90
+                          THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents""",
         "domain_reweight": """
             WITH n AS (SELECT lang, count(*) AS n_g
                        FROM documents GROUP BY lang),

@@ -968,3 +968,55 @@ def incremental_exact_dedup(new_docs: rd.Dataset, history: rd.Dataset, *,
         fingerprint, fn_kwargs={"column": column}, batch_format="pyarrow")
     out = bloom_anti_join(new_fp, hist_fp, on="fp", n_bits=n_bits)
     return out.drop_columns(["fp"])
+
+
+def line_self_dedup(ds, key: str = "doc_id", column: str = "text"):
+    """WITHIN-document line dedup: drop repeated lines inside each
+    document, keeping the first occurrence, and rebuild the text (the
+    boilerplate-collapse step — nav menus / footers repeated inside
+    one page — complementing :func:`line_dedup`'s cross-corpus pass).
+
+    Map-only and batch-local by construction (a document never spans
+    batches), so it scales as a pure map stage.  Vectorized: split →
+    flatten with parent indices → first-occurrence mask via a single
+    local group_by(parent, line) min-position → ListArray rebuild +
+    ``binary_join``.  Emits (key, n_lines, n_unique_lines, dedup_text).
+    """
+    import numpy as np
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        col = pc.fill_null(batch[column], "")
+        lines = pc.split_pattern(col, "\n")
+        chunked = lines if isinstance(lines, pa.ChunkedArray) \
+            else pa.chunked_array([lines])
+        outs = []
+        for chunk in chunked.chunks:
+            values = chunk.values
+            offsets = chunk.offsets.to_numpy(zero_copy_only=False)
+            parent = pc.list_parent_indices(chunk)
+            n = len(values)
+            pos = pa.array(np.arange(n, dtype=np.int64))
+            firsts = pa.table({"p": parent, "l": values, "i": pos}) \
+                .group_by(["p", "l"]).aggregate([("i", "min")])
+            keep_idx = np.sort(firsts["i_min"].to_numpy(
+                zero_copy_only=False))
+            mask = np.zeros(n, dtype=bool)
+            mask[keep_idx] = True
+            kept_cum = np.concatenate([[0], np.cumsum(mask)])
+            new_offsets = kept_cum[offsets]
+            kept_list = pa.ListArray.from_arrays(
+                pa.array(new_offsets, pa.int64()), values.filter(
+                    pa.array(mask)))
+            outs.append((np.diff(offsets).astype(np.int64),
+                         np.diff(new_offsets).astype(np.int64),
+                         pc.binary_join(kept_list, "\n")))
+        return pa.table({
+            key: batch[key],
+            "n_lines": pa.chunked_array(
+                [pa.array(o[0], pa.int64()) for o in outs]),
+            "n_unique_lines": pa.chunked_array(
+                [pa.array(o[1], pa.int64()) for o in outs]),
+            "dedup_text": pa.chunked_array([o[2] for o in outs]),
+        })
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")

@@ -198,3 +198,70 @@ def ntile_buckets(docs: rd.Dataset, k: int, order_col: str = "n_chars",
 
     return keyed_ds.groupby("part").map_groups(per_part,
                                                batch_format="pandas")
+
+
+def chunk_tokens(docs: rd.Dataset, window: int, stride: int,
+                 key: str = "doc_id", column: str = "text") -> rd.Dataset:
+    """Sliding-window token chunking (the RAG / long-context prep op):
+    each document's whitespace tokens are cut into chunks of
+    ``window`` tokens every ``stride`` tokens (overlapping when
+    stride < window; the final chunk may be short).  Emits
+    (key, chunk_idx, n_tokens, chunk_text) — a flat-map explode.
+
+    Map-only and fully vectorized: tokens are flattened once per
+    batch; chunk token indices are built with numpy repeat/arange
+    arithmetic and gathered with one ``take``; chunk texts come from a
+    rebuilt ListArray + ``binary_join``.  No per-row Python loop, no
+    shuffle, no state — scales as a pure map stage.
+    """
+    def explode(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.fill_null(batch[column], ""), r"\s+")
+        # drop empty strings produced by leading/trailing whitespace
+        flat_all = pc.list_flatten(toks)
+        parent_all = pc.list_parent_indices(toks)
+        nonempty = pc.not_equal(flat_all, "")
+        flat = flat_all.filter(nonempty)
+        parent = parent_all.filter(nonempty).to_numpy(zero_copy_only=False)
+        n_rows = batch.num_rows
+        t_cnt = np.bincount(parent, minlength=n_rows).astype(np.int64)
+        row_off = np.concatenate([[0], np.cumsum(t_cnt)])[:-1]
+
+        n_chunks = np.where(
+            t_cnt == 0, 0,
+            np.where(t_cnt <= window, 1,
+                     (t_cnt - window + stride - 1) // stride + 1))
+        total_chunks = int(n_chunks.sum())
+        if total_chunks == 0:
+            return pa.table({key: pa.array([], batch[key].type),
+                             "chunk_idx": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "chunk_text": pa.array([], pa.string())})
+        chunk_row = np.repeat(np.arange(n_rows), n_chunks)
+        # chunk index within its row
+        first_chunk = np.concatenate([[0], np.cumsum(n_chunks)])[:-1]
+        chunk_idx = np.arange(total_chunks) - np.repeat(first_chunk, n_chunks)
+        starts = chunk_idx * stride
+        lens = np.minimum(starts + window, t_cnt[chunk_row]) - starts
+        # token indices: repeat each chunk's (flat start) len times + intra
+        tok_total = int(lens.sum())
+        intra = (np.arange(tok_total)
+                 - np.repeat(np.concatenate([[0], np.cumsum(lens)])[:-1],
+                             lens))
+        gather = np.repeat(row_off[chunk_row] + starts, lens) + intra
+        chunk_tok = flat.take(pa.array(gather, pa.int64()))
+        offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+        chunk_list = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int64()),
+            chunk_tok.combine_chunks() if isinstance(chunk_tok,
+                                                     pa.ChunkedArray)
+            else chunk_tok)
+        text = pc.binary_join(chunk_list, " ")
+        return pa.table({
+            key: batch[key].take(pa.array(chunk_row, pa.int64())),
+            "chunk_idx": pa.array(chunk_idx, pa.int64()),
+            "n_tokens": pa.array(lens, pa.int64()),
+            "chunk_text": text,
+        })
+
+    return docs.map_batches(explode, batch_format="pyarrow")

@@ -921,3 +921,25 @@ def posting_lists(ds, column: str = "text", key: str = "doc_id",
 
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby("term").map_groups(merge, batch_format="pandas"))
+
+
+def split_assign(ds, key_column: str = "doc_id",
+                 pct: tuple[int, int] = (80, 10)):
+    """Deterministic train/val/test split assignment: md5(key) bucket
+    in [0,100) → 'train' below ``pct[0]``, 'val' below
+    ``pct[0]+pct[1]``, else 'test'.  Map-only, partition-invariant,
+    re-runnable — the split survives any reshuffle or rerun, unlike a
+    random_sample.  Same md5 convention as :func:`hash_sample`."""
+    import hashlib as _hl
+
+    lo, mid = pct[0], pct[0] + pct[1]
+
+    def assign(batch: pa.Table) -> pa.Table:
+        buckets = [int(_hl.md5(str(k).encode()).hexdigest()[:8], 16) % 100
+                   for k in batch[key_column].to_pylist()]
+        split = pa.array(
+            ["train" if b < lo else ("val" if b < mid else "test")
+             for b in buckets], pa.string())
+        return batch.append_column("split", split)
+
+    return ds.map_batches(assign, batch_format="pyarrow")

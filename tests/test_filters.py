@@ -229,3 +229,71 @@ def test_posting_lists_cross_batch_merge():
     assert out.loc["x", "df"] == 5
     assert out.loc["x", "postings"] == "1,2,3"
     assert out.loc["shared", "postings"] == "1,100"
+
+
+# -------------------------------- chunking / self-dedup / split assign
+
+def test_chunk_tokens_windows_and_tail():
+    from pmocr_ray.ops.pack import chunk_tokens
+
+    # 10 tokens, window 4, stride 3 -> starts 0,3,6 (start 6 covers the
+    # last token, so no redundant 4th chunk); lens 4,4,4
+    text = " ".join(f"t{i}" for i in range(10))
+    t = pa.table({"doc_id": [1, 2, 3],
+                  "text": [text, "a b", ""]})
+    out = (chunk_tokens(rd.from_arrow(t), window=4, stride=3)
+           .to_pandas().sort_values(["doc_id", "chunk_idx"])
+           .reset_index(drop=True))
+    d1 = out[out.doc_id == 1]
+    assert d1["chunk_idx"].tolist() == [0, 1, 2]
+    assert d1["n_tokens"].tolist() == [4, 4, 4]
+    assert d1["chunk_text"].tolist()[0] == "t0 t1 t2 t3"
+    assert d1["chunk_text"].tolist()[2] == "t6 t7 t8 t9"
+    # 11 tokens -> starts 0,3,6,9 with a short tail chunk
+    t11 = pa.table({"doc_id": [4],
+                    "text": [" ".join(f"t{i}" for i in range(11))]})
+    tail = (chunk_tokens(rd.from_arrow(t11), window=4, stride=3)
+            .to_pandas().sort_values("chunk_idx"))
+    assert tail["n_tokens"].tolist() == [4, 4, 4, 2]
+    assert tail["chunk_text"].tolist()[3] == "t9 t10"
+    # short doc -> one chunk; empty doc -> zero chunks
+    assert out[out.doc_id == 2]["chunk_text"].tolist() == ["a b"]
+    assert len(out[out.doc_id == 3]) == 0
+
+
+def test_chunk_tokens_overlap_content():
+    from pmocr_ray.ops.pack import chunk_tokens
+
+    text = "w0 w1 w2 w3 w4 w5"
+    t = pa.table({"doc_id": [9], "text": [text]})
+    out = (chunk_tokens(rd.from_arrow(t), window=4, stride=2)
+           .to_pandas().sort_values("chunk_idx"))
+    assert out["chunk_text"].tolist() == ["w0 w1 w2 w3", "w2 w3 w4 w5"]
+
+
+def test_line_self_dedup_keeps_first_occurrence():
+    from pmocr_ray.ops.dedup import line_self_dedup
+
+    doc = "nav menu\ncontent one\nnav menu\ncontent two\nnav menu"
+    t = pa.table({"doc_id": [1, 2], "text": [doc, "only line"]})
+    out = line_self_dedup(rd.from_arrow(t)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out.loc[0, "n_lines"] == 5
+    assert out.loc[0, "n_unique_lines"] == 3
+    assert out.loc[0, "dedup_text"] == "nav menu\ncontent one\ncontent two"
+    assert out.loc[1, "dedup_text"] == "only line"
+
+
+def test_split_assign_proportions_and_determinism():
+    from pmocr_ray.ops.text import split_assign
+
+    t = pa.table({"doc_id": list(range(2000))})
+    a = split_assign(rd.from_arrow(t)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    counts = a["split"].value_counts().to_dict()
+    assert 1500 < counts["train"] < 1700      # ~80%
+    assert 120 < counts["val"] < 280          # ~10%
+    assert 120 < counts["test"] < 280         # ~10%
+    b = split_assign(rd.from_arrow(t).repartition(11)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert (a["split"].to_numpy() == b["split"].to_numpy()).all()
