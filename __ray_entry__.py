@@ -1240,6 +1240,37 @@ def _q_split_assign(sf_dir: str):
     return split_assign(_docs(sf_dir).select_columns(["doc_id", "lang"]))
 
 
+def _q_dup_spans(sf_dir: str):
+    """Cross-document duplicate 8-gram span detection (word-level
+    exact-substring dedup signal): per-doc distinct-gram totals and
+    how many grams recur elsewhere in the corpus."""
+    from pmocr_ray.ops.dedup import dup_span_stats
+
+    return dup_span_stats(_docs(sf_dir).select_columns(["doc_id", "text"]),
+                          n=8)
+
+
+def _q_event_transitions(sf_dir: str):
+    """User-journey Markov rollup: (from_type, to_type, n) over each
+    user's (ts, event_id)-ordered event sequence."""
+    import ray.data as rd
+
+    from pmocr_ray.ops.events import event_transitions
+
+    return event_transitions(
+        rd.read_parquet(os.path.join(sf_dir, "events.parquet")))
+
+
+def _q_inter_arrival(sf_dir: str):
+    """Per-user inter-arrival gap stats in exact int64 microseconds."""
+    import ray.data as rd
+
+    from pmocr_ray.ops.events import inter_arrival_stats
+
+    return inter_arrival_stats(
+        rd.read_parquet(os.path.join(sf_dir, "events.parquet")))
+
+
 def _q_domain_reweight(sf_dir: str):
     """Uniform-mix rebalancing: per-group counts (tiny groupby) →
     broadcast integer thresholds → deterministic md5-bucket filter."""
@@ -1456,6 +1487,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_tokens": _q_chunk_tokens,
         "line_self_dedup": _q_line_self_dedup,
         "split_assign": _q_split_assign,
+        "dup_spans": _q_dup_spans,
+        "event_transitions": _q_event_transitions,
+        "inter_arrival": _q_inter_arrival,
         "domain_reweight": _q_domain_reweight,
         "posting_lists": _q_posting_lists,
         "gopher_quality": _q_gopher_quality,
@@ -1881,6 +1915,45 @@ def oracle_sql() -> dict[str, str]:
                           THEN 'val'
                         ELSE 'test' END AS split
             FROM documents""",
+        "dup_spans": r"""
+            WITH tok AS (
+              SELECT doc_id, regexp_extract_all(text, '\S+') AS ts
+              FROM documents),
+            g AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(ts[k + 1 : k + 8], ' ') AS gram
+              FROM tok, unnest(range(greatest(len(ts) - 7, 0))) AS t(k)),
+            c AS (SELECT gram, count(*) AS nd FROM g GROUP BY gram),
+            per AS (
+              SELECT g.doc_id, count(*) AS n_grams,
+                     sum(CASE WHEN c.nd > 1 THEN 1 ELSE 0 END) AS n_dup
+              FROM g JOIN c USING (gram) GROUP BY g.doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+                   CAST(coalesce(p.n_dup, 0) AS BIGINT) AS n_dup_grams
+            FROM documents d LEFT JOIN per p USING (doc_id)""",
+        "event_transitions": """
+            WITH s AS (
+              SELECT event_type AS from_type,
+                     lead(event_type) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS to_type
+              FROM events)
+            SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+            FROM s WHERE to_type IS NOT NULL
+            GROUP BY from_type, to_type""",
+        "inter_arrival": """
+            WITH s AS (
+              SELECT user_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
+              FROM events)
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(pts) AS BIGINT) AS n_gaps,
+                   CAST(coalesce(sum(date_diff('microsecond', pts, ts)), 0)
+                        AS BIGINT) AS sum_gap_us,
+                   CAST(coalesce(max(date_diff('microsecond', pts, ts)), 0)
+                        AS BIGINT) AS max_gap_us
+            FROM s GROUP BY user_id""",
         "domain_reweight": """
             WITH n AS (SELECT lang, count(*) AS n_g
                        FROM documents GROUP BY lang),

@@ -970,6 +970,83 @@ def incremental_exact_dedup(new_docs: rd.Dataset, history: rd.Dataset, *,
     return out.drop_columns(["fp"])
 
 
+def dup_span_stats(ds, *, key: str = "doc_id", column: str = "text",
+                   n: int = 8):
+    """Cross-document duplicate n-gram span detection — the word-level
+    approximation of exact-substring dedup (the "duplicated 50-gram"
+    signal of train-data dedup literature): for every document, how
+    many of its distinct word ``n``-grams also occur in at least one
+    OTHER document (or more than once elsewhere in the corpus).
+
+    Shuffle discipline: documents never leave their batch.  Stage 1
+    emits one (gram-fingerprint, doc) row per DISTINCT gram per doc —
+    16-byte hashes, never gram text.  Stage 2 is ONE global groupby
+    over the fingerprints; per-doc duplicate counts then come from the
+    identity ``n_dup = n_grams − n_singleton_grams``: a gram with
+    global count 1 has exactly one member, recoverable as ``min(doc)``
+    from the same aggregate — so no join-back to the gram-pair table
+    and no second scan of it.  Per-doc totals are a separate map-only
+    pass over the (pruned) input.  Output: one row per document,
+    (key, n_grams, n_dup_grams), all int64.
+    """
+    def gram_pairs(batch: pa.Table) -> pa.Table:
+        gs: list[str] = []
+        docs: list[int] = []
+        for d, t in zip(batch[key].to_pylist(), batch[column].to_pylist()):
+            w = t.split() if t else []
+            if len(w) < n:
+                continue
+            seen = {hashlib.blake2b(" ".join(w[i:i + n]).encode(),
+                                    digest_size=16).hexdigest()
+                    for i in range(len(w) - n + 1)}
+            gs.extend(seen)
+            docs.extend([d] * len(seen))
+        return pa.table({"g": pa.array(gs, pa.string()),
+                         key: pa.array(docs, pa.int64())})
+
+    def totals(batch: pa.Table) -> pa.Table:
+        # DISTINCT grams per doc, matching stage 1's per-doc dedup
+        dis = []
+        for t in batch[column].to_pylist():
+            w = t.split() if t else []
+            dis.append(len({" ".join(w[i:i + n])
+                            for i in range(len(w) - n + 1)})
+                       if len(w) >= n else 0)
+        return pa.table({key: batch[key],
+                         "n_grams": pa.array(dis, pa.int64()),
+                         "n_uniq": pa.array([0] * len(dis), pa.int64())})
+
+    from ray.data.aggregate import Count, Min, Sum
+
+    src = ds.select_columns([key, column])
+    g_counts = (src.map_batches(gram_pairs, batch_format="pyarrow")
+                .groupby("g")
+                .aggregate(Count(alias_name="nd"),
+                           Min(key, alias_name="only_doc")))
+
+    def singleton_rows(t: pa.Table) -> pa.Table:
+        s = t.filter(pc.equal(t["nd"], 1))
+        return pa.table({key: s["only_doc"],
+                         "n_grams": pa.array([0] * s.num_rows, pa.int64()),
+                         "n_uniq": pa.array([1] * s.num_rows, pa.int64())})
+
+    uniq = g_counts.map_batches(singleton_rows, batch_format="pyarrow")
+    per_doc = (src.map_batches(totals, batch_format="pyarrow")
+               .union(uniq)
+               .groupby(key)
+               .aggregate(Sum("n_grams", alias_name="n_grams"),
+                          Sum("n_uniq", alias_name="n_uniq")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            key: t[key],
+            "n_grams": t["n_grams"],
+            "n_dup_grams": pc.subtract(t["n_grams"], t["n_uniq"]),
+        })
+
+    return per_doc.map_batches(finish, batch_format="pyarrow")
+
+
 def line_self_dedup(ds, key: str = "doc_id", column: str = "text"):
     """WITHIN-document line dedup: drop repeated lines inside each
     document, keeping the first occurrence, and rebuild the text (the

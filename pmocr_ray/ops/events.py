@@ -390,3 +390,62 @@ def hourly_retention(events: rd.Dataset) -> rd.Dataset:
     ret = pairs.groupby("user_id").map_groups(per_user,
                                               batch_format="pandas")
     return ret.groupby("hour").aggregate(Count(alias_name="retained_users"))
+
+
+def event_transitions(events: rd.Dataset) -> rd.Dataset:
+    """Per-user event-sequence transition rollup (the user-journey
+    Markov matrix): order each user's events by ``(ts, event_id)``,
+    pair each event type with its successor (SQL ``lead()``), and
+    count every (from_type, to_type) transition globally.
+
+    Per-user ordered scan in ``map_groups`` (same partitioning
+    assumption as :func:`sessionize`) with the pair counts rolled up
+    LOCALLY per group before the tiny global groupby — the shuffle
+    moves (from, to, n) triples bounded by |event types|² per group,
+    never the event stream itself.
+    """
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        et = g["event_type"].to_numpy()
+        if len(et) < 2:
+            return pd.DataFrame({"from_type": [], "to_type": [], "n": []})
+        local = (pd.DataFrame({"from_type": et[:-1], "to_type": et[1:]})
+                 .groupby(["from_type", "to_type"], as_index=False)
+                 .size().rename(columns={"size": "n"}))
+        return local
+
+    per = (events.select_columns(["user_id", "ts", "event_id", "event_type"])
+           .groupby("user_id")
+           .map_groups(per_user, batch_format="pandas"))
+    out = per.groupby(["from_type", "to_type"]).aggregate(
+        Sum("n", alias_name="n"))
+    return out.map_batches(
+        lambda t: pa.table({"from_type": t["from_type"],
+                            "to_type": t["to_type"],
+                            "n": pc.cast(t["n"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+def inter_arrival_stats(events: rd.Dataset) -> rd.Dataset:
+    """Per-user inter-arrival gap statistics over the sorted event
+    times — the lag-window rollup (n_events, n_gaps, sum/max gap in
+    EXACT int64 microseconds; no floats, so distribution order can't
+    change a bit).  ``sum_gap_us`` telescopes to max(ts)−min(ts);
+    ``max_gap_us`` is the longest silence.  Per-user ordered scan in
+    ``map_groups``, one tiny output row per user.
+    """
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(g["ts"].to_numpy().astype("datetime64[us]")
+                     .astype(np.int64))
+        gaps = np.diff(ts)
+        return pd.DataFrame({
+            "user_id": [g["user_id"].iloc[0]],
+            "n_events": [len(ts)],
+            "n_gaps": [len(gaps)],
+            "sum_gap_us": [int(gaps.sum()) if len(gaps) else 0],
+            "max_gap_us": [int(gaps.max()) if len(gaps) else 0],
+        })
+
+    return (events.select_columns(["user_id", "ts"])
+            .groupby("user_id")
+            .map_groups(per_user, batch_format="pandas"))

@@ -168,3 +168,33 @@ def test_exact_dup_pairs_hot_group_star(ray_session):
     # connectivity for keep/drop decisions is preserved
     roots = connected_components(star)
     assert all(roots[b] == 0 for _, b in star)
+
+
+def test_dup_span_stats_cross_doc_grams(ray_session):
+    from pmocr_ray.ops.dedup import dup_span_stats
+    shared = "the quick brown fox"          # 4-gram shared by docs 1 and 2
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": [shared + " jumps high", "so " + shared + " runs",
+                 "totally different words here now", "short"],
+    })
+    out = dup_span_stats(rd.from_arrow(t).repartition(3), n=4) \
+        .to_pandas().set_index("doc_id").sort_index()
+    # doc 1: grams {the..fox, quick..jumps, brown..high}; only the shared
+    # one recurs (in doc 2)
+    assert out.loc[1, "n_grams"] == 3 and out.loc[1, "n_dup_grams"] == 1
+    assert out.loc[2, "n_grams"] == 3 and out.loc[2, "n_dup_grams"] == 1
+    assert out.loc[3, "n_grams"] == 2 and out.loc[3, "n_dup_grams"] == 0
+    # <n tokens -> zero grams, still present in the output
+    assert out.loc[4, "n_grams"] == 0 and out.loc[4, "n_dup_grams"] == 0
+
+
+def test_dup_span_stats_within_doc_repeat_not_dup(ray_session):
+    from pmocr_ray.ops.dedup import dup_span_stats
+    # the same 2-gram repeated INSIDE one doc is one distinct gram with
+    # global count 1 -> not a cross-doc duplicate
+    t = pa.table({"doc_id": pa.array([1], pa.int64()),
+                  "text": ["ab cd ab cd"]})
+    out = dup_span_stats(rd.from_arrow(t), n=2).to_pandas()
+    assert out.loc[0, "n_grams"] == 2      # {"ab cd", "cd ab"}
+    assert out.loc[0, "n_dup_grams"] == 0

@@ -641,3 +641,51 @@ def test_regex_explode_matches(ray_session):
     out = regex_explode(rd.from_pandas(df), r"scan \w+").to_pandas()
     assert sorted(out["match"]) == ["scan fast", "scan slow"]
     assert set(out["doc_id"]) == {1}
+
+
+def test_event_transitions_ordered_pairs(ray_session):
+    from pmocr_ray.ops.events import event_transitions
+    df = pd.DataFrame({
+        "event_id": [0, 1, 2, 3, 4, 5],
+        "ts": pd.to_datetime(["2024-01-01 00:00", "2024-01-01 00:05",
+                              "2024-01-01 00:10", "2024-01-01 01:00",
+                              "2024-01-01 01:05", "2024-01-01 02:00"]),
+        "user_id": pd.array([1, 1, 1, 2, 2, 3], dtype="int64"),
+        "event_type": ["view", "click", "view", "view", "buy", "view"],
+    })
+    out = event_transitions(rd.from_pandas(df).repartition(3)).to_pandas()
+    r = {(x["from_type"], x["to_type"]): int(x["n"])
+         for _, x in out.iterrows()}
+    # user 1: view->click, click->view; user 2: view->buy; user 3: none
+    assert r == {("view", "click"): 1, ("click", "view"): 1,
+                 ("view", "buy"): 1}
+
+
+def test_event_transitions_tie_break_by_event_id(ray_session):
+    from pmocr_ray.ops.events import event_transitions
+    same = pd.Timestamp("2024-01-01 00:00")
+    df = pd.DataFrame({
+        "event_id": [2, 1, 3],
+        "ts": [same, same, same],
+        "user_id": pd.array([7, 7, 7], dtype="int64"),
+        "event_type": ["b", "a", "c"],   # event_id order: a(1), b(2), c(3)
+    })
+    out = event_transitions(rd.from_pandas(df)).to_pandas()
+    r = {(x["from_type"], x["to_type"]): int(x["n"])
+         for _, x in out.iterrows()}
+    assert r == {("a", "b"): 1, ("b", "c"): 1}
+
+
+def test_inter_arrival_stats_exact_gaps(ray_session):
+    from pmocr_ray.ops.events import inter_arrival_stats
+    df = pd.DataFrame({
+        "user_id": pd.array([1, 1, 1, 2], dtype="int64"),
+        "ts": pd.to_datetime(["2024-01-01 00:00:00", "2024-01-01 00:00:10",
+                              "2024-01-01 00:01:00", "2024-01-01 05:00:00"]),
+    })
+    out = inter_arrival_stats(rd.from_pandas(df).repartition(2)) \
+        .to_pandas().set_index("user_id")
+    assert out.loc[1, "n_events"] == 3 and out.loc[1, "n_gaps"] == 2
+    assert out.loc[1, "sum_gap_us"] == 60_000_000       # telescoping
+    assert out.loc[1, "max_gap_us"] == 50_000_000
+    assert out.loc[2, "n_gaps"] == 0 and out.loc[2, "max_gap_us"] == 0
