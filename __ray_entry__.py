@@ -1271,6 +1271,25 @@ def _q_inter_arrival(sf_dir: str):
         rd.read_parquet(os.path.join(sf_dir, "events.parquet")))
 
 
+def _q_incremental_near_dedup(sf_dir: str):
+    """Crawl-over-crawl near-dup dedup: new docs (doc_id % 5 != 0)
+    kept only if no history doc (doc_id % 5 == 0) has word-shingle
+    Jaccard >= 0.8 against them."""
+    import pyarrow as pa
+
+    from pmocr_ray.ops.dedup import incremental_minhash_dedup
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "lang", "text"])
+    new = _sel(docs, ["doc_id", "lang", "text"],
+               lambda t: pa.array(
+                   t["doc_id"].to_numpy(zero_copy_only=False) % 5 != 0))
+    hist = _sel(docs, ["doc_id", "text"],
+                lambda t: pa.array(
+                    t["doc_id"].to_numpy(zero_copy_only=False) % 5 == 0))
+    return (incremental_minhash_dedup(new, hist, threshold=0.8)
+            .select_columns(["doc_id", "lang"]))
+
+
 def _q_domain_reweight(sf_dir: str):
     """Uniform-mix rebalancing: per-group counts (tiny groupby) →
     broadcast integer thresholds → deterministic md5-bucket filter."""
@@ -1490,6 +1509,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_spans": _q_dup_spans,
         "event_transitions": _q_event_transitions,
         "inter_arrival": _q_inter_arrival,
+        "incremental_near_dedup": _q_incremental_near_dedup,
         "domain_reweight": _q_domain_reweight,
         "posting_lists": _q_posting_lists,
         "gopher_quality": _q_gopher_quality,
@@ -1915,6 +1935,18 @@ def oracle_sql() -> dict[str, str]:
                           THEN 'val'
                         ELSE 'test' END AS split
             FROM documents""",
+        "incremental_near_dedup": _WORD_SHINGLES_CTE + """
+            , newd AS (SELECT * FROM sh WHERE doc_id % 5 <> 0),
+            hist AS (SELECT * FROM sh WHERE doc_id % 5 = 0),
+            dup AS (
+              SELECT DISTINCT n.doc_id
+              FROM newd n JOIN hist h
+                ON CAST(len(list_intersect(n.s, h.s)) AS DOUBLE)
+                   / len(list_distinct(list_concat(n.s, h.s))) >= 0.8)
+            SELECT d.doc_id, d.lang
+            FROM documents d
+            WHERE d.doc_id % 5 <> 0
+              AND d.doc_id NOT IN (SELECT doc_id FROM dup)""",
         "dup_spans": r"""
             WITH tok AS (
               SELECT doc_id, regexp_extract_all(text, '\S+') AS ts

@@ -970,6 +970,85 @@ def incremental_exact_dedup(new_docs: rd.Dataset, history: rd.Dataset, *,
     return out.drop_columns(["fp"])
 
 
+def incremental_minhash_dedup(
+    new_docs: rd.Dataset,
+    history: rd.Dataset,
+    *,
+    key: str = "doc_id",
+    column: str = "text",
+    threshold: float = 0.8,
+    num_perm: int = 128,
+    n_bands: int = 32,
+    shingle_size: int = 3,
+    concurrency: int = 2,
+) -> rd.Dataset:
+    """Near-dup dedup of a NEW crawl against an already-kept corpus
+    (the crawl-over-crawl discipline): drop every new document whose
+    word-shingle Jaccard against ANY history document is ≥ threshold.
+    Within-new duplicates are deliberately NOT decided here — run
+    :func:`minhash_dedup_keep` on the survivors for that.
+
+    Scale shape: both sides are sketched independently (actor pools),
+    their band rows union into ONE bucket groupby, and candidate pairs
+    are filtered to cross-side pairs BEFORE verification — with
+    history ≫ new, the within-history pair mass (the dominant term)
+    never reaches the Jaccard verify join.  Side membership and the
+    final drop set are broadcast as int id sets (the same
+    fits-in-memory-ints assumption the union-find step makes); corpus
+    text only moves through the hash-partitioned verify join.
+    Precondition: ``key`` values are globally unique across both sides.
+    """
+    mh_kwargs = {"num_perm": num_perm, "n_bands": n_bands,
+                 "shingle_size": shingle_size, "key": key, "column": column}
+    bands = (new_docs.map_batches(MinHashStage,
+                                  fn_constructor_kwargs=mh_kwargs,
+                                  batch_format="pyarrow",
+                                  concurrency=(1, concurrency))
+             .union(history.map_batches(MinHashStage,
+                                        fn_constructor_kwargs=mh_kwargs,
+                                        batch_format="pyarrow",
+                                        concurrency=(1, concurrency))))
+    candidates = lsh_candidate_pairs(bands)
+
+    new_ids: set = set()
+    for blk in new_docs.select_columns([key]).iter_batches(
+            batch_format="pyarrow"):
+        new_ids.update(blk[key].to_pylist())
+    new_ref = ray.put(frozenset(new_ids))
+
+    def cross_side(t: pa.Table) -> pa.Table:
+        ids = ray.get(new_ref)
+        a = t["a"].to_pylist()
+        b = t["b"].to_pylist()
+        mask = pa.array([(x in ids) != (y in ids) for x, y in zip(a, b)],
+                        pa.bool_())
+        return t.filter(mask)
+
+    cross = candidates.map_batches(cross_side, batch_format="pyarrow")
+    corpus = new_docs.select_columns([key, column]).union(
+        history.select_columns([key, column]))
+    paired = attach_pair_sides(cross, corpus, key=key, column=column)
+    verified = paired.map_batches(
+        _jaccard_verify_fn(column, threshold, shingle_size, False),
+        batch_format="pyarrow",
+    )
+
+    dup_new: set = set()
+    for blk in verified.select_columns(["a", "b"]).iter_batches(
+            batch_format="pyarrow"):
+        for x in blk["a"].to_pylist() + blk["b"].to_pylist():
+            if x in new_ids:
+                dup_new.add(x)
+    dup_ref = ray.put(frozenset(dup_new))
+
+    def keep(t: pa.Table) -> pa.Table:
+        d = ray.get(dup_ref)
+        return t.filter(pa.array([x not in d for x in t[key].to_pylist()],
+                                 pa.bool_()))
+
+    return new_docs.map_batches(keep, batch_format="pyarrow")
+
+
 def dup_span_stats(ds, *, key: str = "doc_id", column: str = "text",
                    n: int = 8):
     """Cross-document duplicate n-gram span detection — the word-level
