@@ -1290,6 +1290,22 @@ def _q_incremental_near_dedup(sf_dir: str):
             .select_columns(["doc_id", "lang"]))
 
 
+def _q_clip_outliers(sf_dir: str):
+    """Winsorize n_chars at exact p5/p95 (broadcast bounds, map-only)."""
+    from pmocr_ray.ops.text import clip_outliers
+
+    return clip_outliers(_docs(sf_dir).select_columns(
+        ["doc_id", "n_chars"]))
+
+
+def _q_bpe_pairs(sf_dir: str):
+    """Top-50 adjacent char-pair frequencies weighted by word counts
+    (the BPE first-merge statistic)."""
+    from pmocr_ray.ops.text import bpe_pair_counts
+
+    return bpe_pair_counts(_docs(sf_dir).select_columns(["text"]), k=50)
+
+
 def _q_domain_reweight(sf_dir: str):
     """Uniform-mix rebalancing: per-group counts (tiny groupby) →
     broadcast integer thresholds → deterministic md5-bucket filter."""
@@ -1510,6 +1526,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": _q_event_transitions,
         "inter_arrival": _q_inter_arrival,
         "incremental_near_dedup": _q_incremental_near_dedup,
+        "clip_outliers": _q_clip_outliers,
+        "bpe_pairs": _q_bpe_pairs,
         "domain_reweight": _q_domain_reweight,
         "posting_lists": _q_posting_lists,
         "gopher_quality": _q_gopher_quality,
@@ -1935,6 +1953,25 @@ def oracle_sql() -> dict[str, str]:
                           THEN 'val'
                         ELSE 'test' END AS split
             FROM documents""",
+        "clip_outliers": """
+            WITH b AS (SELECT quantile_disc(n_chars, 0.05) AS lo,
+                              quantile_disc(n_chars, 0.95) AS hi
+                       FROM documents)
+            SELECT doc_id, n_chars,
+                   CAST(least(greatest(n_chars, b.lo), b.hi) AS BIGINT)
+                     AS clipped
+            FROM documents, b""",
+        "bpe_pairs": r"""
+            WITH w AS (
+              SELECT unnest(regexp_extract_all(text, '\S+')) AS word
+              FROM documents),
+            wc AS (SELECT word, count(*) AS c FROM w GROUP BY word),
+            p AS (
+              SELECT substring(word, i, 2) AS pair,
+                     CAST(sum(c) AS BIGINT) AS n
+              FROM wc, unnest(range(1, length(word))) AS t(i)
+              GROUP BY pair)
+            SELECT pair, n FROM p ORDER BY n DESC, pair LIMIT 50""",
         "incremental_near_dedup": _WORD_SHINGLES_CTE + """
             , newd AS (SELECT * FROM sh WHERE doc_id % 5 <> 0),
             hist AS (SELECT * FROM sh WHERE doc_id % 5 = 0),

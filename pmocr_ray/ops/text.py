@@ -943,3 +943,63 @@ def split_assign(ds, key_column: str = "doc_id",
         return batch.append_column("split", split)
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def clip_outliers(ds, column: str = "n_chars",
+                  lo_q: float = 0.05, hi_q: float = 0.95):
+    """Winsorize an integer column at exact corpus quantiles: the
+    outlier-handling pass before any length-weighted statistic.
+    Bounds come from :func:`length_quantiles` (value-counts rollup
+    bounded by distinct values, quantile_disc rule), broadcast as two
+    ints; the clip itself is one map-only Arrow kernel pass.  Emits
+    the input rows plus a ``clipped`` column.
+    """
+    b = length_quantiles(ds, column=column, qs=(lo_q, hi_q))
+    lo, hi = int(b["value"][0].as_py()), int(b["value"][1].as_py())
+
+    def clip(batch: pa.Table) -> pa.Table:
+        c = pc.min_element_wise(
+            pc.max_element_wise(batch[column], pa.scalar(lo, pa.int64())),
+            pa.scalar(hi, pa.int64()))
+        return batch.append_column("clipped", pc.cast(c, pa.int64()))
+
+    return ds.map_batches(clip, batch_format="pyarrow")
+
+
+def bpe_pair_counts(ds, column: str = "text", k: int = 50):
+    """Adjacent character-pair frequencies weighted by word frequency —
+    the first-merge statistic of BPE tokenizer training, at corpus
+    scale.  Per batch: one vectorized ``value_counts`` over the
+    flattened tokens gives the batch vocabulary, then pairs are
+    enumerated over DISTINCT words only (vocab-bounded, not
+    token-bounded) and pre-summed locally — the combiner discipline;
+    the global groupby moves (pair, n) partials.  Top-k is a
+    distributed ``sort(n desc, pair asc).limit(k)`` — deterministic
+    under ties, only k rows reach the driver side.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.fill_null(batch[column], ""),
+                                      r"\s+")
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = pc.value_counts(flat)
+        counts: dict[str, int] = {}
+        for sv in vc:
+            w = sv["values"].as_py()
+            c = sv["counts"].as_py()
+            for i in range(len(w) - 1):
+                p = w[i:i + 2]
+                counts[p] = counts.get(p, 0) + c
+        return pa.table({"pair": pa.array(list(counts), pa.string()),
+                         "n": pa.array(list(counts.values()), pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("pair").aggregate(Sum("n", alias_name="n")))
+    return (agg.map_batches(
+                lambda t: pa.table({"pair": t["pair"],
+                                    "n": pc.cast(t["n"], pa.int64())}),
+                batch_format="pyarrow")
+            .sort(["n", "pair"], descending=[True, False])
+            .limit(k))

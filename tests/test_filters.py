@@ -297,3 +297,30 @@ def test_split_assign_proportions_and_determinism():
     b = split_assign(rd.from_arrow(t).repartition(11)).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     assert (a["split"].to_numpy() == b["split"].to_numpy()).all()
+
+
+def test_clip_outliers_bounds(ray_session):
+    from pmocr_ray.ops.text import clip_outliers
+
+    # 100 values 1..100: quantile_disc(0.05)=ceil(5)=rank 5 -> 5,
+    # 0.95 -> rank 95 -> 95
+    t = pa.table({"doc_id": pa.array(range(100), pa.int64()),
+                  "n_chars": pa.array(range(1, 101), pa.int64())})
+    out = clip_outliers(rd.from_arrow(t).repartition(4)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["clipped"].min() == 5 and out["clipped"].max() == 95
+    assert out.loc[49, "clipped"] == 50          # interior untouched
+    assert (out[out.n_chars < 5]["clipped"] == 5).all()
+
+
+def test_bpe_pair_counts_word_weighted(ray_session):
+    from pmocr_ray.ops.text import bpe_pair_counts
+
+    # "ab" x3 (as two docs), "abc" x1 -> pair "ab": 3+1=4, "bc": 1
+    t = pa.table({"text": ["ab ab", "ab abc", "x"]})
+    out = bpe_pair_counts(rd.from_arrow(t).repartition(3), k=10) \
+        .to_pandas()
+    r = dict(zip(out["pair"], out["n"]))
+    assert r == {"ab": 4, "bc": 1}
+    # top-1 deterministic
+    assert out.iloc[0]["pair"] == "ab"
