@@ -952,6 +952,74 @@ def _q_revenue_by_nation(sf_dir: str):
     )
 
 
+def _q_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape — two LARGE-large hash joins (no broadcast dim):
+    lineitem revenue pre-aggregated per order INSIDE map_batches
+    (combiner) with the shipdate filter applied before any shuffle;
+    orders date-filtered at the scan; segment-filtered customers join
+    as a semi-join side; exact 1e-4-dollar int64 revenue; distributed
+    ``sort().limit(10)`` so only 10 rows reach the driver."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    cut = pa.scalar(datetime.datetime(1998, 1, 1), pa.timestamp("us"))
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"])
+
+    def rev_per_order(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_shipdate"], cut))
+        ext = np.rint(np.asarray(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False)) * 100
+        ).astype(np.int64)
+        disc = np.rint(np.asarray(
+            t["l_discount"].to_numpy(zero_copy_only=False)) * 100
+        ).astype(np.int64)
+        tt = pa.table({"l_orderkey": t["l_orderkey"],
+                       "rev": pa.array(ext * (100 - disc), pa.int64())})
+        g = tt.group_by("l_orderkey").aggregate([("rev", "sum")])
+        return pa.table({"l_orderkey": g["l_orderkey"],
+                         "rev": g["rev_sum"]})
+
+    per_order = (li.map_batches(rev_per_order, batch_format="pyarrow")
+                 .groupby("l_orderkey")
+                 .aggregate(Sum("rev", alias_name="revenue_e4")))
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_orderpriority"]).map_batches(
+        lambda t: t.filter(pc.less(t["o_orderdate"], cut)),
+        batch_format="pyarrow")
+    j1 = per_order.join(orders, join_type="inner", num_partitions=8,
+                        on=("l_orderkey",), right_on=("o_orderkey",))
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    ).filter(expr="c_mktsegment == 'BUILDING'").select_columns(
+        ["c_custkey"])
+    j2 = j1.join(cust, join_type="inner", num_partitions=8,
+                 on=("o_custkey",), right_on=("c_custkey",))
+    return (j2.select_columns(
+                ["l_orderkey", "revenue_e4", "o_orderdate",
+                 "o_orderpriority"])
+            .sort(["revenue_e4", "l_orderkey"], descending=[True, False])
+            .limit(10))
+
+
+def _q_zorder(sf_dir: str):
+    """Z-order (Morton) layout key over (n_chars, lang) + file bucket."""
+    from pmocr_ray.ops.pack import zorder_values
+
+    return zorder_values(_docs(sf_dir))
+
+
 def _q_curate(sf_dir: str):
     """Composed curation pipeline: lang-ID + quality + near-dup dedup
     over the documents table (rows-only: heuristic + approximate)."""
@@ -1528,6 +1596,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_near_dedup": _q_incremental_near_dedup,
         "clip_outliers": _q_clip_outliers,
         "bpe_pairs": _q_bpe_pairs,
+        "shipping_priority": _q_shipping_priority,
+        "zorder": _q_zorder,
         "domain_reweight": _q_domain_reweight,
         "posting_lists": _q_posting_lists,
         "gopher_quality": _q_gopher_quality,
@@ -1953,6 +2023,44 @@ def oracle_sql() -> dict[str, str]:
                           THEN 'val'
                         ELSE 'test' END AS split
             FROM documents""",
+        "shipping_priority": """
+            WITH rev AS (
+              SELECT l_orderkey,
+                     CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                              * (100 - CAST(round(l_discount * 100)
+                                            AS BIGINT))) AS BIGINT)
+                       AS revenue_e4
+              FROM lineitem
+              WHERE l_shipdate > TIMESTAMP '1998-01-01'
+              GROUP BY l_orderkey)
+            SELECT r.l_orderkey, r.revenue_e4, o.o_orderdate,
+                   o.o_orderpriority
+            FROM rev r
+            JOIN orders o ON r.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE o.o_orderdate < TIMESTAMP '1998-01-01'
+              AND c.c_mktsegment = 'BUILDING'
+            ORDER BY r.revenue_e4 DESC, r.l_orderkey
+            LIMIT 10""",
+        "zorder": """
+            WITH lc AS (
+              SELECT lang,
+                     CAST(row_number() OVER (ORDER BY lang) - 1
+                          AS BIGINT) AS code
+              FROM (SELECT DISTINCT lang FROM documents)),
+            b AS (
+              SELECT d.doc_id, d.n_chars % 65536 AS x, lc.code AS y
+              FROM documents d JOIN lc USING (lang)),
+            z AS (
+              SELECT doc_id,
+                     CAST(sum((((x >> i) & 1) << (2 * i))
+                              + (((y >> i) & 1) << (2 * i + 1)))
+                          AS BIGINT) AS zvalue
+              FROM b, unnest(range(16)) AS t(i)
+              GROUP BY doc_id)
+            SELECT doc_id, zvalue,
+                   CAST(zvalue >> 20 AS BIGINT) AS file_bucket
+            FROM z""",
         "clip_outliers": """
             WITH b AS (SELECT quantile_disc(n_chars, 0.05) AS lo,
                               quantile_disc(n_chars, 0.95) AS hi

@@ -265,3 +265,44 @@ def chunk_tokens(docs: rd.Dataset, window: int, stride: int,
         })
 
     return docs.map_batches(explode, batch_format="pyarrow")
+
+
+def zorder_values(ds: rd.Dataset, x_col: str = "n_chars",
+                  cat_col: str = "lang", key: str = "doc_id",
+                  bits: int = 16, bucket_shift: int = 20) -> rd.Dataset:
+    """Z-order (Morton) layout key over (numeric, category): interleave
+    the low ``bits`` of the numeric column with the category's dense
+    alphabetical code — the multi-dimensional data-layout key that
+    keeps rows close in BOTH dimensions close in the written file
+    order, so either predicate prunes row groups.  Emits
+    (key, zvalue, file_bucket = zvalue >> bucket_shift).
+
+    The category dictionary is a tiny groupby rollup (bounded by
+    |categories|), broadcast; the interleave itself is a map-only
+    numpy bit pass (vectorized per bit position, no per-row loop).
+    Writing sorted-by-zvalue partitioned files is then
+    ``ds.sort("zvalue").write_parquet(...)`` — kept separate so the
+    key derivation stays oracle-checkable.
+    """
+    cats = sorted(
+        r[cat_col]
+        for r in ds.groupby(cat_col).count().select_columns([cat_col])
+        .take_all())
+    code = {c: i for i, c in enumerate(cats)}
+
+    def z(batch: pa.Table) -> pa.Table:
+        x = batch[x_col].to_numpy(zero_copy_only=False).astype(np.int64) \
+            & ((1 << bits) - 1)
+        y = np.array([code[c] for c in batch[cat_col].to_pylist()],
+                     np.int64)
+        zv = np.zeros(len(x), np.int64)
+        for i in range(bits):
+            zv |= ((x >> i) & 1) << (2 * i)
+            zv |= ((y >> i) & 1) << (2 * i + 1)
+        return pa.table({key: batch[key],
+                         "zvalue": pa.array(zv, pa.int64()),
+                         "file_bucket": pa.array(zv >> bucket_shift,
+                                                 pa.int64())})
+
+    return ds.select_columns([key, x_col, cat_col]).map_batches(
+        z, batch_format="pyarrow")

@@ -1,6 +1,7 @@
 """Sequence packing / distributed prefix-sum tests."""
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 import ray.data as rd
 
@@ -46,3 +47,34 @@ def test_hash_shuffle_rank_is_total_order(ray_session):
     ordered = out.sort_values("rank")
     hs = list(ordered["h"])
     assert hs == sorted(hs)  # rank order IS hash order
+
+
+def test_zorder_values_interleave(ray_session):
+    from pmocr_ray.ops.pack import zorder_values
+
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "n_chars": pa.array([0b101, 0b11, 0], pa.int64()),
+                  "lang": ["b", "a", "b"]})    # codes: a=0, b=1
+    out = zorder_values(rd.from_arrow(t).repartition(2)) \
+        .to_pandas().set_index("doc_id")
+    # doc 1: x=101, y=1 -> bits x0..: z = x interleaved even, y odd
+    #   x=5 (101): bits at 0,4 -> 1+16=17 ; y=1: bit at 1 -> 2 ; z=19
+    assert out.loc[1, "zvalue"] == 19
+    # doc 2: x=3 (11): bits 0,2 -> 5 ; y=0 -> z=5
+    assert out.loc[2, "zvalue"] == 5
+    # doc 3: x=0, y=1 -> z=2
+    assert out.loc[3, "zvalue"] == 2
+    assert (out["file_bucket"] == out["zvalue"] // (1 << 20)).all()
+
+
+def test_zorder_locality_property(ray_session):
+    from pmocr_ray.ops.pack import zorder_values
+
+    # same category + close numeric -> close zvalues; different
+    # category flips a low odd bit
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "n_chars": pa.array([100, 101, 100], pa.int64()),
+                  "lang": ["a", "a", "b"]})
+    out = zorder_values(rd.from_arrow(t)).to_pandas().set_index("doc_id")
+    near_same_cat = abs(out.loc[1, "zvalue"] - out.loc[2, "zvalue"])
+    assert near_same_cat <= 4          # adjacent x in same cat stays close
