@@ -1020,6 +1020,49 @@ def _q_zorder(sf_dir: str):
     return zorder_values(_docs(sf_dir))
 
 
+def _q_keyword_search(sf_dir: str):
+    """Exact multi-term keyword retrieval: top-20 docs by (distinct
+    query terms matched, total term hits), deterministic tie-break."""
+    from pmocr_ray.ops.text import keyword_search
+
+    return keyword_search(_docs(sf_dir),
+                          ("hash", "merge", "sort", "window", "spark"),
+                          k=20)
+
+
+def _q_heavy_hitters(sf_dir: str):
+    """Misra-Gries token heavy-hitter sketch (k=64).  The corpus
+    vocabulary (31) is below k, so no counter is ever trimmed and the
+    sketch is provably EXACT here — letting the approximate operator
+    carry a full SQL oracle (its guarantee degrades gracefully to
+    superset-with-bounded-undercount above k)."""
+    from pmocr_ray.ops.text import heavy_hitters
+
+    return heavy_hitters(_docs(sf_dir).select_columns(["text"]), k=64)
+
+
+_zorder_cache: dict[str, str] = {}
+
+
+def _q_zorder_scan(sf_dir: str):
+    """End-to-end Z-order layout: hive write partitioned by Morton
+    bucket + zone-map manifest, then a predicate-pruned read (only
+    overlapping bucket directories are opened) with the exact residual
+    filter."""
+    import tempfile
+
+    from pmocr_ray.ops.pack import zorder_read, zorder_write
+
+    if sf_dir not in _zorder_cache:
+        out = tempfile.mkdtemp(prefix="pmocr_zorder_")
+        zorder_write(_docs(sf_dir).select_columns(
+            ["doc_id", "n_chars", "lang"]), out, bucket_shift=12)
+        _zorder_cache[sf_dir] = out
+    return zorder_read(_zorder_cache[sf_dir], x_range=(100, 300),
+                       cat="en").select_columns(
+        ["doc_id", "n_chars", "lang"])
+
+
 def _q_curate(sf_dir: str):
     """Composed curation pipeline: lang-ID + quality + near-dup dedup
     over the documents table (rows-only: heuristic + approximate)."""
@@ -1598,6 +1641,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_pairs": _q_bpe_pairs,
         "shipping_priority": _q_shipping_priority,
         "zorder": _q_zorder,
+        "keyword_search": _q_keyword_search,
+        "heavy_hitters": _q_heavy_hitters,
+        "zorder_scan": _q_zorder_scan,
         "domain_reweight": _q_domain_reweight,
         "posting_lists": _q_posting_lists,
         "gopher_quality": _q_gopher_quality,
@@ -2023,6 +2069,28 @@ def oracle_sql() -> dict[str, str]:
                           THEN 'val'
                         ELSE 'test' END AS split
             FROM documents""",
+        "keyword_search": r"""
+            WITH tok AS (
+              SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w
+              FROM documents),
+            h AS (SELECT doc_id, w FROM tok
+                  WHERE w IN ('hash', 'merge', 'sort', 'window', 'spark')),
+            s AS (SELECT doc_id,
+                         CAST(count(DISTINCT w) AS BIGINT) AS n_match,
+                         CAST(count(*) AS BIGINT) AS sum_tf
+                  FROM h GROUP BY doc_id)
+            SELECT doc_id, n_match, sum_tf
+            FROM s ORDER BY n_match DESC, sum_tf DESC, doc_id
+            LIMIT 20""",
+        "heavy_hitters": r"""
+            SELECT w AS term, CAST(count(*) AS BIGINT) AS approx_n
+            FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS w
+                  FROM documents)
+            GROUP BY w""",
+        "zorder_scan": """
+            SELECT doc_id, n_chars, lang
+            FROM documents
+            WHERE n_chars BETWEEN 100 AND 300 AND lang = 'en'""",
         "shipping_priority": """
             WITH rev AS (
               SELECT l_orderkey,

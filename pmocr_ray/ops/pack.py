@@ -306,3 +306,114 @@ def zorder_values(ds: rd.Dataset, x_col: str = "n_chars",
 
     return ds.select_columns([key, x_col, cat_col]).map_batches(
         z, batch_format="pyarrow")
+
+
+def zorder_write(ds: rd.Dataset, out_dir: str, *, x_col: str = "n_chars",
+                 cat_col: str = "lang", key: str = "doc_id",
+                 bits: int = 16, bucket_shift: int = 12) -> None:
+    """Write the dataset hive-partitioned by Z-order file bucket, with a
+    per-bucket (min,max) zone-map manifest — the layout that makes
+    EITHER predicate dimension prunable at the read (the same
+    locality-at-rest story as :func:`pmocr_ray.ops.knn.ivf_build_index`,
+    for relational predicates instead of vector cells).
+
+    The full rows are written (zvalue carried as a column); the zone
+    map is a tiny per-bucket rollup (min/max of the numeric dim plus
+    the category set) persisted beside the data.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Max, Min
+
+    cats = sorted(
+        r[cat_col]
+        for r in ds.groupby(cat_col).count().select_columns([cat_col])
+        .take_all())
+    code = {c: i for i, c in enumerate(cats)}
+
+    def z(batch: pa.Table) -> pa.Table:
+        x = batch[x_col].to_numpy(zero_copy_only=False).astype(np.int64) \
+            & ((1 << bits) - 1)
+        y = np.array([code[c] for c in batch[cat_col].to_pylist()],
+                     np.int64)
+        zv = np.zeros(len(x), np.int64)
+        for i in range(bits):
+            zv |= ((x >> i) & 1) << (2 * i)
+            zv |= ((y >> i) & 1) << (2 * i + 1)
+        return (batch.append_column("zvalue", pa.array(zv, pa.int64()))
+                .append_column("zbucket", pa.array(zv >> bucket_shift,
+                                                   pa.int64())))
+
+    keyed = ds.map_batches(z, batch_format="pyarrow")
+    keyed.write_parquet(os.path.join(out_dir, "data"),
+                        partition_cols=["zbucket"])
+    zones = (keyed.groupby("zbucket")
+             .aggregate(Min(x_col, alias_name="x_min"),
+                        Max(x_col, alias_name="x_max"),
+                        Min(cat_col, alias_name="cat_min"),
+                        Max(cat_col, alias_name="cat_max"))
+             .take_all())
+    pq.write_table(
+        pa.table({
+            "zbucket": pa.array([r["zbucket"] for r in zones], pa.int64()),
+            "x_min": pa.array([r["x_min"] for r in zones], pa.int64()),
+            "x_max": pa.array([r["x_max"] for r in zones], pa.int64()),
+            "cat_min": pa.array([r["cat_min"] for r in zones]),
+            "cat_max": pa.array([r["cat_max"] for r in zones]),
+        }),
+        os.path.join(out_dir, "zones.parquet"))
+
+
+def zorder_pruned_buckets(out_dir: str, *, x_range=None, cat=None):
+    """Zone-map pruning decision (exposed for tests/audit): the bucket
+    ids whose (min,max) zones overlap the predicate."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    zones = pq.read_table(os.path.join(out_dir, "zones.parquet"))
+    keep = np.ones(zones.num_rows, bool)
+    if x_range is not None:
+        lo, hi = x_range
+        keep &= (zones["x_max"].to_numpy() >= lo) \
+            & (zones["x_min"].to_numpy() <= hi)
+    if cat is not None:
+        cmin = zones["cat_min"].to_pylist()
+        cmax = zones["cat_max"].to_pylist()
+        keep &= np.array([a <= cat <= b for a, b in zip(cmin, cmax)])
+    return sorted(int(b) for b in
+                  zones["zbucket"].to_numpy()[keep])
+
+
+def zorder_read(out_dir: str, *, x_col: str = "n_chars",
+                cat_col: str = "lang", x_range=None,
+                cat=None) -> rd.Dataset:
+    """Predicate-pruned read over a :func:`zorder_write` layout: only
+    bucket directories whose zone overlaps the predicate are opened
+    (directory-level pruning, like the IVF probed-cells read), then the
+    exact filter runs map-only over the survivors."""
+    import os
+
+    import glob
+
+    files = [f
+             for b in zorder_pruned_buckets(out_dir, x_range=x_range,
+                                            cat=cat)
+             for f in sorted(glob.glob(os.path.join(
+                 out_dir, "data", f"zbucket={b}", "*.parquet")))]
+    if not files:
+        raise ValueError("predicate prunes every bucket")
+    ds = rd.read_parquet(files)
+
+    def exact(t: pa.Table) -> pa.Table:
+        m = np.ones(t.num_rows, bool)
+        if x_range is not None:
+            xv = t[x_col].to_numpy(zero_copy_only=False)
+            m &= (xv >= x_range[0]) & (xv <= x_range[1])
+        if cat is not None:
+            m &= np.array([c == cat for c in t[cat_col].to_pylist()],
+                          bool)
+        return t.filter(pa.array(m))
+
+    return ds.map_batches(exact, batch_format="pyarrow")

@@ -1003,3 +1003,94 @@ def bpe_pair_counts(ds, column: str = "text", k: int = 50):
                 batch_format="pyarrow")
             .sort(["n", "pair"], descending=[True, False])
             .limit(k))
+
+
+def keyword_search(ds, terms, *, key: str = "doc_id",
+                   column: str = "text", k: int = 20):
+    """Exact multi-term keyword search: rank documents by (number of
+    distinct query terms present, total query-term occurrences), both
+    exact ints — the term-overlap retrieval baseline that complements
+    the ANN family.  The query-term set rides inside the Arrow
+    ``is_in`` kernel (vectorized; no broadcast object needed at this
+    size); per-doc stats come from parent-index bincounts; the final
+    top-k is a distributed ``sort().limit(k)`` with a full
+    deterministic tie-break, so only k rows reach the driver.
+    """
+    terms_arr = pa.array(sorted(set(terms)), pa.string())
+
+    def score(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.fill_null(batch[column], ""),
+                                      r"\s+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        m = pc.is_in(flat, value_set=terms_arr)
+        hit_parent = parent.filter(m).to_numpy(zero_copy_only=False)
+        hit_tok = flat.filter(m)
+        n = batch.num_rows
+        sum_tf = np.bincount(hit_parent, minlength=n).astype(np.int64)
+        pt = pa.table({"p": pa.array(hit_parent, pa.int64()),
+                       "t": hit_tok}).group_by(["p", "t"]).aggregate([])
+        n_match = np.bincount(
+            pt["p"].to_numpy(zero_copy_only=False),
+            minlength=n).astype(np.int64)
+        keep = n_match > 0
+        return pa.table({
+            key: batch[key].filter(pa.array(keep)),
+            "n_match": pa.array(n_match[keep], pa.int64()),
+            "sum_tf": pa.array(sum_tf[keep], pa.int64()),
+        })
+
+    return (ds.select_columns([key, column])
+            .map_batches(score, batch_format="pyarrow")
+            .sort(["n_match", "sum_tf", key],
+                  descending=[True, True, False])
+            .limit(k))
+
+
+def heavy_hitters(ds, column: str = "text", k: int = 64) -> pa.Table:
+    """Misra-Gries heavy-hitter sketch over the token stream — the
+    fixed-size alternative to an exact term count when the vocabulary
+    is unbounded: at most ``k`` counters ever exist per partial, the
+    partials tree-merge (add counts, then decrement all by the
+    (k+1)-largest and drop ≤0 — the standard mergeable-summary rule),
+    and the driver receives ONE k-entry summary regardless of corpus
+    size.  Guarantee: every token with true frequency > N/(k+1)
+    survives, and each reported count underestimates by at most
+    N/(k+1).  Returns an Arrow table (term, approx_n) sorted by
+    approx_n desc.
+    """
+    from ray.data.aggregate import AggregateFn
+
+    def trim(counters: dict) -> dict:
+        if len(counters) <= k:
+            return counters
+        cut = sorted(counters.values(), reverse=True)[k]
+        return {t: c - cut for t, c in counters.items() if c > cut}
+
+    def accumulate(counters: dict, block) -> dict:
+        tbl = block if isinstance(block, pa.Table) \
+            else pa.Table.from_pandas(block)
+        toks = pc.split_pattern_regex(pc.fill_null(tbl[column], ""),
+                                      r"\s+")
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = pc.value_counts(flat)
+        out = dict(counters)
+        for sv in vc:
+            t = sv["values"].as_py()
+            out[t] = out.get(t, 0) + sv["counts"].as_py()
+        return trim(out)
+
+    def merge(a: dict, b: dict) -> dict:
+        out = dict(a)
+        for t, c in b.items():
+            out[t] = out.get(t, 0) + c
+        return trim(out)
+
+    agg = AggregateFn(init=lambda _: {}, accumulate_block=accumulate,
+                      merge=merge, name="mg")
+    summary = ds.select_columns([column]).aggregate(agg)["mg"]
+    items = sorted(summary.items(), key=lambda kv: (-kv[1], kv[0]))
+    return pa.table({"term": pa.array([t for t, _ in items], pa.string()),
+                     "approx_n": pa.array([c for _, c in items],
+                                          pa.int64())})

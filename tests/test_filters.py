@@ -324,3 +324,47 @@ def test_bpe_pair_counts_word_weighted(ray_session):
     assert r == {"ab": 4, "bc": 1}
     # top-1 deterministic
     assert out.iloc[0]["pair"] == "ab"
+
+
+def test_keyword_search_ranking_and_ties(ray_session):
+    from pmocr_ray.ops.text import keyword_search
+
+    t = pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                  "text": ["cat dog cat", "cat", "bird fish", "dog cat"]})
+    out = keyword_search(rd.from_arrow(t).repartition(2),
+                         ("cat", "dog"), k=3).to_pandas()
+    # doc1: 2 terms, tf 3; doc4: 2 terms, tf 2; doc2: 1 term, tf 1
+    assert out["doc_id"].tolist() == [1, 4, 2]
+    assert out["n_match"].tolist() == [2, 2, 1]
+    assert out["sum_tf"].tolist() == [3, 2, 1]
+
+
+def test_heavy_hitters_guarantee_under_trimming(ray_session):
+    from pmocr_ray.ops.text import heavy_hitters
+
+    # 40 distinct noise tokens + one token at 30% frequency, k=8:
+    # trimming happens, yet any token with freq > N/(k+1) must survive
+    # with undercount <= N/(k+1)
+    docs = []
+    for i in range(40):
+        docs.append(f"noise{i} noise{i % 7} hh")
+        docs.append("hh hh")
+    t = pa.table({"text": docs})
+    out = heavy_hitters(rd.from_arrow(t).repartition(5), k=8).to_pandas()
+    n_total = sum(len(d.split()) for d in docs)
+    true_hh = sum(d.split().count("hh") for d in docs)
+    assert true_hh > n_total / 9
+    r = dict(zip(out["term"], out["approx_n"]))
+    assert "hh" in r
+    assert r["hh"] <= true_hh
+    assert true_hh - r["hh"] <= n_total / 9
+    assert len(out) <= 8
+
+
+def test_heavy_hitters_exact_below_k(ray_session):
+    from pmocr_ray.ops.text import heavy_hitters
+
+    t = pa.table({"text": ["a b a", "b a", "c"]})
+    out = heavy_hitters(rd.from_arrow(t).repartition(3), k=64).to_pandas()
+    assert dict(zip(out["term"], out["approx_n"])) == \
+        {"a": 3, "b": 2, "c": 1}

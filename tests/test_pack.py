@@ -78,3 +78,27 @@ def test_zorder_locality_property(ray_session):
     out = zorder_values(rd.from_arrow(t)).to_pandas().set_index("doc_id")
     near_same_cat = abs(out.loc[1, "zvalue"] - out.loc[2, "zvalue"])
     assert near_same_cat <= 4          # adjacent x in same cat stays close
+
+
+def test_zorder_write_read_prunes_and_matches_full_scan(ray_session, tmp_path):
+    from pmocr_ray.ops.pack import (zorder_pruned_buckets, zorder_read,
+                                    zorder_write)
+
+    rng = np.random.default_rng(7)
+    n = 400
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "n_chars": pa.array(rng.integers(0, 4096, n), pa.int64()),
+        "lang": pa.array([["en", "fr", "de"][i % 3] for i in range(n)]),
+    })
+    out = str(tmp_path / "zo")
+    zorder_write(rd.from_arrow(t).repartition(4), out, bucket_shift=6)
+
+    pruned = zorder_pruned_buckets(out, x_range=(0, 100))
+    all_b = zorder_pruned_buckets(out)
+    assert len(pruned) < len(all_b)        # zone map actually prunes
+
+    got = zorder_read(out, x_range=(0, 100), cat="en").to_pandas()
+    df = t.to_pandas()
+    want = df[(df.n_chars <= 100) & (df.lang == "en")]
+    assert sorted(got["doc_id"]) == sorted(want["doc_id"])
