@@ -1063,6 +1063,26 @@ def _q_zorder_scan(sf_dir: str):
         ["doc_id", "n_chars", "lang"])
 
 
+def _q_pps_sample(sf_dir: str):
+    """Deterministic PPS systematic sample of 50 docs weighted by
+    n_chars (two-pass distributed prefix sum, exact ints)."""
+    from pmocr_ray.ops.pack import pps_systematic_sample
+
+    return pps_systematic_sample(_docs(sf_dir), n_samples=50)
+
+
+def _q_distinct_by_type(sf_dir: str):
+    """Per-group KMV distinct-count sketch (k=256; distinct users per
+    type ≤ 150 < k, so the sketch is provably exact here)."""
+    import ray.data as rd
+
+    from pmocr_ray.ops.text import group_distinct_kmv
+
+    return group_distinct_kmv(
+        rd.read_parquet(os.path.join(sf_dir, "events.parquet")),
+        "event_type", "user_id", k=256)
+
+
 def _q_curate(sf_dir: str):
     """Composed curation pipeline: lang-ID + quality + near-dup dedup
     over the documents table (rows-only: heuristic + approximate)."""
@@ -1644,6 +1664,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keyword_search": _q_keyword_search,
         "heavy_hitters": _q_heavy_hitters,
         "zorder_scan": _q_zorder_scan,
+        "pps_sample": _q_pps_sample,
+        "distinct_by_type": _q_distinct_by_type,
         "domain_reweight": _q_domain_reweight,
         "posting_lists": _q_posting_lists,
         "gopher_quality": _q_gopher_quality,
@@ -2069,6 +2091,21 @@ def oracle_sql() -> dict[str, str]:
                           THEN 'val'
                         ELSE 'test' END AS split
             FROM documents""",
+        "pps_sample": """
+            WITH c AS (
+              SELECT doc_id, n_chars,
+                     sum(n_chars) OVER (ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum
+              FROM documents),
+            t AS (SELECT greatest(sum(n_chars) // 50, 1) AS s
+                  FROM documents)
+            SELECT doc_id, CAST(n_chars AS BIGINT) AS weight
+            FROM c, t
+            WHERE (cum // s) > ((cum - n_chars) // s)""",
+        "distinct_by_type": """
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+            FROM events GROUP BY event_type""",
         "keyword_search": r"""
             WITH tok AS (
               SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w

@@ -417,3 +417,52 @@ def zorder_read(out_dir: str, *, x_col: str = "n_chars",
         return t.filter(pa.array(m))
 
     return ds.map_batches(exact, batch_format="pyarrow")
+
+
+def pps_systematic_sample(ds: rd.Dataset, n_samples: int,
+                          weight_col: str = "n_chars",
+                          key: str = "doc_id",
+                          part_size: int = 1000) -> rd.Dataset:
+    """Probability-proportional-to-size SYSTEMATIC sampling, fully
+    deterministic and exact-integer: with total weight W and stride
+    s = W // n_samples, a row is selected iff its cumulative-weight
+    interval (cum_before, cum_after] crosses a multiple of s — the
+    classic PPS systematic rule, so heavier rows are proportionally
+    likelier, zero-weight rows never selected, and the draw is
+    reproducible under any partitioning (unlike random_sample).
+
+    Same two-pass distributed ordered prefix-sum as
+    :func:`pack_sequences`: contiguous key-range parts → per-part
+    totals (≤ n_parts ints to the driver) → broadcast exclusive
+    offsets → per-part vectorized cumsum + boundary test.
+    """
+    def weights(batch: pa.Table) -> pa.Table:
+        w = pc.fill_null(pc.cast(batch[weight_col], pa.int64()), 0)
+        part = pc.divide(batch[key], part_size).cast(pa.int64())
+        return pa.table({key: batch[key], "part": part, "w": w})
+
+    counted = ds.select_columns([key, weight_col]).map_batches(
+        weights, batch_format="pyarrow")
+    totals = (counted.select_columns(["part", "w"])
+              .groupby("part").aggregate(Sum("w", alias_name="t"))
+              .take_all())
+    totals.sort(key=lambda r: r["part"])
+    offsets, acc = {}, 0
+    for r in totals:
+        offsets[r["part"]] = acc
+        acc += r["t"]
+    stride = max(acc // n_samples, 1)
+    offsets_ref = ray.put(offsets)
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(offsets_ref)[int(g["part"].iloc[0])]
+        g = g.sort_values(key)
+        w = g["w"].to_numpy()
+        after = off + np.cumsum(w)
+        before = after - w
+        sel = (after // stride) > (before // stride)
+        return pd.DataFrame({key: g[key].to_numpy()[sel],
+                             "weight": w[sel]})
+
+    return (counted.groupby("part")
+            .map_groups(per_part, batch_format="pandas"))

@@ -1094,3 +1094,44 @@ def heavy_hitters(ds, column: str = "text", k: int = 64) -> pa.Table:
     return pa.table({"term": pa.array([t for t, _ in items], pa.string()),
                      "approx_n": pa.array([c for _, c in items],
                                           pa.int64())})
+
+
+def group_distinct_kmv(ds, group_col: str, value_col: str, k: int = 256):
+    """Per-group distinct-count via a k-minimum-values sketch: the
+    grouped version of :func:`kmv_sketch`.  Per batch, values hash to
+    64-bit ints and only the k smallest PER GROUP survive (local
+    combiner — each batch ships ≤ k × |groups| rows); the global
+    per-group merge keeps the k overall minima and estimates
+    ``(k-1) / frac(h_k)``.  EXACT whenever a group's distinct count is
+    below k (the sketch saw every distinct hash) — so the operator is
+    oracle-checkable in that regime and degrades to the standard
+    1/√k-error estimate above it.  Emits (group, n_distinct) int64.
+    """
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "g": batch[group_col].to_pylist(),
+            "h": [int.from_bytes(
+                hashlib.md5(str(v).encode()).digest()[:8], "big")
+                for v in batch[value_col].to_pylist()],
+        }).drop_duplicates()
+        df = (df.sort_values(["g", "h"]).groupby("g", as_index=False)
+              .head(k))
+        return pa.table({"g": pa.array(df["g"]),
+                         "h": pa.array(df["h"].to_numpy(np.uint64),
+                                       pa.uint64())})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        hs = np.unique(g["h"].to_numpy())[:k]
+        if len(hs) < k:
+            est = len(hs)
+        else:
+            frac = hs[k - 1] / float(1 << 64)
+            est = int(round((k - 1) / frac))
+        return pd.DataFrame({group_col: [g["g"].iloc[0]],
+                             "n_distinct": np.array([est], np.int64)})
+
+    return (ds.select_columns([group_col, value_col])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("g").map_groups(merge, batch_format="pandas"))

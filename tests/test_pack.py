@@ -102,3 +102,26 @@ def test_zorder_write_read_prunes_and_matches_full_scan(ray_session, tmp_path):
     df = t.to_pandas()
     want = df[(df.n_chars <= 100) & (df.lang == "en")]
     assert sorted(got["doc_id"]) == sorted(want["doc_id"])
+
+
+def test_pps_systematic_sample_deterministic_and_weighted(ray_session):
+    from pmocr_ray.ops.pack import pps_systematic_sample
+
+    # one huge-weight row must always be selected; zero-weight never
+    t = pa.table({"doc_id": pa.array(range(100), pa.int64()),
+                  "n_chars": pa.array([10000 if i == 7 else
+                                       (0 if i == 8 else 10)
+                                       for i in range(100)], pa.int64())})
+    a = pps_systematic_sample(rd.from_arrow(t), n_samples=10) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert 7 in set(a["doc_id"])         # certainty unit (w > stride)
+    assert 8 not in set(a["doc_id"])     # zero weight never drawn
+    b = pps_systematic_sample(rd.from_arrow(t).repartition(7),
+                              n_samples=10) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    # uniform weights -> exactly n_samples selected
+    u = pa.table({"doc_id": pa.array(range(100), pa.int64()),
+                  "n_chars": pa.array([10] * 100, pa.int64())})
+    c = pps_systematic_sample(rd.from_arrow(u), n_samples=10).to_pandas()
+    assert len(c) == 10
