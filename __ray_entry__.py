@@ -1561,6 +1561,76 @@ def _q_rollup_orders(sf_dir: str):
         ("n_orders", pa.int64()), ("total_cents", pa.int64())]))
 
 
+def _mod(arr, d: int):
+    """Vectorized non-negative integer modulo (this pyarrow build ships
+    no modulo kernel): x - (x // d) * d via integer divide."""
+    return pc.subtract(arr, pc.multiply(pc.divide(arr, d), d))
+
+
+def _q_collocations(sf_dir: str):
+    """Adjacent-bigram collocations in the top-200 vocabulary: exact
+    pair + unigram counts (broadcast-vocab combiner, one shuffle)."""
+    from pmocr_ray.ops.text import collocation_pairs
+
+    return collocation_pairs(_docs(sf_dir), vocab_k=200, min_count=2)
+
+
+def _derive_snapshot_b(docs):
+    """Deterministic snapshot B for the CDC diff: drop doc_id%7==0,
+    revise text for doc_id%5==0, add +1e9-keyed rows for doc_id%11==0.
+    Pure Arrow arithmetic so the oracle derives the same table in SQL."""
+    import pyarrow as pa
+
+    def mutate(t: pa.Table) -> pa.Table:
+        did = t["doc_id"]
+        keep = pc.not_equal(_mod(did, 7), 0)
+        t = t.filter(keep)
+        did = t["doc_id"]
+        revised = pc.binary_join_element_wise(t["text"], " [rev2]", "")
+        text = pc.if_else(pc.equal(_mod(did, 5), 0), revised, t["text"])
+        return pa.table({"doc_id": did, "text": text})
+
+    def added(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(_mod(t["doc_id"], 11), 0))
+        new_id = pc.add(t["doc_id"], 1_000_000_000)
+        text = pc.binary_join_element_wise(
+            "new page ", pc.cast(t["doc_id"], pa.string()), "")
+        return pa.table({"doc_id": new_id, "text": text})
+
+    base = docs.select_columns(["doc_id", "text"])
+    return (base.map_batches(mutate, batch_format="pyarrow")
+            .union(base.map_batches(added, batch_format="pyarrow")))
+
+
+def _q_snapshot_diff(sf_dir: str):
+    """CDC diff A→B (added/removed/changed) via tagged union + one
+    groupby — full-outer-join semantics without a join."""
+    from pmocr_ray.ops.compact import snapshot_diff
+
+    docs = _docs(sf_dir)
+    return snapshot_diff(docs, _derive_snapshot_b(docs))
+
+
+def _q_dup_cluster_hist(sf_dir: str):
+    """Exact-duplicate cluster-size histogram over a corpus with
+    injected duplicate buckets (doc_id%10<3 collapse to 50 contents)."""
+    import pyarrow as pa
+
+    from pmocr_ray.ops.dedup import dup_cluster_histogram
+
+    def inject(t: pa.Table) -> pa.Table:
+        dup = pc.binary_join_element_wise(
+            "dup bucket ", pc.cast(_mod(t["doc_id"], 50), pa.string()),
+            "")
+        text = pc.if_else(pc.less(_mod(t["doc_id"], 10), 3),
+                          dup, t["text"])
+        return pa.table({"doc_id": t["doc_id"], "text": text})
+
+    ds = _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        inject, batch_format="pyarrow")
+    return dup_cluster_histogram(ds)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction pipeline family (pages fixture derived from documents)
@@ -1672,6 +1742,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c4_filter": _q_c4_filter,
         "ntile_buckets": _q_ntile_buckets,
         "rollup_orders": _q_rollup_orders,
+        "collocations": _q_collocations,
+        "snapshot_diff": _q_snapshot_diff,
+        "dup_cluster_hist": _q_dup_cluster_hist,
         # composed curation
         "curate": _q_curate,
         # multimodal
@@ -2313,6 +2386,59 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS total_cents
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY ROLLUP(c_mktsegment, c_nationkey)""",
+        "collocations": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(text, '\S+') AS w
+              FROM documents
+            ), uni AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS n
+              FROM (SELECT unnest(w) AS term FROM toks) GROUP BY term
+            ), vocab AS (
+              SELECT term, n FROM uni ORDER BY n DESC, term LIMIT 200
+            ), pairs AS (
+              SELECT p.w1 AS w1, p.w2 AS w2 FROM (
+                SELECT unnest(list_transform(range(1, len(w)),
+                         i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS p
+                FROM toks WHERE len(w) >= 2)
+            )
+            SELECT pr.w1, pr.w2, CAST(count(*) AS BIGINT) AS pair_n,
+                   v1.n AS w1_n, v2.n AS w2_n
+            FROM pairs pr
+            JOIN vocab v1 ON pr.w1 = v1.term
+            JOIN vocab v2 ON pr.w2 = v2.term
+            GROUP BY pr.w1, pr.w2, v1.n, v2.n
+            HAVING count(*) >= 2""",
+        "snapshot_diff": """
+            WITH b AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0 THEN text || ' [rev2]'
+                          ELSE text END AS text
+              FROM documents WHERE doc_id % 7 <> 0
+              UNION ALL
+              SELECT doc_id + 1000000000 AS doc_id,
+                     'new page ' || doc_id AS text
+              FROM documents WHERE doc_id % 11 = 0
+            )
+            SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+                   CASE WHEN a.doc_id IS NULL THEN 'added'
+                        WHEN b.doc_id IS NULL THEN 'removed'
+                        ELSE 'changed' END AS change
+            FROM documents a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+            WHERE a.doc_id IS NULL OR b.doc_id IS NULL
+               OR a.text IS DISTINCT FROM b.text""",
+        "dup_cluster_hist": """
+            WITH d AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 10 < 3
+                          THEN 'dup bucket ' || CAST(doc_id % 50 AS VARCHAR)
+                          ELSE text END AS text
+              FROM documents
+            ), s AS (
+              SELECT CAST(count(*) AS BIGINT) AS cluster_size
+              FROM d GROUP BY md5(text)
+            )
+            SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+            FROM s GROUP BY cluster_size""",
         "knn_multi": """
             SELECT CAST(qid AS INTEGER) AS query_idx, vec_id,
                    CAST(rank AS INTEGER) AS rank FROM (

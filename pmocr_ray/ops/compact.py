@@ -44,3 +44,74 @@ def compact_latest(ds: rd.Dataset, key: str, order_cols: list[str],
     return (ds.map_batches(local_cap, batch_format="pyarrow")
             .groupby(key)
             .map_groups(exact, batch_format="pandas"))
+
+
+def snapshot_diff(ds_a: rd.Dataset, ds_b: rd.Dataset, *,
+                  key: str = "doc_id", column: str = "text") -> rd.Dataset:
+    """CDC diff between two snapshots of a keyed table: which keys were
+    ``added`` / ``removed`` / ``changed`` from A to B (unchanged keys
+    are dropped) — the re-crawl delta report.
+
+    Scale shape: full-outer-join semantics WITHOUT a join.  Each side
+    maps to tiny (key, in_a, in_b, fp_a, fp_b) rows — the content
+    fingerprint is a vectorized md5→int48 (survives a float64 pandas round-trip exactly), so the text column never
+    leaves the map stage — then a union and ONE groupby(key) with
+    Sum/Max aggregates reconstructs both sides per key (Max ignores the
+    null fp of the absent side).  Classification is a vectorized
+    per-row expression over the aggregate row.  One shuffle total, and
+    it moves five scalar columns per key, never the payload.
+
+    Assumes each snapshot has at most one row per key (use
+    :func:`compact_latest` first otherwise).
+    """
+    import hashlib
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Max, Sum
+
+    def tag(side: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            fps = np.array(
+                [int.from_bytes(hashlib.md5(t.encode()).digest()[:6], "big")
+                 if t is not None else -1
+                 for t in batch[column].to_pylist()], np.int64)
+            n = len(batch)
+            one = pa.array(np.ones(n, np.int64))
+            zero = pa.array(np.zeros(n, np.int64))
+            fp = pa.array(fps)
+            null = pa.nulls(n, pa.int64())
+            return pa.table({
+                key: batch[key],
+                "in_a": one if side == "a" else zero,
+                "in_b": one if side == "b" else zero,
+                "fp_a": fp if side == "a" else null,
+                "fp_b": fp if side == "b" else null,
+            })
+        return fn
+
+    tagged = (ds_a.map_batches(tag("a"), batch_format="pyarrow")
+              .union(ds_b.map_batches(tag("b"), batch_format="pyarrow")))
+    agg = tagged.groupby(key).aggregate(
+        Sum("in_a", alias_name="n_a"), Sum("in_b", alias_name="n_b"),
+        Max("fp_a", alias_name="fp_a"), Max("fp_b", alias_name="fp_b"),
+    )
+
+    def classify(t: pa.Table) -> pa.Table:
+        # The groupby lands on pandas blocks: null fps round-trip as NaN
+        # and the fp columns come back float64 (48-bit fp => exact).
+        # Kleene logic so the one-sided null fp can't poison the mask.
+        in_a = pc.greater(t["n_a"], 0)
+        in_b = pc.greater(t["n_b"], 0)
+        added = pc.and_kleene(pc.invert(in_a), in_b)
+        removed = pc.and_kleene(in_a, pc.invert(in_b))
+        changed = pc.and_kleene(pc.and_kleene(in_a, in_b),
+                                pc.not_equal(t["fp_a"], t["fp_b"]))
+        change = pc.if_else(added, "added",
+                            pc.if_else(removed, "removed", "changed"))
+        keep = pc.or_kleene(pc.or_kleene(added, removed), changed)
+        return pa.table({key: t[key].filter(keep),
+                         "change": change.filter(keep)})
+
+    return agg.map_batches(classify, batch_format="pyarrow")

@@ -1176,3 +1176,30 @@ def line_self_dedup(ds, key: str = "doc_id", column: str = "text"):
         })
 
     return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def dup_cluster_histogram(ds: rd.Dataset, column: str = "text",
+                          key: str = "doc_id") -> rd.Dataset:
+    """Histogram of exact-duplicate cluster sizes: how many distinct
+    contents have exactly k copies — the corpus-duplication profile a
+    curation run reports before choosing dedup thresholds.
+
+    Scale shape: :func:`exact_dedup` already reduces the corpus to one
+    (fp, keep_id, n_dups) row per distinct content via the per-batch
+    combiner; this adds a SECOND tiny groupby over those rollup rows
+    (cardinality = distinct cluster sizes, i.e. dozens).  Nothing
+    larger than the dedup rollup ever shuffles.  Emits
+    (cluster_size, n_clusters), both exact int64.
+    """
+    from ray.data.aggregate import Count
+
+    sizes = exact_dedup(ds, column=column, key=key)
+    hist = sizes.groupby("n_dups").aggregate(Count(alias_name="n_clusters"))
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "cluster_size": pc.cast(t["n_dups"], pa.int64()),
+            "n_clusters": pc.cast(t["n_clusters"], pa.int64()),
+        })
+
+    return hist.map_batches(rename, batch_format="pyarrow")

@@ -1135,3 +1135,67 @@ def group_distinct_kmv(ds, group_col: str, value_col: str, k: int = 256):
     return (ds.select_columns([group_col, value_col])
             .map_batches(partial, batch_format="pyarrow")
             .groupby("g").map_groups(merge, batch_format="pandas"))
+
+
+def collocation_pairs(ds, column: str = "text", vocab_k: int = 200,
+                      min_count: int = 2):
+    """Adjacent word-pair (bigram) collocation counts over the corpus,
+    restricted to the top-``vocab_k`` unigram vocabulary — the
+    co-occurrence statistics feeding PMI/collocation mining in a
+    web-text curation pipeline.
+
+    Scale shape: the vocabulary is the :func:`top_terms` rollup
+    (combiner + tiny shuffle, deterministic (n desc, term asc)
+    tie-break) — only vocab_k (term, n) rows reach the driver and are
+    broadcast via ``ray.put``; the corpus is never collected.  The
+    bigram pass is map-only and fully vectorized: flat token array +
+    ``list_parent_indices`` → adjacency is ``parent[i] == parent[i+1]``
+    on numpy slices → per-batch LOCAL (w1, w2) group-count (the
+    combiner), then ONE global groupby over the partials.  Unigram
+    counts attach from the broadcast dict — no second shuffle, no join.
+
+    Emits (w1, w2, pair_n, w1_n, w2_n), all counts exact int64,
+    filtered to ``pair_n >= min_count``.  PMI is a deterministic
+    per-row expression over these integers downstream.
+    """
+    from ray.data.aggregate import Sum
+
+    vocab_rows = top_terms(ds, k=vocab_k, column=column).take_all()
+    vocab = {r["term"]: int(r["n"]) for r in vocab_rows}
+    ref = ray.put((pa.array(sorted(vocab)), vocab))
+
+    def bigram_partial(batch: pa.Table) -> pa.Table:
+        vocab_arr, _ = ray.get(ref)
+        toks = pc.split_pattern_regex(batch[column], r"\s+")
+        flat_a = pc.list_flatten(toks)
+        parent_a = pc.list_parent_indices(toks)
+        mask = pc.not_equal(flat_a, "")
+        flat = flat_a.filter(mask).to_numpy(zero_copy_only=False)
+        parent = parent_a.filter(mask).to_numpy(zero_copy_only=False)
+        if len(flat) < 2:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "pair_n": pa.array([], pa.int64())})
+        adj = parent[:-1] == parent[1:]
+        w1 = pa.array(flat[:-1][adj], pa.string())
+        w2 = pa.array(flat[1:][adj], pa.string())
+        keep = pc.and_(pc.is_in(w1, value_set=vocab_arr),
+                       pc.is_in(w2, value_set=vocab_arr))
+        g = (pa.table({"w1": w1.filter(keep), "w2": w2.filter(keep)})
+             .group_by(["w1", "w2"]).aggregate([([], "count_all")]))
+        return pa.table({"w1": g["w1"], "w2": g["w2"],
+                         "pair_n": pc.cast(g["count_all"], pa.int64())})
+
+    pairs = (ds.map_batches(bigram_partial, batch_format="pyarrow")
+             .groupby(["w1", "w2"])
+             .aggregate(Sum("pair_n", alias_name="pair_n")))
+
+    def attach(t: pa.Table) -> pa.Table:
+        _, counts = ray.get(ref)
+        t = t.filter(pc.greater_equal(t["pair_n"], min_count))
+        w1n = pa.array([counts[w] for w in t["w1"].to_pylist()], pa.int64())
+        w2n = pa.array([counts[w] for w in t["w2"].to_pylist()], pa.int64())
+        return pa.table({"w1": t["w1"], "w2": t["w2"],
+                         "pair_n": t["pair_n"], "w1_n": w1n, "w2_n": w2n})
+
+    return pairs.map_batches(attach, batch_format="pyarrow")

@@ -301,3 +301,82 @@ def test_jsonl_source_roundtrip_extraction(ray_session, tmp_path):
              ["url", "status", "extracted_text"]).take_all()}
     assert a == b
     assert collections.Counter(s for s, _ in a.values())["done"] == 3000
+
+
+def test_collocation_pairs_counts(ray_session):
+    """Known corpus: exact pair and unigram counts, vocab restriction,
+    min_count filter."""
+    import pandas as pd
+
+    import ray.data as rd
+    from pmocr_ray.ops.text import collocation_pairs
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["big data big data big",
+                 "data big data",
+                 "rare word big data"],
+    })
+    out = collocation_pairs(rd.from_pandas(df).repartition(3),
+                            vocab_k=2, min_count=2).to_pandas()
+    got = {(r.w1, r.w2): (r.pair_n, r.w1_n, r.w2_n)
+           for r in out.itertuples()}
+    # vocab_k=2 keeps {big:5, data:5}; 'rare'/'word' excluded
+    assert got == {("big", "data"): (4, 5, 5),
+                   ("data", "big"): (3, 5, 5)}
+
+
+def test_collocation_pairs_adjacency_not_cross_doc(ray_session):
+    """The last token of one doc never pairs with the first of the next."""
+    import pandas as pd
+
+    import ray.data as rd
+    from pmocr_ray.ops.text import collocation_pairs
+
+    df = pd.DataFrame({"doc_id": [0, 1, 2, 3],
+                       "text": ["alpha beta"] * 2 + ["beta alpha"] * 2})
+    out = collocation_pairs(rd.from_pandas(df).repartition(1),
+                            vocab_k=5, min_count=1).to_pandas()
+    got = {(r.w1, r.w2): r.pair_n for r in out.itertuples()}
+    assert got == {("alpha", "beta"): 2, ("beta", "alpha"): 2}
+
+
+def test_snapshot_diff_classification(ray_session):
+    import pandas as pd
+
+    import ray.data as rd
+    from pmocr_ray.ops.compact import snapshot_diff
+
+    a = pd.DataFrame({"doc_id": [1, 2, 3, 4],
+                      "text": ["one", "two", "three", "four"]})
+    b = pd.DataFrame({"doc_id": [2, 3, 4, 5],
+                      "text": ["two", "THREE", "four", "five"]})
+    out = snapshot_diff(rd.from_pandas(a).repartition(2),
+                        rd.from_pandas(b).repartition(3)).to_pandas()
+    got = dict(zip(out["doc_id"], out["change"]))
+    assert got == {1: "removed", 3: "changed", 5: "added"}
+
+
+def test_snapshot_diff_identical_is_empty(ray_session):
+    import pandas as pd
+
+    import ray.data as rd
+    from pmocr_ray.ops.compact import snapshot_diff
+
+    a = pd.DataFrame({"doc_id": [1, 2], "text": ["x", "y"]})
+    out = snapshot_diff(rd.from_pandas(a), rd.from_pandas(a)).to_pandas()
+    assert len(out) == 0
+
+
+def test_dup_cluster_histogram(ray_session):
+    import pandas as pd
+
+    import ray.data as rd
+    from pmocr_ray.ops.dedup import dup_cluster_histogram
+
+    texts = (["same"] * 4) + (["also same"] * 2) + ["solo1", "solo2",
+                                                    "solo3"]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    out = dup_cluster_histogram(rd.from_pandas(df).repartition(4)).to_pandas()
+    got = dict(zip(out["cluster_size"], out["n_clusters"]))
+    assert got == {4: 1, 2: 1, 1: 3}
