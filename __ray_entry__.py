@@ -1631,6 +1631,62 @@ def _q_dup_cluster_hist(sf_dir: str):
     return dup_cluster_histogram(ds)
 
 
+def _pagerank_edges(sf_dir: str):
+    """Deterministic host-graph edge list from doc_id arithmetic
+    (211-node graph, multi-edges collapsed): src = doc_id%211,
+    dst = (13·doc_id+7)%211, self-loops dropped."""
+    import pyarrow as pa
+
+    def edges_fn(t: pa.Table) -> pa.Table:
+        did = t["doc_id"]
+        src = _mod(did, 211)
+        dst = _mod(pc.add(pc.multiply(did, 13), 7), 211)
+        tab = pa.table({"src": src, "dst": dst}).filter(
+            pc.not_equal(src, dst))
+        return tab.group_by(["src", "dst"]).aggregate([])  # local distinct
+
+    from ray.data.aggregate import Count
+    return (_docs(sf_dir).select_columns(["doc_id"])
+            .map_batches(edges_fn, batch_format="pyarrow")
+            .groupby(["src", "dst"]).aggregate(Count(alias_name="_n"))
+            .select_columns(["src", "dst"]))
+
+
+def _q_pagerank(sf_dir: str):
+    """3-iteration fixed-point integer PageRank over the derived host
+    graph — bit-identical to the unrolled SQL oracle."""
+    from pmocr_ray.ops.graph import pagerank
+
+    return pagerank(_pagerank_edges(sf_dir), iters=3)
+
+
+def _q_attribution(sf_dir: str):
+    """Clicks within the preceding 60 min of each purchase, per user."""
+    import ray.data as rd
+
+    from pmocr_ray.ops.events import attribution_window
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "ts", "user_id",
+                                  "event_type"])
+    return attribution_window(ev)
+
+
+def _q_host_blocklist(sf_dir: str):
+    """Broadcast host-blocklist gate over the pages fixture: two exact
+    hosts plus every host ending '3.example' are dropped."""
+    import ray.data as rd
+
+    from pmocr_ray.ops.filters import host_blocklist_filter
+
+    pages_dir, _ = _pages(sf_dir)
+    pages = rd.read_parquet(pages_dir, columns=["url", "lang"])
+    kept = host_blocklist_filter(
+        pages, exact={"site7.example", "site13.example"},
+        suffixes=("3.example",))
+    return kept.select_columns(["url", "lang"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction pipeline family (pages fixture derived from documents)
@@ -1745,6 +1801,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collocations": _q_collocations,
         "snapshot_diff": _q_snapshot_diff,
         "dup_cluster_hist": _q_dup_cluster_hist,
+        "pagerank": _q_pagerank,
+        "attribution": _q_attribution,
+        "host_blocklist": _q_host_blocklist,
         # composed curation
         "curate": _q_curate,
         # multimodal
@@ -2426,6 +2485,61 @@ def oracle_sql() -> dict[str, str]:
             FROM documents a FULL OUTER JOIN b ON a.doc_id = b.doc_id
             WHERE a.doc_id IS NULL OR b.doc_id IS NULL
                OR a.text IS DISTINCT FROM b.text""",
+        "pagerank": """
+            WITH e AS (
+              SELECT DISTINCT doc_id % 211 AS src,
+                              (doc_id * 13 + 7) % 211 AS dst
+              FROM documents
+              WHERE (doc_id % 211) <> ((doc_id * 13 + 7) % 211)
+            ), outd AS (
+              SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src
+            ), n AS (
+              SELECT DISTINCT node FROM (
+                SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+            ), r0 AS (
+              SELECT node, CAST(1000000 AS BIGINT) AS r FROM n
+            ), c1 AS (
+              SELECT e.dst AS node, sum(r0.r // outd.deg) AS s
+              FROM e JOIN r0 ON e.src = r0.node
+                     JOIN outd ON e.src = outd.src
+              GROUP BY e.dst
+            ), r1 AS (
+              SELECT n.node, 150000 + (85 * COALESCE(c1.s, 0)) // 100 AS r
+              FROM n LEFT JOIN c1 ON n.node = c1.node
+            ), c2 AS (
+              SELECT e.dst AS node, sum(r1.r // outd.deg) AS s
+              FROM e JOIN r1 ON e.src = r1.node
+                     JOIN outd ON e.src = outd.src
+              GROUP BY e.dst
+            ), r2 AS (
+              SELECT n.node, 150000 + (85 * COALESCE(c2.s, 0)) // 100 AS r
+              FROM n LEFT JOIN c2 ON n.node = c2.node
+            ), c3 AS (
+              SELECT e.dst AS node, sum(r2.r // outd.deg) AS s
+              FROM e JOIN r2 ON e.src = r2.node
+                     JOIN outd ON e.src = outd.src
+              GROUP BY e.dst
+            ), r3 AS (
+              SELECT n.node, 150000 + (85 * COALESCE(c3.s, 0)) // 100 AS r
+              FROM n LEFT JOIN c3 ON n.node = c3.node
+            )
+            SELECT node, CAST(r AS BIGINT) AS "rank" FROM r3""",
+        "attribution": """
+            SELECT p.event_id, p.user_id, p.ts,
+                   CAST(count(c.event_id) AS BIGINT) AS n_touches
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON c.user_id = p.user_id
+             AND c.ts >= p.ts - INTERVAL 60 MINUTE
+             AND c.ts < p.ts
+            GROUP BY p.event_id, p.user_id, p.ts""",
+        "host_blocklist": _PAGE_CTE + """
+            SELECT url, lang FROM (
+              SELECT url, lang,
+                     regexp_extract(url, '^[a-z+]+://([^/]+)', 1) AS host
+              FROM c)
+            WHERE host NOT IN ('site7.example', 'site13.example')
+              AND host NOT LIKE '%3.example'""",
         "dup_cluster_hist": """
             WITH d AS (
               SELECT doc_id,

@@ -449,3 +449,43 @@ def inter_arrival_stats(events: rd.Dataset) -> rd.Dataset:
     return (events.select_columns(["user_id", "ts"])
             .groupby("user_id")
             .map_groups(per_user, batch_format="pandas"))
+
+
+def attribution_window(events: rd.Dataset, *,
+                       conv_type: str = "purchase",
+                       touch_type: str = "click",
+                       window_minutes: int = 60) -> rd.Dataset:
+    """Window attribution: for every ``conv_type`` event, the number of
+    ``touch_type`` events by the same user in the strictly-preceding
+    ``window_minutes`` — the ad-attribution / funnel-credit range join.
+
+    Unlike :func:`asof_join` (nearest single predecessor) this counts
+    ALL touches in a bounded interval.  Same scale shape: per-user
+    ``groupby().map_groups`` with a vectorized two-pointer
+    (``searchsorted``) inside each ts-sorted group — O(group log group)
+    and no all-pairs expansion, where a naive range join would emit
+    |touches|×|conversions| pairs per user before filtering.
+    Partitioning assumption: one user's events fit in a worker (shared
+    with sessionize/asof; salt by ts-bucket + stitch for a
+    pathological single-user stream).  Emits
+    (event_id, user_id, ts, n_touches) — counts exact int64.
+    """
+    import numpy as np
+
+    win_us = np.int64(window_minutes) * 60_000_000
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        ts = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        touch_ts = ts[g["event_type"].to_numpy() == touch_type]
+        conv = g["event_type"].to_numpy() == conv_type
+        conv_ts = ts[conv]
+        # touches in [conv_ts - window, conv_ts): two searchsorted scans
+        lo = np.searchsorted(touch_ts, conv_ts - win_us, side="left")
+        hi = np.searchsorted(touch_ts, conv_ts, side="left")
+        out = g.loc[conv, ["event_id", "user_id", "ts"]].copy()
+        out["n_touches"] = (hi - lo).astype("int64")
+        return out
+
+    return events.groupby("user_id").map_groups(per_user,
+                                                batch_format="pandas")

@@ -36,3 +36,95 @@ def test_cc_matches_driver_union_find(ray_session):
     want = connected_components(pairs)
     # driver union-find returns root per node; normalize both to min-id
     assert got == {n: r for n, r in want.items()}
+
+
+def test_pagerank_star_graph_exact(ray_session):
+    """Star graph 1..4 → 0: replicate the integer arithmetic by hand
+    and require bit-identical ranks, independent of partitioning."""
+    from pmocr_ray.ops.graph import pagerank
+
+    edges = pd.DataFrame({"src": [1, 2, 3, 4], "dst": [0, 0, 0, 0]})
+    for parts in (1, 3):
+        out = (pagerank(rd.from_pandas(edges).repartition(parts), iters=3)
+               .to_pandas())
+        got = dict(zip(out["node"], out["rank"]))
+        # leaves: no in-edges => rank = 150000 every iteration
+        # hub: r1 = 150000 + 85*(4*1000000)//100
+        r_leaf = 150_000
+        r_hub = 150_000 + (85 * 4 * 1_000_000) // 100
+        # iter2/3: leaves unchanged; hub gets 4 * (r_leaf // 1)
+        r_hub = 150_000 + (85 * 4 * r_leaf) // 100
+        assert got[0] == r_hub
+        assert all(got[i] == r_leaf for i in (1, 2, 3, 4))
+
+
+def test_pagerank_cycle_exact_hand_trace(ray_session):
+    """0→1→2→0 plus 3→1: the k=3 ranks equal the hand-traced integer
+    recurrence exactly (the extra mass from node 3 is still circulating
+    around the cycle at k=3 — that position-dependence is the point of
+    the exactness contract)."""
+    from pmocr_ray.ops.graph import pagerank
+
+    edges = pd.DataFrame({"src": [0, 1, 2, 3], "dst": [1, 2, 0, 1]})
+    out = pagerank(rd.from_pandas(edges).repartition(2), iters=3).to_pandas()
+    got = dict(zip(out["node"], out["rank"]))
+
+    r = {0: 1_000_000, 1: 1_000_000, 2: 1_000_000, 3: 1_000_000}
+    links = [(0, 1), (1, 2), (2, 0), (3, 1)]  # all out-degree 1
+    for _ in range(3):
+        s = {n: 0 for n in r}
+        for u, v in links:
+            s[v] += r[u] // 1
+        r = {n: 150_000 + (85 * s[n]) // 100 for n in r}
+    assert got == r
+    assert got[3] == 150_000  # no in-edges
+
+
+def test_attribution_window_counts(ray_session):
+    import pandas as pd
+
+    from pmocr_ray.ops.events import attribution_window
+
+    base = pd.Timestamp("2024-01-01 12:00:00")
+    rows = [
+        # user 1: clicks at -90, -30, -1 min; purchase at 0; click at +5
+        (1, base - pd.Timedelta(minutes=90), 1, "click"),
+        (2, base - pd.Timedelta(minutes=30), 1, "click"),
+        (3, base - pd.Timedelta(minutes=1), 1, "click"),
+        (4, base, 1, "purchase"),
+        (5, base + pd.Timedelta(minutes=5), 1, "click"),
+        # user 2: click exactly AT the purchase ts is excluded
+        (6, base, 2, "click"),
+        (7, base, 2, "purchase"),
+        # user 2: click exactly at the window edge (-60) is included
+        (8, base - pd.Timedelta(minutes=60), 2, "click"),
+    ]
+    ev = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                     "event_type"])
+    out = attribution_window(rd.from_pandas(ev).repartition(3),
+                             window_minutes=60).to_pandas()
+    got = dict(zip(out["event_id"], out["n_touches"]))
+    assert got == {4: 2, 7: 1}
+
+
+def test_host_blocklist_filter_exact_suffix_invert(ray_session):
+    import pandas as pd
+
+    from pmocr_ray.ops.filters import host_blocklist_filter
+
+    df = pd.DataFrame({"url": [
+        "https://ok.example/a",
+        "https://bad.example/b",
+        "https://sub.spam.example/c",
+        "https://spam.example.good/d",   # suffix must anchor at the END
+    ]})
+    ds = rd.from_pandas(df).repartition(2)
+    kept = host_blocklist_filter(ds, exact={"bad.example"},
+                                 suffixes=(".spam.example",)).to_pandas()
+    assert sorted(kept["url"]) == ["https://ok.example/a",
+                                   "https://spam.example.good/d"]
+    blocked = host_blocklist_filter(ds, exact={"bad.example"},
+                                    suffixes=(".spam.example",),
+                                    invert=True).to_pandas()
+    assert sorted(blocked["url"]) == ["https://bad.example/b",
+                                      "https://sub.spam.example/c"]
