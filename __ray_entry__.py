@@ -1687,6 +1687,60 @@ def _q_host_blocklist(sf_dir: str):
     return kept.select_columns(["url", "lang"])
 
 
+def _q_host_mirror(sf_dir: str):
+    """Host pairs serving identical extracted content (mirror
+    detection) over the done rows of the flagship output."""
+    import pyarrow as pa
+
+    from pmocr_ray.ops.dedup import host_mirror_pairs
+
+    ds = _read_output(sf_dir)
+
+    def done_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["status"], "done"))
+
+    done = ds.map_batches(done_only, batch_format="pyarrow").select_columns(
+        ["url", "extracted_text"])
+    return host_mirror_pairs(done)
+
+
+def _q_cheapest_supplier(sf_dir: str):
+    """Per part: the supplier with the lowest total extended price
+    (grouped argmin over a combiner rollup; ties break min suppkey).
+    Reuses compact_latest as the generic exact per-key argmin."""
+    import pyarrow as pa
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from pmocr_ray.ops.compact import compact_latest
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_partkey", "l_suppkey",
+                                  "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = np.rint(np.asarray(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False)) * 100
+        ).astype(np.int64)
+        g = (pa.table({"p_partkey": t["l_partkey"],
+                       "s_suppkey": t["l_suppkey"],
+                       "total_cents": pa.array(cents)})
+             .group_by(["p_partkey", "s_suppkey"])
+             .aggregate([("total_cents", "sum")]))
+        return pa.table({"p_partkey": g["p_partkey"],
+                         "s_suppkey": g["s_suppkey"],
+                         "total_cents": g["total_cents_sum"]})
+
+    rollup = (li.map_batches(partial, batch_format="pyarrow")
+              .groupby(["p_partkey", "s_suppkey"])
+              .aggregate(Sum("total_cents", alias_name="total_cents")))
+    best = compact_latest(rollup, key="p_partkey",
+                          order_cols=["total_cents", "s_suppkey"],
+                          descending=[False, False])
+    return best.select_columns(["p_partkey", "s_suppkey", "total_cents"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction pipeline family (pages fixture derived from documents)
@@ -1804,6 +1858,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": _q_pagerank,
         "attribution": _q_attribution,
         "host_blocklist": _q_host_blocklist,
+        "host_mirror": _q_host_mirror,
+        "cheapest_supplier": _q_cheapest_supplier,
         # composed curation
         "curate": _q_curate,
         # multimodal
@@ -2540,6 +2596,31 @@ def oracle_sql() -> dict[str, str]:
               FROM c)
             WHERE host NOT IN ('site7.example', 'site13.example')
               AND host NOT LIKE '%3.example'""",
+        "host_mirror": _PAGE_CTE + f"""
+            , x AS (
+              SELECT DISTINCT
+                     regexp_extract(url, '^[a-z+]+://([^/]+)', 1) AS host,
+                     md5(extr) AS fp
+              FROM (SELECT url, {_EXTRACTED_EXPR} AS extr,
+                           {_STATUS_EXPR} AS status FROM c)
+              WHERE status = 'done' AND extr IS NOT NULL
+            )
+            SELECT a.host AS host_a, b.host AS host_b,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM x a JOIN x b ON a.fp = b.fp AND a.host < b.host
+            GROUP BY a.host, b.host""",
+        "cheapest_supplier": """
+            SELECT p_partkey, s_suppkey, total_cents FROM (
+              SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey,
+                     CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                          AS BIGINT) AS total_cents,
+                     row_number() OVER (
+                       PARTITION BY l_partkey
+                       ORDER BY sum(CAST(round(l_extendedprice * 100)
+                                         AS BIGINT)) ASC, l_suppkey ASC
+                     ) AS rn
+              FROM lineitem GROUP BY l_partkey, l_suppkey)
+            WHERE rn = 1""",
         "dup_cluster_hist": """
             WITH d AS (
               SELECT doc_id,

@@ -1203,3 +1203,62 @@ def dup_cluster_histogram(ds: rd.Dataset, column: str = "text",
         })
 
     return hist.map_batches(rename, batch_format="pyarrow")
+
+
+def host_mirror_pairs(ds: rd.Dataset, *, url_column: str = "url",
+                      column: str = "extracted_text",
+                      max_hosts_per_content: int = 64) -> rd.Dataset:
+    """Mirror-site detection: pairs of hosts that serve identical
+    content, with the count of distinct shared contents per pair — the
+    host-level rollup of exact duplication (CDN mirrors, scraped
+    clones, parked-domain farms).
+
+    Scale shape: map → (host, fp) with a vectorized host extract and
+    per-row md5 (no Arrow kernel exists); LOCAL distinct per batch,
+    global distinct via one groupby — so the shuffle moves one row per
+    (host, content) incidence, never the text.  Pair emission runs
+    inside ``groupby(fp).map_groups`` with hosts sorted and CAPPED at
+    ``max_hosts_per_content`` (a content mirrored by 10⁴ hosts would
+    otherwise emit 10⁸ pairs; the cap keeps the deterministic
+    lexicographic prefix and is documented as approximate above it).
+    Final pair counts: one more groupby over (host_a, host_b) rows.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    from ray.data.aggregate import Count, Sum
+
+    def incidence(t: pa.Table) -> pa.Table:
+        host = pc.struct_field(
+            pc.extract_regex(t[url_column], r"^[a-z+]+://(?P<host>[^/]+)"),
+            "host")
+        texts = t[column].to_pylist()
+        fps = pa.array([hashlib.md5(x.encode()).hexdigest()
+                        if x is not None else None for x in texts])
+        tab = pa.table({"host": host, "fp": fps})
+        tab = tab.filter(pc.is_valid(tab["fp"]))
+        return tab.group_by(["host", "fp"]).aggregate([])  # local distinct
+
+    distinct = (ds.map_batches(incidence, batch_format="pyarrow")
+                .groupby(["host", "fp"]).aggregate(Count(alias_name="_n"))
+                .select_columns(["host", "fp"]))
+
+    cap = max_hosts_per_content
+
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        hosts = sorted(g["host"].unique())[:cap]
+        if len(hosts) < 2:
+            return pd.DataFrame({"host_a": pd.Series(dtype="object"),
+                                 "host_b": pd.Series(dtype="object"),
+                                 "n": pd.Series(dtype="int64")})
+        a, b = zip(*[(x, y) for i, x in enumerate(hosts)
+                     for y in hosts[i + 1:]])
+        return pd.DataFrame({"host_a": a, "host_b": b,
+                             "n": [1] * len(a)})
+
+    pairs = distinct.groupby("fp").map_groups(emit_pairs,
+                                              batch_format="pandas")
+    out = pairs.groupby(["host_a", "host_b"]).aggregate(
+        Sum("n", alias_name="n_shared"))
+    return out

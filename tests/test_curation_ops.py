@@ -380,3 +380,93 @@ def test_dup_cluster_histogram(ray_session):
     out = dup_cluster_histogram(rd.from_pandas(df).repartition(4)).to_pandas()
     got = dict(zip(out["cluster_size"], out["n_clusters"]))
     assert got == {4: 1, 2: 1, 1: 3}
+
+
+def test_host_mirror_pairs_counts_and_cap(ray_session):
+    import pandas as pd
+
+    import ray.data as rd
+    from pmocr_ray.ops.dedup import host_mirror_pairs
+
+    rows = [
+        ("https://a.x/1", "mirrored"), ("https://b.x/1", "mirrored"),
+        ("https://c.x/1", "mirrored"),
+        ("https://a.x/2", "shared-ab"), ("https://b.x/2", "shared-ab"),
+        ("https://a.x/3", "solo"), ("https://d.x/9", None),
+    ]
+    df = pd.DataFrame(rows, columns=["url", "extracted_text"])
+    out = host_mirror_pairs(rd.from_pandas(df).repartition(3)).to_pandas()
+    got = {(r.host_a, r.host_b): r.n_shared for r in out.itertuples()}
+    assert got == {("a.x", "b.x"): 2, ("a.x", "c.x"): 1,
+                   ("b.x", "c.x"): 1}
+    # cap: with max_hosts_per_content=2 only the lexicographic prefix
+    # {a.x, b.x} of the 3-host cluster emits
+    capped = host_mirror_pairs(rd.from_pandas(df).repartition(3),
+                               max_hosts_per_content=2).to_pandas()
+    gotc = {(r.host_a, r.host_b): r.n_shared for r in capped.itertuples()}
+    assert gotc == {("a.x", "b.x"): 2}
+
+
+def test_plan_compaction_ffd():
+    from pmocr_ray.ops.compact import plan_compaction
+
+    sizes = {"a": 60, "b": 50, "c": 40, "d": 30, "e": 200}
+    groups = plan_compaction(sizes, target_bytes=100)
+    # e oversized → singleton; FFD: 60+40, 50+30
+    assert sorted(map(sorted, groups)) == [["a", "c"], ["b", "d"], ["e"]]
+
+
+def test_compact_small_files_preserves_rows(ray_session, tmp_path):
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pmocr_ray.ops.compact import compact_small_files
+
+    in_dir = str(tmp_path / "small"); os.makedirs(in_dir)
+    out_dir = str(tmp_path / "compacted")
+    for i in range(12):
+        pq.write_table(
+            pa.table({"k": pa.array(range(i * 10, i * 10 + 10), pa.int64()),
+                      "v": pa.array([f"r{j}" for j in range(10)])}),
+            f"{in_dir}/part-{i:03d}.parquet")
+    some = os.path.getsize(f"{in_dir}/part-000.parquet")
+    outs = compact_small_files(in_dir, out_dir, target_bytes=some * 4)
+    assert 3 <= len(outs) < 12
+    got = pd.concat([pq.read_table(f).to_pandas() for f in outs])
+    assert sorted(got["k"]) == list(range(120))
+    # deterministic rerun overwrites, not duplicates
+    outs2 = compact_small_files(in_dir, out_dir, target_bytes=some * 4)
+    assert outs2 == outs
+    assert len(os.listdir(out_dir)) == len(outs)
+
+
+def test_cheapest_supplier_tie_breaks_min_suppkey(ray_session):
+    """Driver query helper: argmin ties resolve to the smaller suppkey
+    under any partitioning."""
+    import importlib.util
+
+    import pandas as pd
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_mod", "/root/repo/__ray_entry__.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.table({
+            "l_partkey": pa.array([1, 1, 1, 2], pa.int64()),
+            "l_suppkey": pa.array([9, 3, 3, 5], pa.int64()),
+            "l_extendedprice": pa.array([10.0, 5.0, 5.0, 7.0]),
+        }), os.path.join(d, "lineitem.parquet"))
+        out = m._q_cheapest_supplier(d).to_pandas()
+    got = {r.p_partkey: (r.s_suppkey, r.total_cents)
+           for r in out.itertuples()}
+    assert got == {1: (3, 1000), 2: (5, 700)}  # tie 1000 vs 1000 → supp 3
