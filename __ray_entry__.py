@@ -1741,6 +1741,154 @@ def _q_cheapest_supplier(sf_dir: str):
     return best.select_columns(["p_partkey", "s_suppkey", "total_cents"])
 
 
+def _q_local_supplier_revenue(sf_dir: str):
+    """TPC-H Q5 shape: revenue per nation for ASIA where customer and
+    supplier share the nation.  Scale order: region→nation pruning
+    broadcast FIRST (the suppkey→nationkey side filtered to ASIA
+    before any join), lineitem revenue attached to supplier nation via
+    a broadcast lookup (supplier ≪ lineitem; the hash-join form is the
+    swap-in at 10⁹ suppliers), partial (orderkey, s_nat) pre-agg
+    BEFORE the two large-large hash joins (orders, customer), then the
+    same-nation filter and a 5-row rollup.  Exact 1e-4-dollar int64."""
+    import pyarrow as pa
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    asia_key = region.filter(
+        pc.equal(region["r_name"], "ASIA"))["r_regionkey"][0].as_py()
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    asia_nations = nation.filter(
+        pc.equal(pc.cast(nation["n_regionkey"], pa.int64()), asia_key))
+    n_map = dict(zip(asia_nations["n_nationkey"].to_pylist(),
+                     asia_nations["n_name"].to_pylist()))
+    supplier = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                             columns=["s_suppkey", "s_nationkey"])
+    s_map = {k: v for k, v in zip(supplier["s_suppkey"].to_pylist(),
+                                  supplier["s_nationkey"].to_pylist())
+             if v in n_map}  # region pruning pushed into the broadcast
+
+    import ray
+    s_ref = ray.put(s_map)
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_suppkey",
+                                  "l_extendedprice", "l_discount"])
+
+    def rev_by_order_nat(t: pa.Table) -> pa.Table:
+        smap = ray.get(s_ref)
+        nat = pa.array([smap.get(k) for k in t["l_suppkey"].to_pylist()],
+                       pa.int64())
+        t = t.append_column("s_nat", nat).filter(pc.is_valid(nat))
+        ext = np.rint(np.asarray(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False)) * 100
+        ).astype(np.int64)
+        disc = np.rint(np.asarray(
+            t["l_discount"].to_numpy(zero_copy_only=False)) * 100
+        ).astype(np.int64)
+        tt = pa.table({"l_orderkey": t["l_orderkey"], "s_nat": t["s_nat"],
+                       "rev": pa.array(ext * (100 - disc), pa.int64())})
+        g = tt.group_by(["l_orderkey", "s_nat"]).aggregate([("rev", "sum")])
+        return pa.table({"l_orderkey": g["l_orderkey"],
+                         "s_nat": g["s_nat"], "rev": g["rev_sum"]})
+
+    per_order = (li.map_batches(rev_by_order_nat, batch_format="pyarrow")
+                 .groupby(["l_orderkey", "s_nat"])
+                 .aggregate(Sum("rev", alias_name="rev")))
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_custkey"])
+    j1 = per_order.join(orders, join_type="inner", num_partitions=8,
+                        on=("l_orderkey",), right_on=("o_orderkey",))
+    customer = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                               columns=["c_custkey", "c_nationkey"])
+    j2 = j1.join(customer, join_type="inner", num_partitions=8,
+                 on=("o_custkey",), right_on=("c_custkey",))
+
+    n_ref = ray.put(n_map)
+
+    def same_nation(t: pa.Table) -> pa.Table:
+        nmap = ray.get(n_ref)
+        keep = pc.equal(pc.cast(t["c_nationkey"], pa.int64()), t["s_nat"])
+        t = t.filter(pc.fill_null(keep, False))
+        names = pa.array([nmap[k] for k in t["s_nat"].to_pylist()],
+                         pa.string())
+        return pa.table({"n_name": names, "rev": t["rev"]})
+
+    return (j2.map_batches(same_nation, batch_format="pyarrow")
+            .groupby("n_name").aggregate(Sum("rev",
+                                             alias_name="revenue_e4")))
+
+
+def _q_late_data_window(sf_dir: str):
+    """Event-time hourly windows with a watermark: synthetic arrival
+    delay (event_id % 7 minutes), watermark = max(arrival) − 30 min (a
+    single tiny global aggregate, broadcast as one int), per-window
+    on-time/late split (allowed lateness 3 min) and open/closed status
+    relative to the watermark.  All int64 microsecond arithmetic."""
+    import pyarrow as pa
+
+    import ray.data as rd
+    from ray.data.aggregate import Max, Sum
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "ts"])
+
+    US_MIN = 60_000_000
+    US_HOUR = 3_600_000_000
+
+    def with_arrival(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t["ts"], pa.int64())
+        delay = pc.multiply(_mod(t["event_id"], 7), US_MIN)
+        return pa.table({"ts_us": ts, "arrival_us": pc.add(ts, delay)})
+
+    tagged = ev.map_batches(with_arrival, batch_format="pyarrow")
+    wm = tagged.aggregate(Max("arrival_us", alias_name="m"))["m"] - 30 * US_MIN
+
+    def per_window_partial(t: pa.Table) -> pa.Table:
+        win = pc.multiply(pc.divide(t["ts_us"], US_HOUR), US_HOUR)
+        win_end = pc.add(win, US_HOUR)
+        late = pc.greater(t["arrival_us"], pc.add(win_end, 3 * US_MIN))
+        tt = pa.table({
+            "window_start": win,
+            "one": pa.array(np.ones(len(t), np.int64)),
+            "late": pc.cast(late, pa.int64()),
+        })
+        g = tt.group_by("window_start").aggregate(
+            [("one", "sum"), ("late", "sum")])
+        return pa.table({"window_start": g["window_start"],
+                         "n_events": g["one_sum"], "n_late": g["late_sum"]})
+
+    agg = (tagged.map_batches(per_window_partial, batch_format="pyarrow")
+           .groupby("window_start")
+           .aggregate(Sum("n_events", alias_name="n_events"),
+                      Sum("n_late", alias_name="n_late")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        ws = pc.cast(t["window_start"], pa.int64())
+        closed = pc.less_equal(pc.add(ws, US_HOUR), wm)
+        return pa.table({
+            "window_start": pc.cast(ws, pa.timestamp("us")),
+            "n_events": pc.cast(t["n_events"], pa.int64()),
+            "n_late": pc.cast(t["n_late"], pa.int64()),
+            "status": pc.if_else(closed, "closed", "open"),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_typo_pairs(sf_dir: str):
+    """Edit-distance-1 term pairs in the part-name vocabulary via
+    deletion-neighborhood blocking (never a cross join)."""
+    import ray.data as rd
+
+    from pmocr_ray.ops.text import typo_pairs
+
+    parts = rd.read_parquet(os.path.join(sf_dir, "part.parquet"),
+                            columns=["p_name"])
+    return typo_pairs(parts, column="p_name")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction pipeline family (pages fixture derived from documents)
@@ -1860,6 +2008,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_blocklist": _q_host_blocklist,
         "host_mirror": _q_host_mirror,
         "cheapest_supplier": _q_cheapest_supplier,
+        "local_supplier_revenue": _q_local_supplier_revenue,
+        "late_data_window": _q_late_data_window,
+        "typo_pairs": _q_typo_pairs,
         # composed curation
         "curate": _q_curate,
         # multimodal
@@ -2621,6 +2772,48 @@ def oracle_sql() -> dict[str, str]:
                      ) AS rn
               FROM lineitem GROUP BY l_partkey, l_suppkey)
             WHERE rn = 1""",
+        "local_supplier_revenue": """
+            SELECT n_name,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                        AS BIGINT) AS revenue_e4
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey
+            GROUP BY n_name""",
+        "late_data_window": """
+            WITH e AS (
+              SELECT epoch_us(ts) AS ts_us,
+                     epoch_us(ts) + (event_id % 7) * 60000000 AS arrival_us
+              FROM events
+            ), w AS (
+              SELECT max(arrival_us) - 30 * 60000000 AS wm FROM e
+            ), g AS (
+              SELECT (ts_us // 3600000000) * 3600000000 AS ws,
+                     CAST(count(*) AS BIGINT) AS n_events,
+                     CAST(sum(CASE WHEN arrival_us >
+                         (ts_us // 3600000000) * 3600000000 + 3600000000
+                         + 3 * 60000000 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_late
+              FROM e GROUP BY 1
+            )
+            SELECT make_timestamp(ws) AS window_start, n_events, n_late,
+                   CASE WHEN ws + 3600000000 <= (SELECT wm FROM w)
+                        THEN 'closed' ELSE 'open' END AS status
+            FROM g""",
+        "typo_pairs": r"""
+            WITH t AS (
+              SELECT DISTINCT unnest(regexp_extract_all(p_name, '\S+')) AS w
+              FROM part
+            )
+            SELECT a.w AS w1, b.w AS w2,
+                   CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist
+            FROM t a JOIN t b
+              ON a.w < b.w AND levenshtein(a.w, b.w) <= 1""",
         "dup_cluster_hist": """
             WITH d AS (
               SELECT doc_id,

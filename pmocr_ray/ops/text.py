@@ -1199,3 +1199,86 @@ def collocation_pairs(ds, column: str = "text", vocab_k: int = 200,
                          "pair_n": t["pair_n"], "w1_n": w1n, "w2_n": w2n})
 
     return pairs.map_batches(attach, batch_format="pyarrow")
+
+
+def _lev1(a: str, b: str) -> bool:
+    """Exact edit-distance ≤ 1 check (verification kernel; candidates
+    are already blocked, so this runs on O(candidates) pairs only)."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        return sum(x != y for x, y in zip(a, b)) <= 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    # b is a with one insertion
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
+def typo_pairs(ds, column: str = "text", max_bucket: int = 64):
+    """Edit-distance-1 term pairs over the corpus vocabulary — the
+    string-similarity join behind typo/variant normalization, WITHOUT
+    a cross join.
+
+    Scale shape: symmetric-delete blocking.  (1) distinct vocabulary
+    via one groupby (the rollup, not the corpus, flows on); (2) each
+    term emits |term|+1 blocking keys — itself plus every single-char
+    deletion — so every distance-≤1 pair shares at least one key
+    (substitutions share a same-position deletion; insert/delete pairs
+    share the shorter term itself); (3) ``groupby(key).map_groups``
+    emits candidate pairs inside each bucket (capped at ``max_bucket``
+    terms, deterministic sorted prefix) and verifies with the exact
+    O(len) kernel — false key collisions (e.g. transpositions) die
+    here; (4) one final groupby dedups pairs found under several keys.
+    Emits (w1, w2, dist) with w1 < w2; dist is always 1 (int64).
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Count
+
+    def toks(batch: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(
+            pc.split_pattern_regex(batch[column], r"\s+"))
+        flat = flat.filter(pc.not_equal(flat, ""))
+        g = pa.table({"term": flat}).group_by("term").aggregate([])
+        return g
+
+    vocab = (ds.map_batches(toks, batch_format="pyarrow")
+             .groupby("term").aggregate(Count(alias_name="_n"))
+             .select_columns(["term"]))
+
+    def block_keys(batch: pa.Table) -> pa.Table:
+        keys, terms = [], []
+        for w in batch["term"].to_pylist():
+            keys.append(w)
+            terms.append(w)
+            for i in range(len(w)):
+                keys.append(w[:i] + w[i + 1:])
+                terms.append(w)
+        return pa.table({"bkey": pa.array(keys, pa.string()),
+                         "term": pa.array(terms, pa.string())})
+
+    blocked = vocab.map_batches(block_keys, batch_format="pyarrow")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ws = sorted(set(g["term"]))[:max_bucket]
+        a, b = [], []
+        for i, x in enumerate(ws):
+            for y in ws[i + 1:]:
+                if _lev1(x, y):
+                    a.append(x)
+                    b.append(y)
+        return pd.DataFrame({"w1": pd.Series(a, dtype="object"),
+                             "w2": pd.Series(b, dtype="object")})
+
+    pairs = blocked.groupby("bkey").map_groups(bucket_pairs,
+                                               batch_format="pandas")
+    out = (pairs.groupby(["w1", "w2"]).aggregate(Count(alias_name="_n"))
+           .select_columns(["w1", "w2"]))
+    return out.map_batches(
+        lambda t: t.append_column(
+            "dist", pa.array(np.ones(len(t), np.int64))),
+        batch_format="pyarrow")

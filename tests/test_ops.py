@@ -689,3 +689,77 @@ def test_inter_arrival_stats_exact_gaps(ray_session):
     assert out.loc[1, "sum_gap_us"] == 60_000_000       # telescoping
     assert out.loc[1, "max_gap_us"] == 50_000_000
     assert out.loc[2, "n_gaps"] == 0 and out.loc[2, "max_gap_us"] == 0
+
+
+def test_typo_pairs_blocking_complete_and_exact(ray_session):
+    """Substitution, insertion and deletion pairs are found; a
+    transposition (distance 2) that shares a deletion key is rejected
+    by the verify kernel."""
+    import pandas as pd
+
+    import ray.data as rd
+    from pmocr_ray.ops.text import typo_pairs
+
+    df = pd.DataFrame({"text": [
+        "red rod",          # substitution
+        "cold old",         # deletion/insertion
+        "ab ba",            # transposition: distance 2, must NOT pair
+        "alpha gamma",      # far apart
+    ]})
+    out = typo_pairs(rd.from_pandas(df).repartition(2)).to_pandas()
+    got = {(r.w1, r.w2): r.dist for r in out.itertuples()}
+    assert got == {("red", "rod"): 1, ("cold", "old"): 1}
+
+
+def test_lev1_kernel_cases():
+    from pmocr_ray.ops.text import _lev1
+
+    assert _lev1("abc", "abc")          # distance 0
+    assert _lev1("abc", "abd")          # substitution
+    assert _lev1("abc", "abcd")         # insertion at end
+    assert _lev1("abc", "xabc")         # insertion at front
+    assert _lev1("abc", "ac")           # deletion
+    assert not _lev1("ab", "ba")        # transposition = 2
+    assert not _lev1("abc", "abcde")    # length gap 2
+    assert not _lev1("abc", "xyc")      # two substitutions
+
+
+def test_late_data_window_statuses(ray_session):
+    """Hand-built events: late split and watermark-closed windows."""
+    import importlib.util
+    import os
+    import tempfile
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_mod2", "/root/repo/__ray_entry__.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+
+    base = pd.Timestamp("2024-03-01 00:30:00")
+    rows = [
+        # window 00:00: event_id 0 → delay 0 (on time)
+        (0, base),
+        # window 00:00: event_id 6 → delay 6 min; ts 00:59 → arrival
+        # 01:05 > 01:03 ⇒ late
+        (6, pd.Timestamp("2024-03-01 00:59:00")),
+        # window 05:00: the corpus max arrival → watermark 04:3x ⇒ this
+        # window is open, earlier ones closed
+        (1, pd.Timestamp("2024-03-01 05:00:00")),
+    ]
+    ev = pd.DataFrame(rows, columns=["event_id", "ts"])
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.table({
+            "event_id": pa.array(ev["event_id"], pa.int64()),
+            "ts": pa.array(ev["ts"].astype("datetime64[us]")),
+        }), os.path.join(d, "events.parquet"))
+        out = m._q_late_data_window(d).to_pandas()
+    got = {r.window_start: (r.n_events, r.n_late, r.status)
+           for r in out.itertuples()}
+    assert got == {
+        pd.Timestamp("2024-03-01 00:00:00"): (2, 1, "closed"),
+        pd.Timestamp("2024-03-01 05:00:00"): (1, 0, "open"),
+    }
