@@ -1889,6 +1889,94 @@ def _q_typo_pairs(sf_dir: str):
     return typo_pairs(parts, column="p_name")
 
 
+def _q_host_lang(sf_dir: str):
+    """Dominant language per host (site-level language assignment):
+    (host, lang) combiner rollup → compact_latest as grouped argmax
+    (n_pages desc, lang asc)."""
+    import pyarrow as pa
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from pmocr_ray.ops.compact import compact_latest
+
+    pages_dir, _ = _pages(sf_dir)
+    pages = rd.read_parquet(pages_dir, columns=["url", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        host = pc.struct_field(
+            pc.extract_regex(t["url"], r"^[a-z+]+://(?P<host>[^/]+)"),
+            "host")
+        g = (pa.table({"host": host, "lang": t["lang"]})
+             .group_by(["host", "lang"]).aggregate([([], "count_all")]))
+        return pa.table({"host": g["host"], "lang": g["lang"],
+                         "n_pages": pc.cast(g["count_all"], pa.int64())})
+
+    rollup = (pages.map_batches(partial, batch_format="pyarrow")
+              .groupby(["host", "lang"])
+              .aggregate(Sum("n_pages", alias_name="n_pages")))
+    best = compact_latest(rollup, key="host",
+                          order_cols=["n_pages", "lang"],
+                          descending=[True, False])
+    return best.select_columns(["host", "lang", "n_pages"])
+
+
+def _q_url_canon_dedup(sf_dir: str):
+    """Three deterministic crawl variants per page url (plain, utm
+    tracking params, shouty-host + fragment) collapse to one canonical
+    form each via strip_tracking_params — the canonical STRINGS are
+    what the oracle hash checks."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from pmocr_ray.ops.text import canonical_url_counts
+
+    pages_dir, _ = _pages(sf_dir)
+    pages = rd.read_parquet(pages_dir, columns=["url"])
+
+    def variants(t: pa.Table) -> pa.Table:
+        urls = t["url"].to_pylist()
+        out = []
+        for u in urls:
+            scheme_host, _, rest = u.partition("/page/")
+            out.append(u)
+            out.append(u + "?utm_source=feed&utm_campaign=x")
+            out.append(scheme_host.upper() + "/page/" + rest + "#frag")
+        return pa.table({"url": pa.array(out, pa.string())})
+
+    return canonical_url_counts(
+        pages.map_batches(variants, batch_format="pyarrow"))
+
+
+def _q_incremental_stats(sf_dir: str):
+    """Incremental aggregate maintenance: the corpus arrives as two
+    partitions (doc_id parity), each folded to an O(groups) rollup
+    shard; the merged view equals the batch GROUP BY exactly."""
+    import tempfile
+
+    import pyarrow as pa
+
+    from pmocr_ray.ops.compact import fold_rollup_shard, read_rollup
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "lang", "n_chars"])
+
+    def half(keep_even: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            even = pc.equal(_mod(t["doc_id"], 2), 0)
+            return t.filter(even if keep_even else pc.invert(even))
+        return fn
+
+    state = tempfile.mkdtemp(prefix="pmocr_rollup_")
+    fold_rollup_shard(docs.map_batches(half(True), batch_format="pyarrow"),
+                      state, "even", group_col="lang",
+                      sum_cols={"total_chars": "n_chars"})
+    fold_rollup_shard(docs.map_batches(half(False), batch_format="pyarrow"),
+                      state, "odd", group_col="lang",
+                      sum_cols={"total_chars": "n_chars"})
+    return read_rollup(state, group_col="lang")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction pipeline family (pages fixture derived from documents)
@@ -2011,6 +2099,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "local_supplier_revenue": _q_local_supplier_revenue,
         "late_data_window": _q_late_data_window,
         "typo_pairs": _q_typo_pairs,
+        "host_lang": _q_host_lang,
+        "url_canon_dedup": _q_url_canon_dedup,
+        "incremental_stats": _q_incremental_stats,
         # composed curation
         "curate": _q_curate,
         # multimodal
@@ -2805,6 +2896,22 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN ws + 3600000000 <= (SELECT wm FROM w)
                         THEN 'closed' ELSE 'open' END AS status
             FROM g""",
+        "host_lang": _PAGE_CTE + """
+            SELECT host, lang, n_pages FROM (
+              SELECT regexp_extract(url, '^[a-z+]+://([^/]+)', 1) AS host,
+                     lang, CAST(count(*) AS BIGINT) AS n_pages,
+                     row_number() OVER (
+                       PARTITION BY regexp_extract(url,
+                                      '^[a-z+]+://([^/]+)', 1)
+                       ORDER BY count(*) DESC, lang ASC) AS rn
+              FROM c GROUP BY 1, 2)
+            WHERE rn = 1""",
+        "url_canon_dedup": _PAGE_CTE + """
+            SELECT url, CAST(3 AS BIGINT) AS n_variants FROM c""",
+        "incremental_stats": """
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM documents GROUP BY lang""",
         "typo_pairs": r"""
             WITH t AS (
               SELECT DISTINCT unnest(regexp_extract_all(p_name, '\S+')) AS w

@@ -184,3 +184,45 @@ def compact_small_files(in_dir: str, out_dir: str, *,
         merge.remote(g, os.path.join(out_dir, f"compact-{i:05d}.parquet"))
         for i, g in enumerate(groups)])
     return sorted(outs)
+
+
+def fold_rollup_shard(ds: rd.Dataset, state_dir: str, run_id: str, *,
+                      group_col: str, sum_cols: dict[str, str]) -> str:
+    """Incremental aggregate maintenance, fold side: reduce a new
+    partition to its per-group rollup (count + requested sums) and
+    append it as ONE parquet shard named by ``run_id`` — the same
+    O(1)-per-commit shard discipline as the done manifest
+    (pmocr_ray/state/manifest.py), applied to aggregate state.
+    Re-folding the same run_id overwrites its shard (idempotent), and
+    history is never rewritten.  ``sum_cols`` maps output name →
+    source column.  Shard size is bounded by group cardinality, not
+    partition size."""
+    import os
+
+    import pyarrow.parquet as pq_
+
+    from ray.data.aggregate import Count, Sum
+
+    aggs = [Count(alias_name="n_rows")]
+    for out_name, src in sum_cols.items():
+        aggs.append(Sum(src, alias_name=out_name))
+    rollup = ds.groupby(group_col).aggregate(*aggs)
+    tbl = pa.Table.from_pandas(rollup.to_pandas(), preserve_index=False)
+    os.makedirs(state_dir, exist_ok=True)
+    path = os.path.join(state_dir, f"rollup-{run_id}.parquet")
+    tmp = path + ".tmp"
+    pq_.write_table(tbl, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def read_rollup(state_dir: str, *, group_col: str) -> rd.Dataset:
+    """Merge side: the current aggregate view is one groupby over the
+    shard directory — cost scales with shards × groups, never with the
+    rows ever ingested."""
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(state_dir)
+    cols = [c for c in ds.schema().names if c != group_col]
+    return ds.groupby(group_col).aggregate(
+        *[Sum(c, alias_name=c) for c in cols])

@@ -1282,3 +1282,44 @@ def typo_pairs(ds, column: str = "text", max_bucket: int = 64):
         lambda t: t.append_column(
             "dist", pa.array(np.ones(len(t), np.int64))),
         batch_format="pyarrow")
+
+
+_TRACKING_PARAMS = ("utm_", "gclid", "fbclid", "ref")
+
+
+def strip_tracking_params(url: str) -> str:
+    """Canonicalize away click-tracking query params (utm_*, gclid,
+    fbclid, ref) and fragments, lowercase scheme+host — the url-level
+    dedup key for crawl variants of the same page.  Composes with
+    :func:`normalize_url`; kept separate because tracking-strip is
+    lossy by design (normalize_url is reversible-safe for manifests)."""
+    from urllib.parse import parse_qsl, urlencode, urlsplit, urlunsplit
+
+    parts = urlsplit(url)
+    scheme = parts.scheme.lower()
+    host = parts.netloc.lower()
+    kept = [(k, v) for k, v in parse_qsl(parts.query, keep_blank_values=True)
+            if not (k.startswith("utm_") or k in ("gclid", "fbclid", "ref"))]
+    return urlunsplit((scheme, host, parts.path,
+                       urlencode(kept) if kept else "", ""))
+
+
+def canonical_url_counts(ds, url_column: str = "url"):
+    """Group crawl-variant urls by tracking-stripped canonical form and
+    count variants per canonical url.  Map stage is per-row Python
+    (url parsing has no Arrow kernel) but stateless and fused; the
+    shuffle moves only (canonical, partial_count) combiner rows."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        canon = pa.array([strip_tracking_params(u)
+                          for u in batch[url_column].to_pylist()],
+                         pa.string())
+        g = (pa.table({"url": canon}).group_by("url")
+             .aggregate([([], "count_all")]))
+        return pa.table({"url": g["url"],
+                         "n_variants": pc.cast(g["count_all"], pa.int64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("url").aggregate(Sum("n_variants",
+                                          alias_name="n_variants")))

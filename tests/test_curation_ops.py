@@ -470,3 +470,52 @@ def test_cheapest_supplier_tie_breaks_min_suppkey(ray_session):
     got = {r.p_partkey: (r.s_suppkey, r.total_cents)
            for r in out.itertuples()}
     assert got == {1: (3, 1000), 2: (5, 700)}  # tie 1000 vs 1000 → supp 3
+
+
+def test_strip_tracking_params_cases():
+    from pmocr_ray.ops.text import strip_tracking_params as s
+
+    assert s("https://a.x/p?utm_source=f&q=1&utm_medium=m") == \
+        "https://a.x/p?q=1"
+    assert s("HTTPS://A.X/p?gclid=z#frag") == "https://a.x/p"
+    assert s("https://a.x/p?ref=tw&fbclid=1") == "https://a.x/p"
+    assert s("https://a.x/p") == "https://a.x/p"
+    # non-tracking params keep order and blank values
+    assert s("https://a.x/p?b=&a=2") == "https://a.x/p?b=&a=2"
+
+
+def test_canonical_url_counts(ray_session):
+    import pandas as pd
+
+    import ray.data as rd
+    from pmocr_ray.ops.text import canonical_url_counts
+
+    df = pd.DataFrame({"url": [
+        "https://a.x/p", "https://a.x/p?utm_source=f", "HTTPS://A.X/p#z",
+        "https://b.x/q?id=7", "https://b.x/q?id=7&gclid=g",
+    ]})
+    out = canonical_url_counts(rd.from_pandas(df).repartition(3)).to_pandas()
+    got = dict(zip(out["url"], out["n_variants"]))
+    assert got == {"https://a.x/p": 3, "https://b.x/q?id=7": 2}
+
+
+def test_incremental_rollup_matches_batch_and_idempotent(ray_session,
+                                                         tmp_path):
+    import pandas as pd
+
+    import ray.data as rd
+    from pmocr_ray.ops.compact import fold_rollup_shard, read_rollup
+
+    df = pd.DataFrame({"g": ["a", "b", "a", "b", "a"],
+                       "v": [1, 2, 3, 4, 5]})
+    state = str(tmp_path / "state")
+    fold_rollup_shard(rd.from_pandas(df.iloc[:3]), state, "r1",
+                      group_col="g", sum_cols={"sv": "v"})
+    fold_rollup_shard(rd.from_pandas(df.iloc[3:]), state, "r2",
+                      group_col="g", sum_cols={"sv": "v"})
+    # idempotent re-fold of r2 (crash/retry) must not double-count
+    fold_rollup_shard(rd.from_pandas(df.iloc[3:]), state, "r2",
+                      group_col="g", sum_cols={"sv": "v"})
+    out = read_rollup(state, group_col="g").to_pandas()
+    got = {r.g: (r.n_rows, r.sv) for r in out.itertuples()}
+    assert got == {"a": (3, 9), "b": (2, 6)}
