@@ -1977,6 +1977,78 @@ def _q_incremental_stats(sf_dir: str):
     return read_rollup(state, group_col="lang")
 
 
+def _q_event_debounce(sf_dir: str):
+    import ray.data as rd
+
+    from pmocr_ray.ops.events import event_debounce
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "user_id", "event_type",
+                                  "ts"])
+    return event_debounce(ev, gap_seconds=3600)
+
+
+def _q_promo_revenue(sf_dir: str):
+    """TPC-H Q14 shape: promo vs total revenue share.  lineitem
+    pre-aggregated per partkey BEFORE the hash join to part (the fact
+    side shrinks to |part| rows); one-row conditional rollup after."""
+    import pyarrow as pa
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_partkey", "l_extendedprice",
+                                  "l_discount"])
+
+    def rev_per_part(t: pa.Table) -> pa.Table:
+        ext = np.rint(np.asarray(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False)) * 100
+        ).astype(np.int64)
+        disc = np.rint(np.asarray(
+            t["l_discount"].to_numpy(zero_copy_only=False)) * 100
+        ).astype(np.int64)
+        tt = pa.table({"l_partkey": t["l_partkey"],
+                       "rev": pa.array(ext * (100 - disc), pa.int64())})
+        g = tt.group_by("l_partkey").aggregate([("rev", "sum")])
+        return pa.table({"l_partkey": g["l_partkey"], "rev": g["rev_sum"]})
+
+    per_part = (li.map_batches(rev_per_part, batch_format="pyarrow")
+                .groupby("l_partkey").aggregate(Sum("rev",
+                                                    alias_name="rev")))
+    part = rd.read_parquet(os.path.join(sf_dir, "part.parquet"),
+                           columns=["p_partkey", "p_type"])
+    j = per_part.join(part, join_type="inner", num_partitions=4,
+                      on=("l_partkey",), right_on=("p_partkey",))
+
+    def conditional(t: pa.Table) -> pa.Table:
+        promo = pc.if_else(pc.equal(t["p_type"], "PROMO"), t["rev"],
+                           pa.scalar(0, pa.int64()))
+        return pa.table({
+            "promo_e4": pa.array([pc.sum(promo).as_py() or 0], pa.int64()),
+            "total_e4": pa.array([pc.sum(t["rev"]).as_py() or 0],
+                                 pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum as _S
+    row = (j.map_batches(conditional, batch_format="pyarrow")
+           .aggregate(_S("promo_e4", alias_name="promo_e4"),
+                      _S("total_e4", alias_name="total_e4")))
+    import pandas as pd
+    return pd.DataFrame([{"promo_e4": int(row["promo_e4"]),
+                          "total_e4": int(row["total_e4"])}])
+
+
+def _q_embedding_dim_stats(sf_dir: str):
+    import ray.data as rd
+
+    from pmocr_ray.ops.knn import embedding_dim_stats
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["embedding"])
+    return embedding_dim_stats(emb)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction pipeline family (pages fixture derived from documents)
@@ -2102,6 +2174,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_lang": _q_host_lang,
         "url_canon_dedup": _q_url_canon_dedup,
         "incremental_stats": _q_incremental_stats,
+        "event_debounce": _q_event_debounce,
+        "promo_revenue": _q_promo_revenue,
+        "embedding_dim_stats": _q_embedding_dim_stats,
         # composed curation
         "curate": _q_curate,
         # multimodal
@@ -2912,6 +2987,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
                    CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM documents GROUP BY lang""",
+        "event_debounce": """
+            SELECT event_id, user_id, event_type, ts FROM (
+              SELECT event_id, user_id, event_type, ts,
+                     lag(ts) OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts, event_id) AS pts
+              FROM events)
+            WHERE pts IS NULL OR ts - pts > INTERVAL 3600 SECOND""",
+        "promo_revenue": """
+            SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev
+                                 ELSE 0 END) AS BIGINT) AS promo_e4,
+                   CAST(sum(rev) AS BIGINT) AS total_e4
+            FROM (SELECT l_partkey,
+                         CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                           AS rev
+                  FROM lineitem) l
+            JOIN part ON l_partkey = p_partkey""",
+        "embedding_dim_stats": """
+            SELECT dim, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(v) AS BIGINT) AS sum_e6,
+                   CAST(min(v) AS BIGINT) AS min_e6,
+                   CAST(max(v) AS BIGINT) AS max_e6
+            FROM (
+              SELECT r.range AS dim,
+                     CAST(floor(CAST(embedding[r.range + 1] AS DOUBLE)
+                                * 1000000) AS BIGINT) AS v
+              FROM embeddings CROSS JOIN range(64) r)
+            GROUP BY dim""",
         "typo_pairs": r"""
             WITH t AS (
               SELECT DISTINCT unnest(regexp_extract_all(p_name, '\S+')) AS w

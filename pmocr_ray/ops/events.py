@@ -489,3 +489,28 @@ def attribution_window(events: rd.Dataset, *,
 
     return events.groupby("user_id").map_groups(per_user,
                                                 batch_format="pandas")
+
+
+def event_debounce(events: rd.Dataset, *,
+                   gap_seconds: int = 60) -> rd.Dataset:
+    """Collapse retry/burst storms: drop an event when the previous
+    event of the same (user, type) is within ``gap_seconds`` — the
+    lag-based debounce (each survivor is > gap from its predecessor in
+    the RAW stream; deterministic, SQL-expressible — unlike the greedy
+    last-KEPT variant, which is chain-dependent).
+
+    Scale shape: ONE shuffle on the composite (user_id, event_type)
+    key — finer-grained than a per-user shuffle, so hot users spread
+    across their types — then a vectorized shift/compare inside each
+    sorted group.  Canonical order (ts, event_id) for ties.
+    """
+    gap = pd.Timedelta(seconds=gap_seconds)
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        prev = g["ts"].shift(1)
+        keep = prev.isna() | ((g["ts"] - prev) > gap)
+        return g.loc[keep, ["event_id", "user_id", "event_type", "ts"]]
+
+    return (events.groupby(["user_id", "event_type"])
+            .map_groups(per_group, batch_format="pandas"))

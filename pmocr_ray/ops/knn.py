@@ -412,3 +412,47 @@ def quantize_embeddings(ds: rd.Dataset, *, key: str = "vec_id",
         })
 
     return ds.map_batches(quantize, batch_format="pyarrow")
+
+
+def embedding_dim_stats(ds, column: str = "embedding",
+                        scale: int = 1_000_000):
+    """Per-dimension rollup over a ``list<float>`` column: count, sum,
+    min, max in FLOORED fixed-point micro-units — the vector-column
+    profiling pass (bounds feed quantization; drift across crawls
+    feeds monitoring).
+
+    Determinism: each float32 value casts to float64 and floors AFTER
+    one multiply — elementwise IEEE ops identical on every worker and
+    in the SQL oracle; the cross-row aggregation is then exact int64,
+    so partial-sum order is irrelevant.  Shape: flatten + reshape per
+    batch (zero-copy list buffers), one numpy reduction per dim → the
+    shuffle moves d rows per batch, never a vector.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data as rd  # noqa: F401  (signature parity)
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t[column].combine_chunks()
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+        n = len(t)
+        d = len(flat) // n if n else 0
+        v = np.floor(flat.astype(np.float64) * scale).astype(np.int64)
+        m = v.reshape(n, d)
+        return pa.table({
+            "dim": pa.array(np.arange(d, dtype=np.int64)),
+            "n": pa.array(np.full(d, n, np.int64)),
+            "sum_e6": pa.array(m.sum(axis=0, dtype=np.int64)),
+            "min_e6": pa.array(m.min(axis=0)),
+            "max_e6": pa.array(m.max(axis=0)),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("dim").aggregate(
+                Sum("n", alias_name="n"),
+                Sum("sum_e6", alias_name="sum_e6"),
+                Min("min_e6", alias_name="min_e6"),
+                Max("max_e6", alias_name="max_e6")))

@@ -763,3 +763,44 @@ def test_late_data_window_statuses(ray_session):
         pd.Timestamp("2024-03-01 00:00:00"): (2, 1, "closed"),
         pd.Timestamp("2024-03-01 05:00:00"): (1, 0, "open"),
     }
+
+
+def test_event_debounce_gap_rule(ray_session):
+    import pandas as pd
+
+    import ray.data as rd
+    from pmocr_ray.ops.events import event_debounce
+
+    t0 = pd.Timestamp("2024-01-01 10:00:00")
+    rows = [
+        # user 1 clicks at 0s, 30s, 95s: 30s dropped (≤60 from 0s),
+        # 95s KEPT under the lag rule (65s from its raw predecessor 30s)
+        (1, 1, "click", t0),
+        (2, 1, "click", t0 + pd.Timedelta(seconds=30)),
+        (3, 1, "click", t0 + pd.Timedelta(seconds=95)),
+        # different type interleaved: independent chain
+        (4, 1, "view", t0 + pd.Timedelta(seconds=10)),
+        # exactly-at-gap is dropped (strict >)
+        (5, 2, "click", t0),
+        (6, 2, "click", t0 + pd.Timedelta(seconds=60)),
+    ]
+    ev = pd.DataFrame(rows, columns=["event_id", "user_id",
+                                     "event_type", "ts"])
+    out = event_debounce(rd.from_pandas(ev).repartition(3),
+                         gap_seconds=60).to_pandas()
+    assert sorted(out["event_id"]) == [1, 3, 4, 5]
+
+
+def test_embedding_dim_stats_exact(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    import ray.data as rd
+    from pmocr_ray.ops.knn import embedding_dim_stats
+
+    vecs = [[0.5, -0.25], [1.5, 0.75], [-0.5, 0.125]]
+    tbl = pa.table({"embedding": pa.array(vecs, pa.list_(pa.float32()))})
+    ds = rd.from_arrow(tbl).repartition(3)
+    out = embedding_dim_stats(ds).to_pandas().set_index("dim")
+    assert out.loc[0].tolist() == [3, 1_500_000, -500_000, 1_500_000]
+    assert out.loc[1].tolist() == [3, 625_000, -250_000, 750_000]
