@@ -1838,7 +1838,7 @@ def _q_late_data_window(sf_dir: str):
     US_HOUR = 3_600_000_000
 
     def with_arrival(t: pa.Table) -> pa.Table:
-        ts = pc.cast(t["ts"], pa.int64())
+        ts = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
         delay = pc.multiply(_mod(t["event_id"], 7), US_MIN)
         return pa.table({"ts_us": ts, "arrival_us": pc.add(ts, delay)})
 
@@ -2049,6 +2049,63 @@ def _q_embedding_dim_stats(sf_dir: str):
     return embedding_dim_stats(emb)
 
 
+def _q_triangle_count(sf_dir: str):
+    """Global triangle count of the derived host graph (degree-oriented
+    wedge join — no hub explosion)."""
+    import pandas as pd
+
+    from pmocr_ray.ops.graph import triangle_count
+
+    n = triangle_count(_pagerank_edges(sf_dir))
+    return pd.DataFrame([{"n_triangles": int(n)}])
+
+
+def _q_bucketed_join(sf_dir: str):
+    """Shuffle-free bucketed storage join: orders and customer written
+    hash-bucketed on the customer key ONCE, then joined bucket-by-
+    bucket with no exchange; segment rollup after."""
+    import tempfile
+
+    import pyarrow as pa
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from pmocr_ray.ops.pack import bucketed_join, bucketed_write
+
+    base = tempfile.mkdtemp(prefix="pmocr_buckets_")
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_custkey"])
+    customer = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                               columns=["c_custkey", "c_mktsegment"])
+    da = bucketed_write(orders, os.path.join(base, "orders"),
+                        key="o_custkey", n_buckets=8)
+    db = bucketed_write(customer, os.path.join(base, "customer"),
+                        key="c_custkey", n_buckets=8)
+    joined = bucketed_join(da, db, key_a="o_custkey", key_b="c_custkey",
+                           n_buckets=8)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select(["c_mktsegment"]).group_by("c_mktsegment").aggregate(
+            [([], "count_all")])
+        return pa.table({"c_mktsegment": g["c_mktsegment"],
+                         "n_orders": pc.cast(g["count_all"], pa.int64())})
+
+    return (joined.map_batches(partial, batch_format="pyarrow")
+            .groupby("c_mktsegment")
+            .aggregate(Sum("n_orders", alias_name="n_orders")))
+
+
+def _q_moving_window(sf_dir: str):
+    import ray.data as rd
+
+    from pmocr_ray.ops.events import moving_window_sum
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "ts", "value"])
+    return moving_window_sum(ev, trailing_hours=7)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction pipeline family (pages fixture derived from documents)
@@ -2177,6 +2234,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_debounce": _q_event_debounce,
         "promo_revenue": _q_promo_revenue,
         "embedding_dim_stats": _q_embedding_dim_stats,
+        "triangle_count": _q_triangle_count,
+        "bucketed_join": _q_bucketed_join,
+        "moving_window": _q_moving_window,
         # composed curation
         "curate": _q_curate,
         # multimodal
@@ -2987,6 +3047,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
                    CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM documents GROUP BY lang""",
+        "triangle_count": """
+            WITH e AS (
+              SELECT DISTINCT doc_id % 211 AS src,
+                              (doc_id * 13 + 7) % 211 AS dst
+              FROM documents
+              WHERE (doc_id % 211) <> ((doc_id * 13 + 7) % 211)
+            ), u AS (
+              SELECT DISTINCT least(src, dst) AS a,
+                              greatest(src, dst) AS b FROM e
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_triangles
+            FROM u x JOIN u y ON x.b = y.a
+                     JOIN u z ON z.a = x.a AND z.b = y.b""",
+        "bucketed_join": """
+            SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment""",
+        "moving_window": """
+            WITH r AS (
+              SELECT event_type,
+                     (epoch_us(ts) // 3600000000) * 3600000000 AS h,
+                     CAST(sum(CAST(round(value * 100) AS BIGINT))
+                          AS BIGINT) AS cents
+              FROM events GROUP BY 1, 2
+            )
+            SELECT event_type, make_timestamp(h) AS hour,
+                   CAST(sum(cents) OVER (
+                     PARTITION BY event_type ORDER BY h
+                     RANGE BETWEEN 21600000000 PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS trailing_cents
+            FROM r""",
         "event_debounce": """
             SELECT event_id, user_id, event_type, ts FROM (
               SELECT event_id, user_id, event_type, ts,

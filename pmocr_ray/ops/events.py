@@ -514,3 +514,58 @@ def event_debounce(events: rd.Dataset, *,
 
     return (events.groupby(["user_id", "event_type"])
             .map_groups(per_group, batch_format="pandas"))
+
+
+def moving_window_sum(events: rd.Dataset, *,
+                      trailing_hours: int = 7) -> rd.Dataset:
+    """Trailing ``trailing_hours``-hour moving sum of value per event
+    type, evaluated at each present hour — the monitoring rollup
+    behind rate-drift alerts.
+
+    Scale shape: the raw stream first collapses to an (event_type,
+    hour) combiner rollup (bounded by types × hours, NOT by events);
+    the moving frame is then a vectorized two-pointer
+    (``searchsorted`` over the sorted hour axis + prefix sums) inside
+    ``groupby(event_type).map_groups`` — O(hours) per type, exact
+    int64 cents, and hours absent from the data contribute zero
+    (RANGE-frame semantics, matching the SQL window).
+    """
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    US_HOUR = 3_600_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        hour = pc.multiply(pc.divide(ts, US_HOUR), US_HOUR)
+        cents = pc.cast(pc.round(pc.multiply(
+            pc.cast(t["value"], pa.float64()), 100)), pa.int64())
+        tt = pa.table({"event_type": t["event_type"], "hour": hour,
+                       "cents": cents})
+        g = tt.group_by(["event_type", "hour"]).aggregate(
+            [("cents", "sum")])
+        return pa.table({"event_type": g["event_type"],
+                         "hour": g["hour"], "cents": g["cents_sum"]})
+
+    rollup = (events.map_batches(partial, batch_format="pyarrow")
+              .groupby(["event_type", "hour"])
+              .aggregate(Sum("cents", alias_name="cents")))
+
+    win_us = np.int64(trailing_hours - 1) * US_HOUR
+
+    def per_type(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("hour")
+        h = g["hour"].to_numpy(np.int64)
+        c = g["cents"].to_numpy(np.int64)
+        csum = np.concatenate([[0], np.cumsum(c)])
+        lo = np.searchsorted(h, h - win_us, side="left")
+        trailing = csum[np.arange(1, len(h) + 1)] - csum[lo]
+        return pd.DataFrame({
+            "event_type": g["event_type"].to_numpy(),
+            "hour": g["hour"].astype("int64").astype("datetime64[us]"),
+            "trailing_cents": trailing.astype(np.int64),
+        })
+
+    return rollup.groupby("event_type").map_groups(per_type,
+                                                   batch_format="pandas")

@@ -466,3 +466,80 @@ def pps_systematic_sample(ds: rd.Dataset, n_samples: int,
 
     return (counted.groupby("part")
             .map_groups(per_part, batch_format="pandas"))
+
+
+def bucketed_write(ds: rd.Dataset, out_dir: str, *, key: str,
+                   n_buckets: int = 16) -> str:
+    """Write a dataset hash-bucketed by ``key`` into hive-style
+    ``bucket=`` directories — the co-located storage layout that lets
+    equi-joins on ``key`` run WITHOUT a shuffle (both sides' bucket i
+    hold exactly the keys with ``hash(key) % n == i``).
+
+    The bucket id is a vectorized int64 mix of the key (splitmix-style
+    constant), computed identically for every table written with the
+    same ``n_buckets`` — the layout contract :func:`bucketed_join`
+    relies on.
+    """
+    import numpy as np
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        k = t[key].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+        z = (k + np.uint64(0x9E3779B97F4A7C15))
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z = z ^ (z >> np.uint64(31))
+        b = (z % np.uint64(n_buckets)).astype(np.int64)
+        return t.append_column("bucket", pa.array(b))
+
+    (ds.map_batches(add_bucket, batch_format="pyarrow")
+     .write_parquet(out_dir, partition_cols=["bucket"]))
+    return out_dir
+
+
+def bucketed_join(dir_a: str, dir_b: str, *, key_a: str, key_b: str,
+                  n_buckets: int = 16) -> rd.Dataset:
+    """Shuffle-free equi-join of two directories written by
+    :func:`bucketed_write` with the same ``n_buckets``: one task per
+    bucket id reads BOTH sides' bucket partition and hash-joins
+    locally — keys are co-located by the layout, so no all-to-all
+    exchange ever runs.  This is the bucketed-table join every
+    warehouse uses to amortize one shuffle (at write time) across
+    every future join on the key.
+
+    Returns the joined rows (left columns + right columns).  Missing
+    bucket directories (empty buckets) contribute nothing.
+    """
+    import glob
+    import os
+
+    import pyarrow.parquet as pq_
+
+    # schema-stable empty result: derive the merged frame shape from
+    # one file of each side (driver-side metadata read only)
+    fa = sorted(glob.glob(os.path.join(dir_a, "bucket=*", "*.parquet")))
+    fb = sorted(glob.glob(os.path.join(dir_b, "bucket=*", "*.parquet")))
+    empty = (pq_.read_schema(fa[0]).empty_table().to_pandas().merge(
+        pq_.read_schema(fb[0]).empty_table().to_pandas(),
+        left_on=key_a, right_on=key_b, how="inner"))
+
+    def join_buckets(batch: pa.Table) -> pa.Table:
+        frames = [empty]
+        for b in batch["bucket"].to_pylist():
+            pa_dir = os.path.join(dir_a, f"bucket={b}")
+            pb_dir = os.path.join(dir_b, f"bucket={b}")
+            if not (os.path.isdir(pa_dir) and os.path.isdir(pb_dir)):
+                continue
+            ta = pq_.read_table(pa_dir).to_pandas()
+            tb = pq_.read_table(pb_dir).to_pandas()
+            frames.append(ta.merge(tb, left_on=key_a, right_on=key_b,
+                                   how="inner"))
+        j = pd.concat(frames, ignore_index=True) if len(frames) > 1 \
+            else empty
+        return pa.Table.from_pandas(j, preserve_index=False)
+
+    ids = rd.from_items([{"bucket": b} for b in range(n_buckets)])
+    # batch_size=1 → one task per bucket: per-bucket parallelism with
+    # no shuffle anywhere
+    return ids.map_batches(join_buckets, batch_format="pyarrow",
+                           batch_size=1)

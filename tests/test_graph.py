@@ -128,3 +128,20 @@ def test_host_blocklist_filter_exact_suffix_invert(ray_session):
                                     invert=True).to_pandas()
     assert sorted(blocked["url"]) == ["https://bad.example/b",
                                       "https://sub.spam.example/c"]
+
+
+def test_triangle_count_known_graphs(ray_session):
+    from pmocr_ray.ops.graph import triangle_count
+
+    # K4 has 4 triangles; edges given unordered/duplicated/reversed
+    k4 = pd.DataFrame({
+        "src": [0, 0, 0, 1, 1, 2, 2, 3],
+        "dst": [1, 2, 3, 2, 3, 3, 1, 0],   # (2,1) and (3,0) are dups
+    })
+    assert triangle_count(rd.from_pandas(k4).repartition(3)) == 4
+    # a 4-cycle has none
+    c4 = pd.DataFrame({"src": [0, 1, 2, 3], "dst": [1, 2, 3, 0]})
+    assert triangle_count(rd.from_pandas(c4)) == 0
+    # star + one closing edge = exactly 1
+    star = pd.DataFrame({"src": [0, 0, 0, 1], "dst": [1, 2, 3, 2]})
+    assert triangle_count(rd.from_pandas(star)) == 1

@@ -804,3 +804,26 @@ def test_embedding_dim_stats_exact(ray_session):
     out = embedding_dim_stats(ds).to_pandas().set_index("dim")
     assert out.loc[0].tolist() == [3, 1_500_000, -500_000, 1_500_000]
     assert out.loc[1].tolist() == [3, 625_000, -250_000, 750_000]
+
+
+def test_moving_window_sum_gaps(ray_session):
+    import pandas as pd
+
+    import ray.data as rd
+    from pmocr_ray.ops.events import moving_window_sum
+
+    t0 = pd.Timestamp("2024-01-01 00:30:00")
+    rows = [
+        ("click", t0, 1.00),
+        ("click", t0 + pd.Timedelta(hours=1), 2.00),
+        # 9-hour gap: hour 10 must NOT see hours 0-1 in a 7h window
+        ("click", t0 + pd.Timedelta(hours=10), 4.00),
+        ("view", t0, 8.00),
+    ]
+    ev = pd.DataFrame(rows, columns=["event_type", "ts", "value"])
+    out = moving_window_sum(rd.from_pandas(ev).repartition(2),
+                            trailing_hours=7).to_pandas()
+    got = {(r.event_type, r.hour.hour): r.trailing_cents
+           for r in out.itertuples()}
+    assert got == {("click", 0): 100, ("click", 1): 300,
+                   ("click", 10): 400, ("view", 0): 800}

@@ -125,3 +125,23 @@ def test_pps_systematic_sample_deterministic_and_weighted(ray_session):
                   "n_chars": pa.array([10] * 100, pa.int64())})
     c = pps_systematic_sample(rd.from_arrow(u), n_samples=10).to_pandas()
     assert len(c) == 10
+
+
+def test_bucketed_join_matches_plain_join(ray_session, tmp_path):
+    import pandas as pd
+
+    from pmocr_ray.ops.pack import bucketed_join, bucketed_write
+
+    left = pd.DataFrame({"k": [1, 2, 3, 4, 5, 7], "lv": list("abcdef")})
+    right = pd.DataFrame({"rk": [2, 3, 3, 5, 9], "rv": list("vwxyz")})
+    da = bucketed_write(rd.from_pandas(left).repartition(3),
+                        str(tmp_path / "l"), key="k", n_buckets=4)
+    db = bucketed_write(rd.from_pandas(right).repartition(2),
+                        str(tmp_path / "r"), key="rk", n_buckets=4)
+    out = bucketed_join(da, db, key_a="k", key_b="rk",
+                        n_buckets=4).to_pandas()
+    got = sorted(zip(out["k"], out["lv"], out["rv"]))
+    exp = sorted((r.k, r.lv, rr.rv)
+                 for r in left.itertuples() for rr in right.itertuples()
+                 if r.k == rr.rk)
+    assert got == exp
