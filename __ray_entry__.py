@@ -2106,6 +2106,85 @@ def _q_moving_window(sf_dir: str):
     return moving_window_sum(ev, trailing_hours=7)
 
 
+def _q_token_budget(sf_dir: str):
+    from pmocr_ray.ops.pack import token_budget_trim
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "source", "n_chars"])
+    out = token_budget_trim(docs, group_col="source",
+                            weight_col="n_chars", key="doc_id",
+                            budget=50_000)
+    return out.select_columns(["doc_id", "source", "n_chars"])
+
+
+def _q_range_scan(sf_dir: str):
+    """Range-partitioned orders layout; manifest-pruned range query
+    [1000, 3000) with exact residual; one-row rollup."""
+    import tempfile
+
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from pmocr_ray.ops.pack import range_lookup, range_partition_write
+
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_totalprice"])
+    d = tempfile.mkdtemp(prefix="pmocr_range_")
+    range_partition_write(orders, d, key="o_orderkey", n_parts=8)
+    hit = range_lookup(d, lo=1000, hi=3000)
+
+    def rollup(t: pa.Table) -> pa.Table:
+        cents = np.rint(np.asarray(
+            t["o_totalprice"].to_numpy(zero_copy_only=False)) * 100
+        ).astype(np.int64)
+        return pa.table({"n_rows": pa.array([len(t)], pa.int64()),
+                         "total_cents": pa.array([int(cents.sum())],
+                                                 pa.int64())})
+
+    from ray.data.aggregate import Sum
+    row = (hit.map_batches(rollup, batch_format="pyarrow")
+           .aggregate(Sum("n_rows", alias_name="n_rows"),
+                      Sum("total_cents", alias_name="total_cents")))
+    return pd.DataFrame([{"n_rows": int(row["n_rows"]),
+                          "total_cents": int(row["total_cents"])}])
+
+
+def _q_skew_join(sf_dir: str):
+    """Hot-key-split join: events ⋈ per-user value rollup with a low
+    hot threshold so BOTH the broadcast and hash paths execute; the
+    result is path-independent (oracle: plain join)."""
+    import pyarrow as pa
+
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from pmocr_ray.ops.joins import skew_hash_join
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_type", "value"])
+
+    def cents_partial(t: pa.Table) -> pa.Table:
+        cents = np.rint(np.asarray(
+            t["value"].to_numpy(zero_copy_only=False)) * 100
+        ).astype(np.int64)
+        g = (pa.table({"p_user": t["user_id"],
+                       "user_cents": pa.array(cents)})
+             .group_by("p_user").aggregate([("user_cents", "sum")]))
+        return pa.table({"p_user": g["p_user"],
+                         "user_cents": g["user_cents_sum"]})
+
+    profile = (ev.map_batches(cents_partial, batch_format="pyarrow")
+               .groupby("p_user")
+               .aggregate(Sum("user_cents", alias_name="user_cents")))
+    left = ev.select_columns(["user_id", "event_type"])
+    joined = skew_hash_join(left, profile, on="user_id",
+                            right_on="p_user", hot_threshold=5)
+    return joined.groupby("event_type").aggregate(
+        Count(alias_name="n"),
+        Sum("user_cents", alias_name="total_user_cents"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction pipeline family (pages fixture derived from documents)
@@ -2237,6 +2316,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_count": _q_triangle_count,
         "bucketed_join": _q_bucketed_join,
         "moving_window": _q_moving_window,
+        "token_budget": _q_token_budget,
+        "range_scan": _q_range_scan,
+        "skew_join": _q_skew_join,
         # composed curation
         "curate": _q_curate,
         # multimodal
@@ -3047,6 +3129,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
                    CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM documents GROUP BY lang""",
+        "token_budget": """
+            SELECT doc_id, source, n_chars FROM (
+              SELECT doc_id, source, n_chars,
+                     sum(n_chars) OVER (
+                       PARTITION BY source
+                       ORDER BY n_chars DESC, doc_id ASC
+                       ROWS UNBOUNDED PRECEDING) AS c
+              FROM documents)
+            WHERE c <= 50000""",
+        "range_scan": """
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS total_cents
+            FROM orders
+            WHERE o_orderkey >= 1000 AND o_orderkey < 3000""",
+        "skew_join": """
+            WITH p AS (
+              SELECT user_id AS p_user,
+                     CAST(sum(CAST(round(value * 100) AS BIGINT))
+                          AS BIGINT) AS user_cents
+              FROM events GROUP BY user_id
+            )
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(user_cents) AS BIGINT) AS total_user_cents
+            FROM events JOIN p ON user_id = p_user
+            GROUP BY event_type""",
         "triangle_count": """
             WITH e AS (
               SELECT DISTINCT doc_id % 211 AS src,

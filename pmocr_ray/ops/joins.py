@@ -186,3 +186,88 @@ def bloom_anti_join(left: rd.Dataset, right: rd.Dataset, on: str,
     survivors = hash_anti_join(candidates, right, on=on, right_on=r_on,
                                num_partitions=parts)
     return definite_out.union(survivors)
+
+
+def skew_hash_join(left: rd.Dataset, right: rd.Dataset, *, on: str,
+                   right_on: str, hot_threshold: int = 10_000,
+                   num_partitions: int = 8) -> rd.Dataset:
+    """Skew-resilient inner equi-join: keys whose LEFT frequency
+    exceeds ``hot_threshold`` bypass the hash exchange — their RIGHT
+    rows are broadcast and map-joined in place — while the cold tail
+    takes the normal hash join.  This is the standard hot-key split
+    that keeps one celebrity key from serializing an entire join
+    stage into a single reducer.
+
+    Frequency detection is an exact combiner rollup filtered to
+    ``count > hot_threshold`` — the hot set reaching the driver is
+    bounded by |left| / hot_threshold keys by construction, so the
+    broadcast is small no matter how skewed the input.  Assumes the
+    right side is ~one row per key (dimension-shaped); a skewed-right
+    variant would split both sides.
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Count, Sum
+
+    def key_counts(t: pa.Table) -> pa.Table:
+        g = t.select([on]).group_by(on).aggregate([([], "count_all")])
+        return pa.table({on: g[on],
+                         "n": pc.cast(g["count_all"], pa.int64())})
+
+    counts = (left.map_batches(key_counts, batch_format="pyarrow")
+              .groupby(on).aggregate(Sum("n", alias_name="n"))
+              ).materialize()
+    hot_rows = counts.map_batches(
+        lambda t: t.filter(pc.greater(t["n"], hot_threshold)),
+        batch_format="pyarrow").take_all()
+    n_cold_keys = counts.map_batches(
+        lambda t: t.filter(pc.less_equal(t["n"], hot_threshold)),
+        batch_format="pyarrow").count()
+    hot_keys = frozenset(r[on] for r in hot_rows)
+    hot_ref = ray.put(hot_keys)
+
+    def split(t: pa.Table, want_hot: bool) -> pa.Table:
+        keys = ray.get(hot_ref)
+        if not keys:
+            return t if not want_hot else t.slice(0, 0)
+        mask = pc.is_in(t[on], value_set=pa.array(sorted(keys)))
+        return t.filter(mask if want_hot else pc.invert(mask))
+
+    n_rows = left.count()
+    parts = max(1, min(num_partitions, n_rows // 2048 + 1))
+    cold = None
+    if n_cold_keys:  # an all-hot corpus would hand acero empty
+        # zero-column partitions (known Ray join gotcha) — skip the
+        # exchange entirely when no cold key exists
+        cold = (left.map_batches(lambda t: split(t, False),
+                                 batch_format="pyarrow")
+                .join(right, join_type="inner", num_partitions=parts,
+                      on=(on,), right_on=(right_on,)))
+    if not hot_keys:
+        return cold if cold is not None else left.limit(0).join(
+            right, join_type="inner", num_partitions=1, on=(on,),
+            right_on=(right_on,))
+
+    # broadcast the right rows for hot keys (≤ |hot| dimension rows)
+    hot_right = right.map_batches(
+        lambda t: t.filter(pc.is_in(
+            t[right_on], value_set=pa.array(sorted(hot_keys)))),
+        batch_format="pyarrow").take_all()
+    if not hot_right:
+        # hot keys have no right match: inner join drops them
+        return cold if cold is not None else left.limit(0)
+    hr_ref = ray.put(pd.DataFrame(hot_right))
+
+    def map_join(t: pa.Table) -> pa.Table:
+        hr = ray.get(hr_ref)
+        df = t.to_pandas().merge(hr, left_on=on, right_on=right_on,
+                                 how="inner")
+        if right_on != on:
+            # match Ray's hash-join schema (right key column dropped)
+            df = df.drop(columns=[right_on])
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    hot_joined = left.map_batches(
+        lambda t: split(t, True), batch_format="pyarrow").map_batches(
+        map_join, batch_format="pyarrow")
+    return cold.union(hot_joined) if cold is not None else hot_joined

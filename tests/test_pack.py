@@ -145,3 +145,66 @@ def test_bucketed_join_matches_plain_join(ray_session, tmp_path):
                  for r in left.itertuples() for rr in right.itertuples()
                  if r.k == rr.rk)
     assert got == exp
+
+
+def test_token_budget_trim_rule(ray_session):
+    import pandas as pd
+
+    from pmocr_ray.ops.pack import token_budget_trim
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "source": ["a", "a", "a", "b", "b"],
+        "n_chars": [60, 50, 40, 200, 30],
+    })
+    out = token_budget_trim(rd.from_pandas(df).repartition(3),
+                            budget=100).to_pandas()
+    # PREFIX rule (SQL-exact), not greedy knapsack: source a keeps 60
+    # (cumsum 60), then 50 -> 110 and 40 -> 150 exceed; source b's 200
+    # exceeds alone AND blocks the 30 behind it (cumsum 230).
+    assert sorted(out["doc_id"]) == [1]
+    # raising the budget past the blocker admits the prefix again
+    out2 = token_budget_trim(rd.from_pandas(df).repartition(3),
+                             budget=230).to_pandas()
+    assert sorted(out2["doc_id"]) == [1, 2, 3, 4, 5]
+
+
+def test_range_partition_write_prunes_and_matches(ray_session, tmp_path):
+    import glob
+    import json
+
+    import pandas as pd
+
+    from pmocr_ray.ops.pack import range_lookup, range_partition_write
+
+    df = pd.DataFrame({"k": list(range(100)), "v": list(range(100))})
+    d = str(tmp_path / "ranges")
+    range_partition_write(rd.from_pandas(df).repartition(4), d,
+                          key="k", n_parts=5)
+    man = json.load(open(f"{d}/_range_manifest.json"))
+    assert len(man["parts"]) == 5
+    out = range_lookup(d, lo=37, hi=61).to_pandas()
+    assert sorted(out["k"]) == list(range(37, 61))
+    # pruning actually happened: the overlapped partitions hold fewer
+    # rows than the table
+    touched = [p for p in man["parts"] if p["lo"] < 61 and p["hi"] > 37]
+    assert len(touched) < 5
+
+
+def test_skew_join_hot_and_cold_paths_match_plain(ray_session):
+    import pandas as pd
+
+    from pmocr_ray.ops.joins import skew_hash_join
+
+    left = pd.DataFrame({
+        "k": [1] * 50 + [2, 2, 3, 4],   # key 1 is hot
+        "x": list(range(54)),
+    })
+    right = pd.DataFrame({"rk": [1, 2, 3, 9], "y": ["a", "b", "c", "z"]})
+    exp = left.merge(right, left_on="k", right_on="rk").drop(columns=["rk"])
+    for thr in (5, 1000, 0):
+        out = skew_hash_join(rd.from_pandas(left).repartition(3),
+                             rd.from_pandas(right), on="k", right_on="rk",
+                             hot_threshold=thr).to_pandas()
+        assert (sorted(zip(out["k"], out["x"], out["y"]))
+                == sorted(zip(exp["k"], exp["x"], exp["y"]))), thr
