@@ -2185,6 +2185,54 @@ def _q_skew_join(sf_dir: str):
         Sum("user_cents", alias_name="total_user_cents"))
 
 
+def _q_value_trend(sf_dir: str):
+    import ray.data as rd
+
+    from pmocr_ray.ops.events import value_trend_components
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "ts", "value"])
+    return value_trend_components(ev)
+
+
+def _q_value_mad(sf_dir: str):
+    import ray.data as rd
+
+    from pmocr_ray.ops.events import value_mad
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "value"])
+    return value_mad(ev)
+
+
+def _q_host_churn(sf_dir: str):
+    """Per-source churn rollup of the CDC diff: the small diff table
+    hash-joins back to documents for the source dimension (added rows
+    map via key − 10⁹), then one tiny (source, change) groupby."""
+    import pyarrow as pa
+
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from pmocr_ray.ops.compact import snapshot_diff
+
+    docs = _docs(sf_dir)
+    diff = snapshot_diff(docs, _derive_snapshot_b(docs))
+
+    def base_key(t: pa.Table) -> pa.Table:
+        did = pc.cast(t["doc_id"], pa.int64())
+        base = pc.if_else(pc.greater_equal(did, 1_000_000_000),
+                          pc.subtract(did, 1_000_000_000), did)
+        return pa.table({"base_id": base, "change": t["change"]})
+
+    keyed = diff.map_batches(base_key, batch_format="pyarrow")
+    dims = docs.select_columns(["doc_id", "source"])
+    j = keyed.join(dims, join_type="inner", num_partitions=1,
+                   on=("base_id",), right_on=("doc_id",))
+    return j.groupby(["source", "change"]).aggregate(
+        Count(alias_name="n"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction pipeline family (pages fixture derived from documents)
@@ -2319,6 +2367,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_budget": _q_token_budget,
         "range_scan": _q_range_scan,
         "skew_join": _q_skew_join,
+        "value_trend": _q_value_trend,
+        "value_mad": _q_value_mad,
+        "host_churn": _q_host_churn,
         # composed curation
         "curate": _q_curate,
         # multimodal
@@ -3129,6 +3180,60 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
                    CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM documents GROUP BY lang""",
+        "value_trend": """
+            WITH c AS (
+              SELECT event_type,
+                     (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01'))
+                       // 3600000000 AS x,
+                     CAST(round(value * 100) AS BIGINT) AS y
+              FROM events
+            )
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sum_x,
+                   CAST(sum(y) AS BIGINT) AS sum_y,
+                   CAST(sum(x * y) AS BIGINT) AS sum_xy,
+                   CAST(sum(x * x) AS BIGINT) AS sum_x2
+            FROM c GROUP BY event_type""",
+        "value_mad": """
+            WITH c AS (
+              SELECT event_type,
+                     CAST(round(value * 100) AS BIGINT) AS v
+              FROM events
+            ), m AS (
+              SELECT event_type, quantile_disc(v, 0.5) AS med
+              FROM c GROUP BY event_type
+            )
+            SELECT c.event_type,
+                   CAST(m.med AS BIGINT) AS median_cents,
+                   CAST(quantile_disc(abs(c.v - m.med), 0.5) AS BIGINT)
+                     AS mad_cents
+            FROM c JOIN m ON c.event_type = m.event_type
+            GROUP BY c.event_type, m.med""",
+        "host_churn": """
+            WITH b AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0 THEN text || ' [rev2]'
+                          ELSE text END AS text
+              FROM documents WHERE doc_id % 7 <> 0
+              UNION ALL
+              SELECT doc_id + 1000000000 AS doc_id,
+                     'new page ' || doc_id AS text
+              FROM documents WHERE doc_id % 11 = 0
+            ), diff AS (
+              SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+                     CASE WHEN a.doc_id IS NULL THEN 'added'
+                          WHEN b.doc_id IS NULL THEN 'removed'
+                          ELSE 'changed' END AS change
+              FROM documents a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+              WHERE a.doc_id IS NULL OR b.doc_id IS NULL
+                 OR a.text IS DISTINCT FROM b.text
+            )
+            SELECT d.source, diff.change, CAST(count(*) AS BIGINT) AS n
+            FROM diff JOIN documents d ON
+              (CASE WHEN diff.doc_id >= 1000000000
+                    THEN diff.doc_id - 1000000000
+                    ELSE diff.doc_id END) = d.doc_id
+            GROUP BY d.source, diff.change""",
         "token_budget": """
             SELECT doc_id, source, n_chars FROM (
               SELECT doc_id, source, n_chars,

@@ -569,3 +569,108 @@ def moving_window_sum(events: rd.Dataset, *,
 
     return rollup.groupby("event_type").map_groups(per_type,
                                                    batch_format="pandas")
+
+
+def value_trend_components(events: rd.Dataset, *,
+                           x_origin: str = "2024-01-01") -> rd.Dataset:
+    """Per-type least-squares trend of value-vs-time as EXACT integer
+    moment components (n, Σx, Σy, Σxy, Σx²) with x = hours since
+    ``x_origin`` and y = integer cents — drift detection without a
+    single order-dependent float: the slope
+    (n·Σxy − Σx·Σy) / (n·Σx² − Σx²) is a consumer-side rational over
+    these (kept un-multiplied here so every emitted column fits int64
+    at 10⁹-event scale; the products overflow 64 bits and belong in
+    bigint/float space downstream).
+
+    Shape: map-only combiner (one component row per type per batch) →
+    one tiny groupby.  The bivariate sibling of
+    :func:`events_value_stats`.
+    """
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    origin_us = int(pd.Timestamp(x_origin).value // 1_000)
+    US_HOUR = 3_600_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        x = (ts - origin_us) // US_HOUR
+        y = np.rint(np.asarray(
+            t["value"].to_numpy(zero_copy_only=False)) * 100
+        ).astype(np.int64)
+        tt = pa.table({
+            "event_type": t["event_type"],
+            "n": pa.array(np.ones(len(t), np.int64)),
+            "sum_x": pa.array(x), "sum_y": pa.array(y),
+            "sum_xy": pa.array(x * y), "sum_x2": pa.array(x * x),
+        })
+        g = tt.group_by("event_type").aggregate(
+            [("n", "sum"), ("sum_x", "sum"), ("sum_y", "sum"),
+             ("sum_xy", "sum"), ("sum_x2", "sum")])
+        return pa.table({
+            "event_type": g["event_type"], "n": g["n_sum"],
+            "sum_x": g["sum_x_sum"], "sum_y": g["sum_y_sum"],
+            "sum_xy": g["sum_xy_sum"], "sum_x2": g["sum_x2_sum"]})
+
+    return (events.map_batches(partial, batch_format="pyarrow")
+            .groupby("event_type").aggregate(
+                Sum("n", alias_name="n"), Sum("sum_x", alias_name="sum_x"),
+                Sum("sum_y", alias_name="sum_y"),
+                Sum("sum_xy", alias_name="sum_xy"),
+                Sum("sum_x2", alias_name="sum_x2")))
+
+
+def value_mad(events: rd.Dataset) -> rd.Dataset:
+    """Per-type robust stats: exact median and MAD (median absolute
+    deviation) of integer cents, both under the ``quantile_disc`` rule
+    (value at 1-based rank ceil(n/2)).
+
+    ONE distributed pass: the (type, cents) value-counts combiner
+    rollup — bounded by types × distinct cent values, never rows —
+    then both quantile walks run on the collected rollup (the same
+    bounded-rollup argument as ``ops/text.length_quantiles``; the MAD
+    needs no second corpus pass because |v − med| re-weights the SAME
+    rollup).
+    """
+    import math
+
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = np.rint(np.asarray(
+            t["value"].to_numpy(zero_copy_only=False)) * 100
+        ).astype(np.int64)
+        g = (pa.table({"event_type": t["event_type"],
+                       "v": pa.array(cents)})
+             .group_by(["event_type", "v"]).aggregate([([], "count_all")]))
+        return pa.table({"event_type": g["event_type"], "v": g["v"],
+                         "n": pc.cast(g["count_all"], pa.int64())})
+
+    rollup = (events.map_batches(partial, batch_format="pyarrow")
+              .groupby(["event_type", "v"])
+              .aggregate(Sum("n", alias_name="n"))).take_all()
+
+    by_type: dict = {}
+    for r in rollup:
+        by_type.setdefault(r["event_type"], []).append((r["v"], r["n"]))
+
+    def disc_median(pairs):
+        pairs = sorted(pairs)
+        vals = np.array([p[0] for p in pairs], np.int64)
+        cum = np.cumsum([p[1] for p in pairs])
+        rank = max(math.ceil(0.5 * int(cum[-1])), 1)
+        return int(vals[int(np.searchsorted(cum, rank))])
+
+    rows = []
+    for et in sorted(by_type):
+        med = disc_median(by_type[et])
+        mad = disc_median([(abs(v - med), n) for v, n in by_type[et]])
+        rows.append({"event_type": et, "median_cents": med,
+                     "mad_cents": mad})
+    return pa.Table.from_pylist(rows, schema=pa.schema(
+        [("event_type", pa.string()), ("median_cents", pa.int64()),
+         ("mad_cents", pa.int64())]))

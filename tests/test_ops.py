@@ -827,3 +827,42 @@ def test_moving_window_sum_gaps(ray_session):
            for r in out.itertuples()}
     assert got == {("click", 0): 100, ("click", 1): 300,
                    ("click", 10): 400, ("view", 0): 800}
+
+
+def test_value_trend_components_exact(ray_session):
+    import pandas as pd
+
+    import ray.data as rd
+    from pmocr_ray.ops.events import value_trend_components
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    rows = [("click", t0, 1.00),                       # x=0, y=100
+            ("click", t0 + pd.Timedelta(hours=2), 3.00),  # x=2, y=300
+            ("view", t0 + pd.Timedelta(hours=5), 2.50)]   # x=5, y=250
+    ev = pd.DataFrame(rows, columns=["event_type", "ts", "value"])
+    out = (value_trend_components(rd.from_pandas(ev).repartition(2))
+           .to_pandas().set_index("event_type"))
+    assert out.loc["click"].tolist() == [2, 2, 400, 600, 4]
+    assert out.loc["view"].tolist() == [1, 5, 250, 1250, 25]
+
+
+def test_value_mad_exact(ray_session):
+    import pandas as pd
+
+    import ray.data as rd
+    from pmocr_ray.ops.events import value_mad
+
+    # cents: [100, 200, 200, 900] -> disc median (rank ceil(4/2)=2) =
+    # 200; |v-200| = [100, 0, 0, 700] sorted [0,0,100,700] -> rank 2 = 0
+    ev = pd.DataFrame({
+        "event_type": ["x"] * 4,
+        "value": [1.00, 2.00, 2.00, 9.00],
+    })
+    out = value_mad(rd.from_pandas(ev).repartition(2)).to_pandas()
+    assert out.iloc[0].tolist() == ["x", 200, 0]
+    # odd count with asymmetric tail
+    ev2 = pd.DataFrame({"event_type": ["y"] * 5,
+                        "value": [1.0, 2.0, 3.0, 10.0, 20.0]})
+    out2 = value_mad(rd.from_pandas(ev2)).to_pandas()
+    # median 300; |v-300| = [200,100,0,700,1700] -> median 200
+    assert out2.iloc[0].tolist() == ["y", 300, 200]
