@@ -2233,6 +2233,43 @@ def _q_host_churn(sf_dir: str):
         Count(alias_name="n"))
 
 
+def _q_table_extract(sf_dir: str):
+    """Structured HTML-table extraction: deterministic 2×2 table per
+    document (cells '{doc_id}-{r}-{c}'), exploded to cell rows — the
+    oracle reconstructs the same grid arithmetically."""
+    import pyarrow as pa
+
+    from pmocr_ray.extract.table_extractor import table_cells
+
+    def synth(t: pa.Table) -> pa.Table:
+        htmls = []
+        for d in t["doc_id"].to_pylist():
+            rows = "".join(
+                "<tr>" + "".join(f"<td> {d}-{r}-{c} </td>"
+                                 for c in range(2)) + "</tr>"
+                for r in range(2))
+            htmls.append(f"<html><body><table>{rows}</table>"
+                         f"<p>not a cell</p></body></html>")
+        return pa.table({"doc_id": t["doc_id"],
+                         "html": pa.array(htmls, pa.string())})
+
+    ds = (_docs(sf_dir).select_columns(["doc_id"])
+          .map_batches(synth, batch_format="pyarrow")
+          .map_batches(table_cells, batch_format="pyarrow"))
+    return ds
+
+
+def _q_session_sets(sf_dir: str):
+    import ray.data as rd
+
+    from pmocr_ray.ops.events import session_event_sets
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "user_id", "ts",
+                                  "event_type"])
+    return session_event_sets(ev)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction pipeline family (pages fixture derived from documents)
@@ -2370,6 +2407,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_trend": _q_value_trend,
         "value_mad": _q_value_mad,
         "host_churn": _q_host_churn,
+        "table_extract": _q_table_extract,
+        "session_sets": _q_session_sets,
         # composed curation
         "curate": _q_curate,
         # multimodal
@@ -3180,6 +3219,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
                    CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM documents GROUP BY lang""",
+        "table_extract": """
+            SELECT doc_id, CAST(0 AS BIGINT) AS table_idx,
+                   r.range AS row_idx, c.range AS col_idx,
+                   doc_id || '-' || r.range || '-' || c.range AS cell
+            FROM documents CROSS JOIN range(2) r CROSS JOIN range(2) c""",
+        "session_sets": """
+            WITH s AS (
+              SELECT user_id, event_id, event_type, ts,
+                     CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), g AS (
+              SELECT *, sum(brk) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS sess
+              FROM s
+            )
+            SELECT user_id, min(ts) AS session_start,
+                   array_to_string(list_sort(list_distinct(
+                     list(event_type))), ',') AS type_set,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM g GROUP BY user_id, sess""",
         "value_trend": """
             WITH c AS (
               SELECT event_type,

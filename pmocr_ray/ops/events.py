@@ -674,3 +674,34 @@ def value_mad(events: rd.Dataset) -> rd.Dataset:
     return pa.Table.from_pylist(rows, schema=pa.schema(
         [("event_type", pa.string()), ("median_cents", pa.int64()),
          ("mad_cents", pa.int64())]))
+
+
+def session_event_sets(events: rd.Dataset, *,
+                       gap_minutes: int = 30) -> rd.Dataset:
+    """Per-session signature: the sorted distinct event-type set (as a
+    ','-joined string) and event count for every (user, session) — the
+    session-shape rollup behind behavioral cohorting.
+
+    One shuffle (user), sessionization + signature in the same sorted
+    scan as :func:`events_with_session` — no second pass, no
+    event×session join.
+    """
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        sess = (g["ts"].diff() > gap).cumsum()
+        agg = g.groupby(sess).agg(
+            session_start=("ts", "min"),
+            type_set=("event_type",
+                      lambda s: ",".join(sorted(set(s)))),
+            n_events=("event_id", "count"),
+        )
+        agg["user_id"] = g["user_id"].iloc[0]
+        agg["n_events"] = agg["n_events"].astype("int64")
+        return agg[["user_id", "session_start", "type_set", "n_events"]]
+
+    return (events.select_columns(["event_id", "user_id", "ts",
+                                   "event_type"])
+            .groupby("user_id").map_groups(per_user,
+                                           batch_format="pandas"))

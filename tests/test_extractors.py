@@ -146,3 +146,50 @@ class TestHtmlExtractorEdgeCases:
         html = ("<html><body><div><p>café naïve 中文 words"
                 "</p></div></body></html>").encode("utf-8")
         assert extract_html(html) == "café naïve 中文 words"
+
+
+# ------------------------------------------------------------- tables
+
+
+def test_extract_tables_basic_grid():
+    from pmocr_ray.extract.table_extractor import extract_tables
+
+    html = ("<table><tr><td>a</td><td>b</td></tr>"
+            "<tr><th>c</th><td> d  e </td></tr></table>")
+    assert extract_tables(html) == [
+        (0, 0, 0, "a"), (0, 0, 1, "b"), (0, 1, 0, "c"), (0, 1, 1, "d e")]
+
+
+def test_extract_tables_multiple_and_entities():
+    from pmocr_ray.extract.table_extractor import extract_tables
+
+    html = ("<p>x</p><TABLE class='z'><tr><td>A&amp;B</td></tr></TABLE>"
+            "<table><tr><td><b>bold</b> text</td></tr></table>")
+    assert extract_tables(html) == [
+        (0, 0, 0, "A&B"), (1, 0, 0, "bold text")]
+
+
+def test_extract_tables_malformed_degrades():
+    from pmocr_ray.extract.table_extractor import extract_tables
+
+    # unclosed cells/rows flush at the next structural tag; text
+    # outside any table is ignored
+    html = "<table><tr><td>a<td>b<tr><td>c</table>trailing"
+    assert extract_tables(html) == [
+        (0, 0, 0, "a"), (0, 0, 1, "b"), (0, 1, 0, "c")]
+    assert extract_tables("no tables here") == []
+    assert extract_tables("<td>orphan</td>") == []
+
+
+def test_table_cells_explode(ray_session):
+    import pyarrow as pa
+
+    from pmocr_ray.extract.table_extractor import table_cells
+
+    batch = pa.table({
+        "doc_id": pa.array([7, 8], pa.int64()),
+        "html": ["<table><tr><td>x</td></tr></table>", None],
+    })
+    out = table_cells(batch)
+    assert out.to_pylist() == [{"doc_id": 7, "table_idx": 0,
+                                "row_idx": 0, "col_idx": 0, "cell": "x"}]
