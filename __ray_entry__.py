@@ -2270,6 +2270,53 @@ def _q_session_sets(sf_dir: str):
     return session_event_sets(ev)
 
 
+def _q_byte_blocks(sf_dir: str):
+    from pmocr_ray.ops.pack import byte_balanced_blocks
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "n_chars"])
+    return byte_balanced_blocks(docs, target_bytes=4096)
+
+
+def _q_schema_evolve(sf_dir: str):
+    """Two crawl snapshots with drifted schemas (old half lacks lang,
+    new half adds crawl_tag) align and union; rollup by lang counts
+    the null-lang legacy rows like the oracle's."""
+    import pyarrow as pa
+
+    from pmocr_ray.ops.joins import _key_array  # noqa: F401  (parity)
+    from pmocr_ray.sources import align_schemas
+
+    docs = _docs(sf_dir)
+
+    def old_half(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(_mod(t["doc_id"], 2), 1))
+        return t.select(["doc_id", "text"])  # legacy: no lang column
+
+    def new_half(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(_mod(t["doc_id"], 2), 1))
+        t = t.select(["doc_id", "text", "lang"])
+        return t.append_column("crawl_tag",
+                               pa.array(["c2"] * len(t), pa.string()))
+
+    a = docs.map_batches(old_half, batch_format="pyarrow")
+    b = docs.map_batches(new_half, batch_format="pyarrow")
+    u = align_schemas([a, b])
+
+    def rollup(t: pa.Table) -> pa.Table:
+        lang = pc.fill_null(t["lang"], "<missing>")
+        tag = pc.fill_null(t["crawl_tag"], "<none>")
+        g = (pa.table({"lang": lang, "crawl_tag": tag})
+             .group_by(["lang", "crawl_tag"])
+             .aggregate([([], "count_all")]))
+        return pa.table({"lang": g["lang"], "crawl_tag": g["crawl_tag"],
+                         "n": pc.cast(g["count_all"], pa.int64())})
+
+    from ray.data.aggregate import Sum
+    return (u.map_batches(rollup, batch_format="pyarrow")
+            .groupby(["lang", "crawl_tag"])
+            .aggregate(Sum("n", alias_name="n")))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction pipeline family (pages fixture derived from documents)
@@ -2409,6 +2456,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_churn": _q_host_churn,
         "table_extract": _q_table_extract,
         "session_sets": _q_session_sets,
+        "byte_blocks": _q_byte_blocks,
+        "schema_evolve": _q_schema_evolve,
         # composed curation
         "curate": _q_curate,
         # multimodal
@@ -3219,6 +3268,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
                    CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM documents GROUP BY lang""",
+        "byte_blocks": """
+            SELECT doc_id, CAST(n_chars AS BIGINT) AS row_bytes,
+                   CAST((sum(n_chars) OVER (
+                     ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                     - n_chars) // 4096 AS BIGINT) AS block_id
+            FROM documents""",
+        "schema_evolve": """
+            WITH u AS (
+              SELECT doc_id, text, NULL AS lang, NULL AS crawl_tag
+              FROM documents WHERE doc_id % 2 = 0
+              UNION ALL
+              SELECT doc_id, text, lang, 'c2' AS crawl_tag
+              FROM documents WHERE doc_id % 2 = 1
+            )
+            SELECT COALESCE(lang, '<missing>') AS lang,
+                   COALESCE(crawl_tag, '<none>') AS crawl_tag,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM u GROUP BY 1, 2""",
         "table_extract": """
             SELECT doc_id, CAST(0 AS BIGINT) AS table_idx,
                    r.range AS row_idx, c.range AS col_idx,

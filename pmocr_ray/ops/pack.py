@@ -659,3 +659,51 @@ def range_lookup(dir_: str, *, lo: int, hi: int) -> rd.Dataset:
         return t.filter(pc.and_(pc.greater_equal(k, lo), pc.less(k, hi)))
 
     return ds.map_batches(residual, batch_format="pyarrow")
+
+
+def byte_balanced_blocks(ds: rd.Dataset, *, key: str = "doc_id",
+                         bytes_col: str = "n_chars",
+                         target_bytes: int = 1 << 20,
+                         part_size: int = 1000) -> rd.Dataset:
+    """Assign every row a byte-balanced block id: rows in ascending
+    ``key`` order are packed so each block holds ~``target_bytes`` of
+    payload — the explicit answer to giant-row skew (a 2 GB page gets
+    a block to itself; a million 1 KB pages share blocks) that
+    byte-blind row-count repartitioning cannot give.
+
+    Same two-pass distributed ordered prefix-sum as
+    :func:`pack_sequences` (its fifth reuse): per-part totals (ONE tiny
+    rollup reaching the driver, ≤ n_parts ints) → broadcast exclusive
+    offsets → local ordered cumsum per part.  block_id =
+    (cumulative_bytes_before_row) // target_bytes — deterministic
+    under any partitioning.  Emits (key, row_bytes, block_id).
+    """
+    def count_bytes(batch: pa.Table) -> pa.Table:
+        b = pc.fill_null(pc.cast(batch[bytes_col], pa.int64()), 0)
+        part = pc.divide(batch[key], part_size).cast(pa.int64())
+        return pa.table({key: batch[key], "part": part, "row_bytes": b})
+
+    counted = ds.map_batches(count_bytes, batch_format="pyarrow")
+    totals = (counted.select_columns(["part", "row_bytes"])
+              .groupby("part").aggregate(Sum("row_bytes", alias_name="t"))
+              .take_all())
+    totals.sort(key=lambda r: r["part"])
+    offsets, acc = {}, 0
+    for r in totals:
+        offsets[r["part"]] = acc
+        acc += r["t"]
+    offsets_ref = ray.put(offsets)
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(offsets_ref)[int(g["part"].iloc[0])]
+        g = g.sort_values(key)
+        b = g["row_bytes"].to_numpy(np.int64)
+        start = off + np.cumsum(b) - b
+        return pd.DataFrame({
+            key: g[key].to_numpy(),
+            "row_bytes": b,
+            "block_id": (start // target_bytes).astype(np.int64),
+        })
+
+    return counted.groupby("part").map_groups(per_part,
+                                              batch_format="pandas")

@@ -519,3 +519,21 @@ def test_incremental_rollup_matches_batch_and_idempotent(ray_session,
     out = read_rollup(state, group_col="g").to_pandas()
     got = {r.g: (r.n_rows, r.sv) for r in out.itertuples()}
     assert got == {"a": (3, 9), "b": (2, 6)}
+
+
+def test_align_schemas_union(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data as rd
+    from pmocr_ray.sources import align_schemas
+
+    a = rd.from_arrow(pa.table({"k": pa.array([1, 2], pa.int64()),
+                                "x": ["p", "q"]}))
+    b = rd.from_arrow(pa.table({"k": pa.array([3], pa.int64()),
+                                "y": pa.array([9.5], pa.float64())}))
+    out = align_schemas([a, b], fill={"x": "<d>"}).to_pandas()
+    out = out.sort_values("k").reset_index(drop=True)
+    assert list(out.columns) == ["k", "x", "y"]
+    assert out["x"].tolist() == ["p", "q", "<d>"]
+    assert pd.isna(out["y"].iloc[0]) and out["y"].iloc[2] == 9.5

@@ -208,3 +208,21 @@ def test_skew_join_hot_and_cold_paths_match_plain(ray_session):
                              hot_threshold=thr).to_pandas()
         assert (sorted(zip(out["k"], out["x"], out["y"]))
                 == sorted(zip(exp["k"], exp["x"], exp["y"]))), thr
+
+
+def test_byte_balanced_blocks_giant_row_isolated(ray_session):
+    import pandas as pd
+
+    from pmocr_ray.ops.pack import byte_balanced_blocks
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4],
+        "n_chars": [100, 100, 5000, 100, 100],  # doc 2 is giant
+    })
+    for parts in (1, 3):
+        out = (byte_balanced_blocks(
+                   rd.from_pandas(df).repartition(parts),
+                   target_bytes=1000)
+               .to_pandas().set_index("doc_id")["block_id"])
+        # cum-before: 0,100,200,5200,5300 → blocks 0,0,0,5,5
+        assert out.to_dict() == {0: 0, 1: 0, 2: 0, 3: 5, 4: 5}
