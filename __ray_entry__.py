@@ -2317,6 +2317,53 @@ def _q_schema_evolve(sf_dir: str):
             .aggregate(Sum("n", alias_name="n")))
 
 
+def _q_rare_term_pairs(sf_dir: str):
+    """Doc pairs sharing a rare marker token (df ≤ 3 blocking — the
+    rarity filter IS the bucket cap)."""
+    import pyarrow as pa
+
+    from pmocr_ray.ops.text import rare_term_pairs
+
+    def add_marker(t: pa.Table) -> pa.Table:
+        mk = pc.binary_join_element_wise(
+            t["text"], pc.binary_join_element_wise(
+                "mk", pc.cast(_mod(t["doc_id"], 149), pa.string()), ""),
+            " ")
+        return pa.table({"doc_id": t["doc_id"], "text": mk})
+
+    ds = (_docs(sf_dir).select_columns(["doc_id", "text"])
+          .map_batches(add_marker, batch_format="pyarrow"))
+    return rare_term_pairs(ds, max_df=3)
+
+
+def _q_priority_semi(sf_dir: str):
+    """TPC-H Q4 shape: distributed semi-join — lineitem qty>45 filter
+    at the scan, distinct-orderkey reduce (combiner), ONE hash join to
+    orders, priority rollup.  No EXISTS rescan, no broadcast."""
+    import pyarrow as pa
+
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_quantity"])
+
+    def big_qty_keys(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_quantity"], 45.0))
+        g = t.select(["l_orderkey"]).group_by("l_orderkey").aggregate([])
+        return g
+
+    keys = (li.map_batches(big_qty_keys, batch_format="pyarrow")
+            .groupby("l_orderkey").aggregate(Count(alias_name="_n"))
+            .select_columns(["l_orderkey"]))
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_orderpriority"])
+    j = keys.join(orders, join_type="inner", num_partitions=4,
+                  on=("l_orderkey",), right_on=("o_orderkey",))
+    return j.groupby("o_orderpriority").aggregate(
+        Count(alias_name="n_orders"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction pipeline family (pages fixture derived from documents)
@@ -2458,6 +2505,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_sets": _q_session_sets,
         "byte_blocks": _q_byte_blocks,
         "schema_evolve": _q_schema_evolve,
+        "rare_term_pairs": _q_rare_term_pairs,
+        "priority_semi": _q_priority_semi,
         # composed curation
         "curate": _q_curate,
         # multimodal
@@ -3268,6 +3317,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
                    CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM documents GROUP BY lang""",
+        "rare_term_pairs": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     text || ' mk' || CAST(doc_id % 149 AS VARCHAR)
+                       AS text
+              FROM documents
+            ), inc AS (
+              SELECT DISTINCT doc_id, term FROM (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(text, '\S+')) AS term
+                FROM d)
+            ), rare AS (
+              SELECT term FROM inc GROUP BY term HAVING count(*) <= 3
+            ), ri AS (
+              SELECT i.term, i.doc_id FROM inc i
+              JOIN rare ON i.term = rare.term
+            )
+            SELECT x.doc_id AS a, y.doc_id AS b,
+                   CAST(count(*) AS BIGINT) AS n_shared_terms
+            FROM ri x JOIN ri y
+              ON x.term = y.term AND x.doc_id < y.doc_id
+            GROUP BY x.doc_id, y.doc_id""",
+        "priority_semi": """
+            SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders
+            WHERE EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_quantity > 45)
+            GROUP BY o_orderpriority""",
         "byte_blocks": """
             SELECT doc_id, CAST(n_chars AS BIGINT) AS row_bytes,
                    CAST((sum(n_chars) OVER (

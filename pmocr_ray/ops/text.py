@@ -1323,3 +1323,63 @@ def canonical_url_counts(ds, url_column: str = "url"):
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby("url").aggregate(Sum("n_variants",
                                           alias_name="n_variants")))
+
+
+def rare_term_pairs(ds, column: str = "text", key: str = "doc_id",
+                    max_df: int = 3):
+    """Document pairs linked by a shared RARE term (df ≤ ``max_df``) —
+    the co-citation/plagiarism signal where common vocabulary is
+    useless and rare tokens are the evidence.
+
+    Blocking with a hard mathematical bound: only terms whose document
+    frequency is ≤ max_df form buckets, so a bucket emits at most
+    C(max_df, 2) pairs — the rare-term filter IS the hot-bucket cap,
+    no star-emit needed.  The (rare term, df) set is the
+    :func:`doc_frequency` rollup filtered server-side; only rare terms
+    are broadcast.  One groupby dedups pairs sharing several rare
+    terms and counts the shared-term strength.  Emits (a, b,
+    n_shared_terms), a < b.
+    """
+    from ray.data.aggregate import Sum
+
+    rare_rows = (doc_frequency(ds, column=column)
+                 .map_batches(lambda t: t.filter(
+                     pc.less_equal(t["df"], max_df)),
+                     batch_format="pyarrow")
+                 .select_columns(["term"]).take_all())
+    rare = pa.array(sorted(r["term"] for r in rare_rows))
+    ref = ray.put(rare)
+
+    def incidence(batch: pa.Table) -> pa.Table:
+        rare_arr = ray.get(ref)
+        toks = pc.split_pattern_regex(batch[column], r"\s+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        keep = pc.is_in(flat, value_set=rare_arr)
+        ids = batch[key].take(parent.filter(keep))
+        pairs = pa.table({"term": flat.filter(keep), key: ids})
+        return pairs.group_by(["term", key]).aggregate([])
+
+    import pandas as pd
+
+    # no global (term, doc) distinct needed: bucket_pairs dedups doc
+    # ids inside each term group (sorted set), so cross-batch repeats
+    # of the same incidence can't double-count
+    inc = ds.map_batches(incidence, batch_format="pyarrow")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        docs = sorted(set(int(x) for x in g[key]))
+        a, b = [], []
+        for i, x in enumerate(docs):
+            for y in docs[i + 1:]:
+                a.append(x)
+                b.append(y)
+        return pd.DataFrame({"a": pd.Series(a, dtype="int64"),
+                             "b": pd.Series(b, dtype="int64"),
+                             "n": pd.Series([1] * len(a),
+                                            dtype="int64")})
+
+    pairs = inc.groupby("term").map_groups(bucket_pairs,
+                                           batch_format="pandas")
+    return pairs.groupby(["a", "b"]).aggregate(
+        Sum("n", alias_name="n_shared_terms"))

@@ -537,3 +537,31 @@ def test_align_schemas_union(ray_session):
     assert list(out.columns) == ["k", "x", "y"]
     assert out["x"].tolist() == ["p", "q", "<d>"]
     assert pd.isna(out["y"].iloc[0]) and out["y"].iloc[2] == 9.5
+
+
+def test_rare_term_pairs_blocking(ray_session):
+    import pandas as pd
+
+    import ray.data as rd
+    from pmocr_ray.ops.text import rare_term_pairs
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "common zebra common",      # zebra: docs 1,2 (df 2)
+            "common zebra quark",       # quark: docs 2,3 (df 2)
+            "common quark",
+            "common words only",        # 'common' df 4 > max_df: no link
+        ],
+    })
+    out = rare_term_pairs(rd.from_pandas(df).repartition(2),
+                          max_df=3).to_pandas()
+    got = {(r.a, r.b): r.n_shared_terms for r in out.itertuples()}
+    # 'words'/'only' are df-1 singletons: no pairs from them
+    assert got == {(1, 2): 1, (2, 3): 1}
+    # repeated rare term inside one doc counts once
+    df2 = pd.DataFrame({"doc_id": [7, 8],
+                        "text": ["rare rare rare", "rare x"]})
+    out2 = rare_term_pairs(rd.from_pandas(df2), max_df=3).to_pandas()
+    assert {(r.a, r.b): r.n_shared_terms
+            for r in out2.itertuples()} == {(7, 8): 1}
