@@ -2364,6 +2364,70 @@ def _q_priority_semi(sf_dir: str):
         Count(alias_name="n_orders"))
 
 
+def _q_cust_order_dist(sf_dir: str):
+    """TPC-H Q13 shape: distribution of customers by order count,
+    INCLUDING zero-order customers — per-cust combiner rollup, one
+    LEFT hash join from customer, null→0, then the tiny distribution
+    groupby."""
+    import pyarrow as pa
+
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_custkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_custkey").aggregate([([], "count_all")])
+        return pa.table({"o_custkey": g["o_custkey"],
+                         "n_orders": pc.cast(g["count_all"], pa.int64())})
+
+    per_cust = (orders.map_batches(partial, batch_format="pyarrow")
+                .groupby("o_custkey")
+                .aggregate(Sum("n_orders", alias_name="n_orders")))
+    customer = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                               columns=["c_custkey"])
+    j = customer.join(per_cust, join_type="left_outer", num_partitions=4,
+                      on=("c_custkey",), right_on=("o_custkey",))
+
+    def fill0(t: pa.Table) -> pa.Table:
+        n = pc.cast(pc.coalesce(t["n_orders"],
+                                pa.scalar(0, t["n_orders"].type)),
+                    pa.int64())
+        # left-joined NaN may arrive float64 via pandas blocks
+        return pa.table({"n_orders": n})
+
+    return (j.map_batches(fill0, batch_format="pyarrow")
+            .groupby("n_orders").aggregate(Count(alias_name="n_custs")))
+
+
+def _q_sentence_stats(sf_dir: str):
+    """Vectorized sentence segmentation stats per doc: split on
+    [.!?]+ runs, count non-blank sentences (Arrow kernels only)."""
+    import pyarrow as pa
+
+    def stats(t: pa.Table) -> pa.Table:
+        # derive sentence boundaries deterministically (corpus text is
+        # unpunctuated word salad): ' batch ' → '. ', same left-to-right
+        # non-overlapping replace rule in Arrow and DuckDB
+        text = pc.replace_substring(t["text"], " batch ", ". ")
+        parts = pc.split_pattern_regex(text, r"[.!?]+")
+        flat = pc.utf8_trim_whitespace(pc.list_flatten(parts))
+        parent = pc.list_parent_indices(parts)
+        keep = pc.not_equal(flat, "")
+        counts = pa.table({
+            "i": parent.filter(keep)}).group_by("i").aggregate(
+            [([], "count_all")])
+        n = np.zeros(len(t), np.int64)
+        n[counts["i"].to_numpy(zero_copy_only=False)] = \
+            counts["count_all"].to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_sentences": pa.array(n)})
+
+    return (_docs(sf_dir).select_columns(["doc_id", "text"])
+            .map_batches(stats, batch_format="pyarrow"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction pipeline family (pages fixture derived from documents)
@@ -2507,6 +2571,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "schema_evolve": _q_schema_evolve,
         "rare_term_pairs": _q_rare_term_pairs,
         "priority_semi": _q_priority_semi,
+        "cust_order_dist": _q_cust_order_dist,
+        "sentence_stats": _q_sentence_stats,
         # composed curation
         "curate": _q_curate,
         # multimodal
@@ -3317,6 +3383,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
                    CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM documents GROUP BY lang""",
+        "cust_order_dist": """
+            SELECT n_orders, CAST(count(*) AS BIGINT) AS n_custs FROM (
+              SELECT c_custkey,
+                     CAST(count(o_custkey) AS BIGINT) AS n_orders
+              FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+              GROUP BY c_custkey)
+            GROUP BY n_orders""",
+        "sentence_stats": """
+            SELECT doc_id,
+                   COALESCE(CAST(len(list_filter(list_transform(
+                     string_split_regex(replace(text, ' batch ', '. '),
+                                        '[.!?]+'),
+                     s -> trim(s)), s -> s <> '')) AS BIGINT), 0)
+                     AS n_sentences
+            FROM documents""",
         "rare_term_pairs": r"""
             WITH d AS (
               SELECT doc_id,
