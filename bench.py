@@ -149,6 +149,32 @@ def run_bench() -> dict:
                    block_tokens=2048).count()
     queries["pack_sequences"] = round(time.perf_counter() - t0, 3)
 
+    # round-2 additions: iterative-join graph op + hot-key-split join
+    from pmocr_ray.ops.graph import pagerank
+
+    def _edges(t):
+        did = t["doc_id"]
+        src = pc.subtract(did, pc.multiply(pc.divide(did, 211), 211))
+        d13 = pc.add(pc.multiply(did, 13), 7)
+        dst = pc.subtract(d13, pc.multiply(pc.divide(d13, 211), 211))
+        tab = pa.table({"src": src, "dst": dst}).filter(
+            pc.not_equal(src, dst))
+        return tab.group_by(["src", "dst"]).aggregate([])
+
+    import pyarrow as pa
+    t0 = time.perf_counter()
+    pagerank(rd.read_parquet(docs_path, columns=["doc_id"])
+             .map_batches(_edges, batch_format="pyarrow"),
+             iters=3).count()
+    queries["pagerank"] = round(time.perf_counter() - t0, 3)
+
+    from pmocr_ray.ops.events import moving_window_sum
+
+    t0 = time.perf_counter()
+    moving_window_sum(rd.read_parquet(
+        events_path, columns=["event_type", "ts", "value"])).count()
+    queries["moving_window"] = round(time.perf_counter() - t0, 3)
+
     result = {
         "metric": "headline extraction wall-clock (read→sniff→extract→write) + op benches",
         "value": round(headline, 3),
