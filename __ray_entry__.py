@@ -2428,6 +2428,97 @@ def _q_sentence_stats(sf_dir: str):
             .map_batches(stats, batch_format="pyarrow"))
 
 
+def _q_basket_pairs(sf_dir: str):
+    """Market-basket 2-itemsets: part pairs co-purchased in one order,
+    support ≥ 3.  Distributed shape: global distinct of
+    (orderkey, partkey) via one groupby, then a hash self-join on
+    l_orderkey — pair emission stays within the basket (never
+    cross-order), and support is one more small groupby.  No per-group
+    Python dispatch; every step is a vectorized batch kernel."""
+    import pyarrow as pa
+
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_partkey"])
+    items = (li.groupby(["l_orderkey", "l_partkey"])
+             .aggregate(Count(alias_name="_n"))
+             .select_columns(["l_orderkey", "l_partkey"]))
+    n_items = items.count()
+    parts = max(1, min(16, n_items // 2048 + 1))
+
+    j = items.join(items, join_type="inner", num_partitions=parts,
+                   on=("l_orderkey",), right_suffix="_r")
+
+    def to_pairs(t: pa.Table) -> pa.Table:
+        keep = pc.less(t["l_partkey"], t["l_partkey_r"])
+        t = t.filter(keep)
+        return pa.table({"p1": t["l_partkey"], "p2": t["l_partkey_r"],
+                         "n": pa.array([1] * len(t), pa.int64())})
+
+    sup = (j.map_batches(to_pairs, batch_format="pyarrow")
+           .groupby(["p1", "p2"]).aggregate(Sum("n", alias_name="support")))
+    return sup.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["support"], 3)),
+        batch_format="pyarrow")
+
+
+def _q_scd2_dim(sf_dir: str):
+    """Slowly-changing-dimension type 2 build from the CDC diff: one
+    versioned row per (doc, validity interval) under fixed version
+    stamps v1/v2 — unchanged docs keep their open v1 row, changed docs
+    close v1 and open v2, removed close v1, added open at v2."""
+    import pyarrow as pa
+
+    from pmocr_ray.ops.compact import snapshot_diff
+
+    docs = _docs(sf_dir)
+    diff = snapshot_diff(docs, _derive_snapshot_b(docs))
+
+    def versions(t: pa.Table) -> pa.Table:
+        did = pc.cast(t["doc_id"], pa.int64())
+        ch = t["change"]
+        added = pc.equal(ch, "added")
+        removed = pc.equal(ch, "removed")
+        changed = pc.equal(ch, "changed")
+        rows_id, rows_from, rows_to = [], [], []
+        for i in range(len(t)):
+            d = did[i].as_py()
+            if added[i].as_py():
+                rows_id.append(d); rows_from.append("v2"); rows_to.append(None)
+            elif removed[i].as_py():
+                rows_id.append(d); rows_from.append("v1"); rows_to.append("v2")
+            else:
+                rows_id.append(d); rows_from.append("v1"); rows_to.append("v2")
+                rows_id.append(d); rows_from.append("v2"); rows_to.append(None)
+        return pa.table({"doc_id": pa.array(rows_id, pa.int64()),
+                         "valid_from": pa.array(rows_from, pa.string()),
+                         "valid_to": pa.array(rows_to, pa.string())})
+
+    versioned = diff.map_batches(versions, batch_format="pyarrow")
+
+    # unchanged docs: anti-join documents against the diff'd ids —
+    # broadcast of the CHANGED id set only (diff ≪ corpus)
+    changed_ids = frozenset(
+        r["doc_id"] for r in diff.select_columns(["doc_id"]).take_all())
+    import ray as _ray
+    ref = _ray.put(changed_ids)
+
+    def open_rows(t: pa.Table) -> pa.Table:
+        ids = _ray.get(ref)
+        keep = pa.array([d not in ids for d in t["doc_id"].to_pylist()])
+        t = t.filter(keep)
+        n = len(t)
+        return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
+                         "valid_from": pa.array(["v1"] * n, pa.string()),
+                         "valid_to": pa.nulls(n, pa.string())})
+
+    unchanged = docs.select_columns(["doc_id"]).map_batches(
+        open_rows, batch_format="pyarrow")
+    return versioned.union(unchanged)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction pipeline family (pages fixture derived from documents)
@@ -2573,6 +2664,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_semi": _q_priority_semi,
         "cust_order_dist": _q_cust_order_dist,
         "sentence_stats": _q_sentence_stats,
+        "basket_pairs": _q_basket_pairs,
+        "scd2_dim": _q_scd2_dim,
         # composed curation
         "curate": _q_curate,
         # multimodal
@@ -3398,6 +3491,48 @@ def oracle_sql() -> dict[str, str]:
                      s -> trim(s)), s -> s <> '')) AS BIGINT), 0)
                      AS n_sentences
             FROM documents""",
+        "basket_pairs": """
+            WITH items AS (
+              SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            )
+            SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+                   CAST(count(*) AS BIGINT) AS support
+            FROM items a JOIN items b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+            GROUP BY a.l_partkey, b.l_partkey
+            HAVING count(*) >= 3""",
+        "scd2_dim": """
+            WITH b AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0 THEN text || ' [rev2]'
+                          ELSE text END AS text
+              FROM documents WHERE doc_id % 7 <> 0
+              UNION ALL
+              SELECT doc_id + 1000000000 AS doc_id,
+                     'new page ' || doc_id AS text
+              FROM documents WHERE doc_id % 11 = 0
+            ), diff AS (
+              SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+                     CASE WHEN a.doc_id IS NULL THEN 'added'
+                          WHEN b.doc_id IS NULL THEN 'removed'
+                          ELSE 'changed' END AS change
+              FROM documents a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+              WHERE a.doc_id IS NULL OR b.doc_id IS NULL
+                 OR a.text IS DISTINCT FROM b.text
+            )
+            SELECT doc_id, 'v2' AS valid_from,
+                   CAST(NULL AS VARCHAR) AS valid_to
+            FROM diff WHERE change = 'added'
+            UNION ALL
+            SELECT doc_id, 'v1', 'v2'
+            FROM diff WHERE change IN ('removed', 'changed')
+            UNION ALL
+            SELECT doc_id, 'v2', NULL FROM diff WHERE change = 'changed'
+            UNION ALL
+            SELECT d.doc_id, 'v1', NULL
+            FROM documents d
+            WHERE d.doc_id NOT IN (SELECT doc_id FROM diff)""",
         "rare_term_pairs": r"""
             WITH d AS (
               SELECT doc_id,
