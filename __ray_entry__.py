@@ -2519,6 +2519,204 @@ def _q_scd2_dim(sf_dir: str):
     return versioned.union(unchanged)
 
 
+def _q_returned_top_customers(sf_dir: str):
+    """TPC-H Q10 shape: revenue from RETURNED items per customer,
+    top 20.  Combiner first (per-order returned revenue inside
+    map_batches, exact 1e-4-dollar ints), one hash join to orders,
+    per-customer rollup, then a tiny sort+limit — only the ~|customers|
+    rollup is ever sorted, with an explicit rank column so the
+    order-insensitive driver hash still checks the ordering."""
+    import pyarrow as pa
+
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_returnflag"])
+
+    def rev_per_order(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], "R"))
+        ext = np.rint(np.asarray(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False)) * 100
+        ).astype(np.int64)
+        disc = np.rint(np.asarray(
+            t["l_discount"].to_numpy(zero_copy_only=False)) * 100
+        ).astype(np.int64)
+        tt = pa.table({"l_orderkey": t["l_orderkey"],
+                       "rev": pa.array(ext * (100 - disc), pa.int64())})
+        g = tt.group_by("l_orderkey").aggregate([("rev", "sum")])
+        return pa.table({"l_orderkey": g["l_orderkey"], "rev": g["rev_sum"]})
+
+    per_order = (li.map_batches(rev_per_order, batch_format="pyarrow")
+                 .groupby("l_orderkey")
+                 .aggregate(Sum("rev", alias_name="rev")))
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_custkey"])
+    j = per_order.join(orders, join_type="inner", num_partitions=8,
+                       on=("l_orderkey",), right_on=("o_orderkey",))
+    rollup = (j.groupby("o_custkey")
+              .aggregate(Sum("rev", alias_name="revenue"),
+                         Count(alias_name="n_orders")))
+    top = (rollup.sort(["revenue", "o_custkey"],
+                       descending=[True, False])
+           .limit(20).to_pandas())
+    top.insert(0, "rank", np.arange(1, len(top) + 1, dtype=np.int64))
+    top = top.rename(columns={"o_custkey": "c_custkey"})
+    top["n_orders"] = top["n_orders"].astype("int64")
+    return top[["rank", "c_custkey", "n_orders", "revenue"]]
+
+
+def _q_big_spender_filter(sf_dir: str):
+    """Q22 shape: a GLOBAL scalar (mean positive balance) computed as a
+    tiny two-int aggregate, broadcast into the filter as the exact
+    cross-multiplication cents*n > sum_cents (no float division
+    anywhere), then an anti-join against orders (customers who never
+    ordered) and a per-segment rollup."""
+    import pyarrow as pa
+
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from pmocr_ray.ops.joins import hash_anti_join
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_acctbal", "c_mktsegment"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        cents = np.rint(np.asarray(
+            t["c_acctbal"].to_numpy(zero_copy_only=False)) * 100
+        ).astype(np.int64)
+        return pa.table({"c_custkey": t["c_custkey"],
+                         "c_mktsegment": t["c_mktsegment"],
+                         "cents": pa.array(cents, pa.int64())})
+
+    base = cust.map_batches(to_cents, batch_format="pyarrow")
+
+    # global scalar: one (sum, count) pair per batch -> driver folds a
+    # handful of scalars, never rows
+    def partial_stat(t: pa.Table) -> pa.Table:
+        pos = t.filter(pc.greater(t["cents"], 0))
+        return pa.table({"s": pa.array([pc.sum(pos["cents"]).as_py() or 0],
+                                       pa.int64()),
+                         "n": pa.array([len(pos)], pa.int64())})
+
+    stats = base.map_batches(partial_stat, batch_format="pyarrow").take_all()
+    s = sum(r["s"] for r in stats)
+    n = max(1, sum(r["n"] for r in stats))
+
+    rich = base.map_batches(
+        lambda t: t.filter(pc.greater(pc.multiply(t["cents"], n), s)),
+        batch_format="pyarrow")
+    f_orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderstatus"],
+    ).filter(expr="o_orderstatus == 'F'")
+    no_f = hash_anti_join(rich, f_orders, on="c_custkey",
+                          right_on="o_custkey", num_partitions=8)
+    out = (no_f.groupby("c_mktsegment")
+           .aggregate(Count(alias_name="n_customers"),
+                      Sum("cents", alias_name="total_bal_cents"))
+           .to_pandas())
+    if out.empty:  # schema-stable empty result
+        import pandas as pd
+        out = pd.DataFrame({"c_mktsegment": pd.Series(dtype=object),
+                            "n_customers": pd.Series(dtype="int64"),
+                            "total_bal_cents": pd.Series(dtype="int64")})
+    out["n_customers"] = out["n_customers"].astype("int64")
+    return out
+
+
+def _q_lineitem_unpivot(sf_dir: str):
+    """UNPIVOT/melt: the four lineitem measures stacked into long
+    (key, measure, cents) rows — a pure per-batch reshape (4 column
+    slices concatenated), no shuffle, exact fixed-point values."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax"])
+    measures = ["quantity", "extendedprice", "discount", "tax"]
+
+    def melt(t: pa.Table) -> pa.Table:
+        parts = []
+        for m in measures:
+            cents = np.rint(np.asarray(
+                t[f"l_{m}"].to_numpy(zero_copy_only=False)) * 100
+            ).astype(np.int64)
+            parts.append(pa.table({
+                "l_orderkey": t["l_orderkey"],
+                "l_linenumber": pc.cast(t["l_linenumber"], pa.int64()),
+                "measure": pa.array([m] * len(t), pa.string()),
+                "cents": pa.array(cents, pa.int64())}))
+        return pa.concat_tables(parts)
+
+    return li.map_batches(melt, batch_format="pyarrow")
+
+
+def _q_keep_best_dedup(sf_dir: str):
+    """Canonical-document selection: per (lang, source) group keep the
+    LONGEST doc, tie-broken by smallest doc_id.  Distributed argmax as
+    two small shuffles and one hash join — group max first, join the
+    max back, then min-id among the rows that hit the max.  No
+    map_groups, no per-group Python dispatch."""
+    import pyarrow as pa
+
+    from ray.data.aggregate import Count, Max, Min
+
+    import ray.data as rd
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "source", "n_chars"])
+    g = (docs.groupby(["lang", "source"])
+         .aggregate(Max("n_chars", alias_name="best_len"),
+                    Count(alias_name="n_docs")))
+    n = docs.count()
+    parts = max(1, min(8, n // 2048 + 1))
+    j = docs.join(g, join_type="inner", num_partitions=parts,
+                  on=("lang", "source"))
+    hits = j.map_batches(
+        lambda t: t.filter(pc.equal(t["n_chars"], t["best_len"])),
+        batch_format="pyarrow")
+    return (hits.groupby(["lang", "source"])
+            .aggregate(Min("doc_id", alias_name="keep_id"),
+                       Max("best_len", alias_name="best_len"),
+                       Max("n_docs", alias_name="n_docs")))
+
+
+def _q_wow_change(sf_dir: str):
+    """Period-over-period deltas: daily event counts with the lag
+    difference vs the previous day.  The corpus-size work is one
+    vectorized day-bucket + count; the lag runs on the tiny per-day
+    rollup (≤ hundreds of rows) driver-side."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["ts"])
+
+    def day_of(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        return pa.table({"day": pc.divide(us, 86_400_000_000)})
+
+    rollup = (ev.map_batches(day_of, batch_format="pyarrow")
+              .groupby("day").aggregate(Count(alias_name="n"))
+              .to_pandas().sort_values("day").reset_index(drop=True))
+    n = rollup["n"].astype("int64")
+    prev = n.shift(1, fill_value=0).astype("int64")
+    return pd.DataFrame({"day": rollup["day"].astype("int64"),
+                         "n": n, "delta": (n - prev).astype("int64")})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction pipeline family (pages fixture derived from documents)
@@ -2666,6 +2864,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sentence_stats": _q_sentence_stats,
         "basket_pairs": _q_basket_pairs,
         "scd2_dim": _q_scd2_dim,
+        "returned_top_customers": _q_returned_top_customers,
+        "big_spender_filter": _q_big_spender_filter,
+        "lineitem_unpivot": _q_lineitem_unpivot,
+        "keep_best_dedup": _q_keep_best_dedup,
+        "wow_change": _q_wow_change,
         # composed curation
         "curate": _q_curate,
         # multimodal
@@ -3533,6 +3736,78 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, 'v1', NULL
             FROM documents d
             WHERE d.doc_id NOT IN (SELECT doc_id FROM diff)""",
+        "returned_top_customers": """
+            WITH po AS (
+              SELECT l_orderkey,
+                     sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                       AS rev
+              FROM lineitem WHERE l_returnflag = 'R'
+              GROUP BY l_orderkey
+            ), cr AS (
+              SELECT o.o_custkey AS c_custkey,
+                     CAST(count(*) AS BIGINT) AS n_orders,
+                     CAST(sum(po.rev) AS BIGINT) AS revenue
+              FROM po JOIN orders o ON po.l_orderkey = o.o_orderkey
+              GROUP BY o.o_custkey
+            )
+            SELECT CAST(row_number() OVER (
+                     ORDER BY revenue DESC, c_custkey) AS BIGINT) AS rank,
+                   c_custkey, n_orders, revenue
+            FROM cr ORDER BY revenue DESC, c_custkey LIMIT 20""",
+        "big_spender_filter": """
+            WITH base AS (
+              SELECT c_custkey, c_mktsegment,
+                     CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+              FROM customer
+            ), stat AS (
+              SELECT CAST(sum(cents) AS BIGINT) AS s,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM base WHERE cents > 0
+            )
+            SELECT c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS n_customers,
+                   CAST(sum(cents) AS BIGINT) AS total_bal_cents
+            FROM base, stat
+            WHERE cents * stat.n > stat.s
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderstatus = 'F')
+            GROUP BY c_mktsegment""",
+        "lineitem_unpivot": """
+            SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                   m.measure,
+                   CAST(round(CASE m.measure
+                     WHEN 'quantity' THEN l_quantity
+                     WHEN 'extendedprice' THEN l_extendedprice
+                     WHEN 'discount' THEN l_discount
+                     ELSE l_tax END * 100) AS BIGINT) AS cents
+            FROM lineitem
+            CROSS JOIN (SELECT unnest(['quantity', 'extendedprice',
+                                       'discount', 'tax']) AS measure) m""",
+        "keep_best_dedup": """
+            WITH g AS (
+              SELECT lang, source, max(n_chars) AS best_len,
+                     CAST(count(*) AS BIGINT) AS n_docs
+              FROM documents GROUP BY lang, source
+            )
+            SELECT g.lang, g.source,
+                   CAST(min(d.doc_id) AS BIGINT) AS keep_id,
+                   g.best_len, g.n_docs
+            FROM documents d
+            JOIN g ON d.lang = g.lang AND d.source = g.source
+                  AND d.n_chars = g.best_len
+            GROUP BY g.lang, g.source, g.best_len, g.n_docs""",
+        "wow_change": """
+            WITH d AS (
+              SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1
+            )
+            SELECT day, n,
+                   CAST(n - COALESCE(lag(n) OVER (ORDER BY day), 0)
+                        AS BIGINT) AS delta
+            FROM d""",
         "rare_term_pairs": r"""
             WITH d AS (
               SELECT doc_id,
