@@ -2717,6 +2717,116 @@ def _q_wow_change(sf_dir: str):
                          "n": n, "delta": (n - prev).astype("int64")})
 
 
+def _q_supplier_variety(sf_dir: str):
+    """TPC-H Q16 shape: COUNT(DISTINCT supplier) per part type.  The
+    part dimension is broadcast (ray.put once, dict lookup per batch —
+    never a shuffle for a dimension table); the fact side is
+    pre-distincted per batch before the global distinct, so the
+    shuffle moves unique (type, suppkey) pairs, not lineitem rows."""
+    import pyarrow as pa
+
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    import ray as _ray
+
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_type"])
+    type_map = dict(zip(part["p_partkey"].to_pylist(),
+                        part["p_type"].to_pylist()))
+    ref = _ray.put(type_map)
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_partkey", "l_suppkey"])
+
+    def local_distinct(t: pa.Table) -> pa.Table:
+        m = _ray.get(ref)
+        g = t.group_by(["l_partkey", "l_suppkey"]).aggregate([])
+        types = pa.array([m.get(x) for x in g["l_partkey"].to_pylist()],
+                         pa.string())
+        return (pa.table({"p_type": types, "l_suppkey": g["l_suppkey"]})
+                .group_by(["p_type", "l_suppkey"]).aggregate([]))
+
+    pairs = (li.map_batches(local_distinct, batch_format="pyarrow")
+             .groupby(["p_type", "l_suppkey"]).aggregate(Count()))
+    return (pairs.groupby("p_type")
+            .aggregate(Count(alias_name="n_suppliers")))
+
+
+def _q_new_users_curve(sf_dir: str):
+    """User-acquisition curve: first-seen day per user (per-batch min
+    combiner + one groupby), daily new-user counts, cumulative sum on
+    the tiny per-day rollup."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data as rd
+    from ray.data.aggregate import Count, Min
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts"])
+
+    def per_batch_min(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t["ts"], pa.int64()), 86_400_000_000)
+        tt = pa.table({"user_id": t["user_id"], "day": day})
+        g = tt.group_by("user_id").aggregate([("day", "min")])
+        return pa.table({"user_id": g["user_id"], "day": g["day_min"]})
+
+    first = (ev.map_batches(per_batch_min, batch_format="pyarrow")
+             .groupby("user_id").aggregate(Min("day", alias_name="day")))
+    daily = (first.groupby("day").aggregate(Count(alias_name="n_new"))
+             .to_pandas().sort_values("day").reset_index(drop=True))
+    n_new = daily["n_new"].astype("int64")
+    return pd.DataFrame({"day": daily["day"].astype("int64"),
+                         "n_new": n_new,
+                         "cum_users": n_new.cumsum().astype("int64")})
+
+
+def _q_revenue_concentration(sf_dir: str):
+    """Global concentration: the revenue share of the top-1% orders.
+    Per-order revenue rollup (combiner), distributed sort+limit for the
+    top-k slice (ties broken by orderkey so the cut is deterministic),
+    two scalar sums — output is ONE row; nothing corpus-sized ever
+    reaches the driver.  Share reported as an exact floored ppm ratio."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_extendedprice",
+                                  "l_discount"])
+
+    def rev_per_order(t: pa.Table) -> pa.Table:
+        ext = np.rint(np.asarray(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False)) * 100
+        ).astype(np.int64)
+        disc = np.rint(np.asarray(
+            t["l_discount"].to_numpy(zero_copy_only=False)) * 100
+        ).astype(np.int64)
+        tt = pa.table({"l_orderkey": t["l_orderkey"],
+                       "rev": pa.array(ext * (100 - disc), pa.int64())})
+        g = tt.group_by("l_orderkey").aggregate([("rev", "sum")])
+        return pa.table({"l_orderkey": g["l_orderkey"], "rev": g["rev_sum"]})
+
+    per_order = (li.map_batches(rev_per_order, batch_format="pyarrow")
+                 .groupby("l_orderkey")
+                 .aggregate(Sum("rev", alias_name="rev")))
+    n = per_order.count()
+    k = max(1, n // 100)
+    top = per_order.sort(["rev", "l_orderkey"],
+                         descending=[True, False]).limit(k)
+    top_rev = int(top.sum("rev"))
+    total_rev = int(per_order.sum("rev"))
+    return pd.DataFrame({"k": pd.Series([k], dtype="int64"),
+                         "top_rev": pd.Series([top_rev], dtype="int64"),
+                         "total_rev": pd.Series([total_rev], dtype="int64"),
+                         "share_ppm": pd.Series(
+                             [top_rev * 1_000_000 // total_rev],
+                             dtype="int64")})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction pipeline family (pages fixture derived from documents)
@@ -2869,6 +2979,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_unpivot": _q_lineitem_unpivot,
         "keep_best_dedup": _q_keep_best_dedup,
         "wow_change": _q_wow_change,
+        "supplier_variety": _q_supplier_variety,
+        "new_users_curve": _q_new_users_curve,
+        "revenue_concentration": _q_revenue_concentration,
         # composed curation
         "curate": _q_curate,
         # multimodal
@@ -3808,6 +3921,48 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n - COALESCE(lag(n) OVER (ORDER BY day), 0)
                         AS BIGINT) AS delta
             FROM d""",
+        "supplier_variety": """
+            SELECT p.p_type,
+                   CAST(count(DISTINCT l.l_suppkey) AS BIGINT)
+                     AS n_suppliers
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY p.p_type""",
+        "new_users_curve": """
+            WITH f AS (
+              SELECT user_id,
+                     min(CAST(epoch_us(ts) // 86400000000 AS BIGINT))
+                       AS day
+              FROM events GROUP BY user_id
+            ), d AS (
+              SELECT day, CAST(count(*) AS BIGINT) AS n_new
+              FROM f GROUP BY day
+            )
+            SELECT day, n_new,
+                   CAST(sum(n_new) OVER (
+                     ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                     AS cum_users
+            FROM d""",
+        "revenue_concentration": """
+            WITH po AS (
+              SELECT l_orderkey,
+                     sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                       AS rev
+              FROM lineitem GROUP BY l_orderkey
+            ), r AS (
+              SELECT rev, row_number() OVER (
+                       ORDER BY rev DESC, l_orderkey) AS rn
+              FROM po
+            ), kk AS (
+              SELECT greatest(1, count(*) // 100) AS k FROM po
+            )
+            SELECT CAST(kk.k AS BIGINT) AS k,
+                   CAST(sum(r.rev) FILTER (WHERE r.rn <= kk.k) AS BIGINT)
+                     AS top_rev,
+                   CAST(sum(r.rev) AS BIGINT) AS total_rev,
+                   CAST(sum(r.rev) FILTER (WHERE r.rn <= kk.k)
+                        * 1000000 // sum(r.rev) AS BIGINT) AS share_ppm
+            FROM r, kk GROUP BY kk.k""",
         "rare_term_pairs": r"""
             WITH d AS (
               SELECT doc_id,
