@@ -2827,6 +2827,230 @@ def _q_revenue_concentration(sf_dir: str):
                              dtype="int64")})
 
 
+_DIVISION_TYPES = ("view", "click", "purchase")
+
+
+def _q_users_all_types(sf_dir: str):
+    """Relational division: users who performed EVERY event type in the
+    target set.  Per-batch local distinct shrinks the shuffle to unique
+    (user, type) pairs; division is then a count==|target| filter on a
+    tiny per-user rollup — no joins, no per-user iteration."""
+    import pyarrow as pa
+
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_type"])
+    want = pa.array(list(_DIVISION_TYPES))
+
+    def local_distinct(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["event_type"], value_set=want))
+        return t.group_by(["user_id", "event_type"]).aggregate([])
+
+    pairs = (ev.map_batches(local_distinct, batch_format="pyarrow")
+             .groupby(["user_id", "event_type"]).aggregate(Count()))
+    per_user = pairs.groupby("user_id").aggregate(
+        Count(alias_name="n_types"))
+    return (per_user.map_batches(
+        lambda t: t.filter(pc.equal(t["n_types"],
+                                    len(_DIVISION_TYPES))),
+        batch_format="pyarrow").select_columns(["user_id"]))
+
+
+def _q_user_top_type(sf_dir: str):
+    """Grouped mode: each user's most frequent event type, ties broken
+    lexicographically.  Two-phase distributed argmax over the per-user
+    count rollup (group max, join back, min-string tie-break) — the
+    same shape as keep_best_dedup but arg-maxing a COUNT."""
+    import pyarrow as pa
+
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min, Sum
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_type"])
+
+    def local_counts(t: pa.Table) -> pa.Table:
+        g = t.group_by(["user_id", "event_type"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"user_id": g["user_id"],
+                         "event_type": g["event_type"],
+                         "n": g["count_all"]})
+
+    counts = (ev.map_batches(local_counts, batch_format="pyarrow")
+              .groupby(["user_id", "event_type"])
+              .aggregate(Sum("n", alias_name="n")))
+    best = counts.groupby("user_id").aggregate(
+        Max("n", alias_name="best"))
+    n = counts.count()
+    parts = max(1, min(8, n // 2048 + 1))
+    j = counts.join(best, join_type="inner", num_partitions=parts,
+                    on=("user_id",))
+    hits = j.map_batches(
+        lambda t: t.filter(pc.equal(t["n"], t["best"])),
+        batch_format="pyarrow")
+    return (hits.groupby("user_id")
+            .aggregate(Min("event_type", alias_name="top_type"),
+                       Max("best", alias_name="n")))
+
+
+def _q_daily_fill_gaps(sf_dir: str):
+    """Date-spine gap fill: daily event counts left-joined onto the
+    dense day range, missing days zero-filled.  The corpus pass is one
+    vectorized bucket+count; the spine join happens on the tiny per-day
+    rollup."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["ts"])
+
+    def day_of(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        return pa.table({"day": pc.divide(us, 86_400_000_000)})
+
+    rollup = (ev.map_batches(day_of, batch_format="pyarrow")
+              .groupby("day").aggregate(Count(alias_name="n"))
+              .to_pandas())
+    lo, hi = int(rollup["day"].min()), int(rollup["day"].max())
+    spine = pd.DataFrame({"day": np.arange(lo, hi + 1, dtype=np.int64)})
+    out = spine.merge(rollup, on="day", how="left")
+    out["n"] = out["n"].fillna(0).astype("int64")
+    return out
+
+
+def _pareto_scan(pts: "np.ndarray") -> "np.ndarray":
+    """Maximal-vector scan over DISTINCT (price, day) points: sort by
+    (price desc, day desc); a point survives iff its day strictly
+    exceeds every preceding day.  Returns the surviving points."""
+    order = np.lexsort((-pts[:, 1], -pts[:, 0]))
+    pts = pts[order]
+    best = np.maximum.accumulate(
+        np.concatenate(([np.iinfo(np.int64).min], pts[:-1, 1])))
+    return pts[pts[:, 1] > best]
+
+
+def _q_pareto_orders(sf_dir: str):
+    """Skyline query: orders not dominated in (totalprice, recency).
+    Distributed pareto = per-block local scan (a locally dominated
+    point can never be globally maximal, so blocks emit only their own
+    frontier), a tiny global scan over the union of frontiers, then a
+    broadcast semi-join of the full table against the winning point
+    set.  Work is one linear pass per block + O(frontier) driver-side."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    import ray as _ray
+
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_totalprice",
+                                      "o_orderdate"])
+
+    def to_points(t: pa.Table) -> pa.Table:
+        price = np.rint(np.asarray(
+            t["o_totalprice"].to_numpy(zero_copy_only=False)) * 100
+        ).astype(np.int64)
+        day = (pc.cast(t["o_orderdate"], pa.int64()).to_numpy()
+               // 86_400_000_000).astype(np.int64)
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "price": pa.array(price, pa.int64()),
+                         "day": pa.array(day, pa.int64())})
+
+    pts_ds = orders.map_batches(to_points, batch_format="pyarrow")
+
+    def local_frontier(t: pa.Table) -> pa.Table:
+        pts = np.unique(np.stack([t["price"].to_numpy(),
+                                  t["day"].to_numpy()], axis=1), axis=0)
+        keep = _pareto_scan(pts)
+        return pa.table({"price": pa.array(keep[:, 0], pa.int64()),
+                         "day": pa.array(keep[:, 1], pa.int64())})
+
+    cand = pts_ds.map_batches(local_frontier,
+                              batch_format="pyarrow").take_all()
+    cand_pts = np.unique(
+        np.array([[r["price"], r["day"]] for r in cand], dtype=np.int64),
+        axis=0)
+    frontier = _pareto_scan(cand_pts)
+    keep_set = frozenset((int(p), int(d)) for p, d in frontier)
+    ref = _ray.put(keep_set)
+
+    def semi(t: pa.Table) -> pa.Table:
+        ks = _ray.get(ref)
+        mask = pa.array([(p, d) in ks for p, d in
+                         zip(t["price"].to_numpy(), t["day"].to_numpy())])
+        return t.filter(mask)
+
+    out = pts_ds.map_batches(semi, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        out = pd.DataFrame({"o_orderkey": pd.Series(dtype="int64"),
+                            "price": pd.Series(dtype="int64"),
+                            "day": pd.Series(dtype="int64")})
+    return out
+
+
+def _q_weighted_disc(sf_dir: str):
+    """Grouped WEIGHTED ratio: discount weighted by quantity per part
+    brand — numerator and denominator accumulated as separate exact
+    int64 sums (a distributed ratio must never sum floats), the ratio
+    emitted as a floored ppm.  Brand comes from the broadcast part
+    dimension."""
+    import pyarrow as pa
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    import ray as _ray
+
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_brand"])
+    brand_map = dict(zip(part["p_partkey"].to_pylist(),
+                         part["p_brand"].to_pylist()))
+    ref = _ray.put(brand_map)
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_partkey", "l_quantity",
+                                  "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = _ray.get(ref)
+        qty = np.rint(np.asarray(
+            t["l_quantity"].to_numpy(zero_copy_only=False)) * 100
+        ).astype(np.int64)
+        disc = np.rint(np.asarray(
+            t["l_discount"].to_numpy(zero_copy_only=False)) * 100
+        ).astype(np.int64)
+        brands = pa.array([m.get(x) for x in t["l_partkey"].to_pylist()],
+                          pa.string())
+        tt = pa.table({"p_brand": brands,
+                       "num": pa.array(disc * qty, pa.int64()),
+                       "den": pa.array(qty, pa.int64())})
+        g = tt.group_by("p_brand").aggregate([("num", "sum"),
+                                              ("den", "sum")])
+        return pa.table({"p_brand": g["p_brand"], "num": g["num_sum"],
+                         "den": g["den_sum"]})
+
+    rollup = (li.map_batches(partial, batch_format="pyarrow")
+              .groupby("p_brand")
+              .aggregate(Sum("num", alias_name="num"),
+                         Sum("den", alias_name="den")))
+
+    def ratio(t: pa.Table) -> pa.Table:
+        num = t["num"].to_numpy()
+        den = t["den"].to_numpy()
+        return pa.table({"p_brand": t["p_brand"],
+                         "num": t["num"], "den": t["den"],
+                         "wavg_ppm": pa.array(num * 1_000_000 // den,
+                                              pa.int64())})
+
+    return rollup.map_batches(ratio, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction pipeline family (pages fixture derived from documents)
@@ -2982,6 +3206,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_variety": _q_supplier_variety,
         "new_users_curve": _q_new_users_curve,
         "revenue_concentration": _q_revenue_concentration,
+        "users_all_types": _q_users_all_types,
+        "user_top_type": _q_user_top_type,
+        "daily_fill_gaps": _q_daily_fill_gaps,
+        "pareto_orders": _q_pareto_orders,
+        "weighted_disc": _q_weighted_disc,
         # composed curation
         "curate": _q_curate,
         # multimodal
@@ -3963,6 +4192,73 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(r.rev) FILTER (WHERE r.rn <= kk.k)
                         * 1000000 // sum(r.rev) AS BIGINT) AS share_ppm
             FROM r, kk GROUP BY kk.k""",
+        "users_all_types": """
+            SELECT user_id FROM (
+              SELECT user_id, count(DISTINCT event_type) AS c
+              FROM events
+              WHERE event_type IN ('view', 'click', 'purchase')
+              GROUP BY user_id)
+            WHERE c = 3""",
+        "user_top_type": """
+            WITH c AS (
+              SELECT user_id, event_type,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY user_id, event_type
+            ), m AS (
+              SELECT user_id, max(n) AS best FROM c GROUP BY user_id
+            )
+            SELECT c.user_id, min(c.event_type) AS top_type,
+                   CAST(m.best AS BIGINT) AS n
+            FROM c JOIN m ON c.user_id = m.user_id AND c.n = m.best
+            GROUP BY c.user_id, m.best""",
+        "daily_fill_gaps": """
+            WITH d AS (
+              SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1
+            ), s AS (
+              SELECT unnest(generate_series(
+                (SELECT min(day) FROM d), (SELECT max(day) FROM d)))
+                AS day
+            )
+            SELECT s.day, CAST(COALESCE(d.n, 0) AS BIGINT) AS n
+            FROM s LEFT JOIN d USING (day)""",
+        "pareto_orders": """
+            WITH o AS (
+              SELECT o_orderkey,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS price,
+                     CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
+                       AS day
+              FROM orders
+            ), p AS (
+              SELECT DISTINCT price, day FROM o
+            ), s AS (
+              SELECT price, day,
+                     max(day) OVER (
+                       ORDER BY price DESC, day DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS best_prev
+              FROM p
+            ), keep AS (
+              SELECT price, day FROM s
+              WHERE best_prev IS NULL OR day > best_prev
+            )
+            SELECT o.o_orderkey, o.price, o.day
+            FROM o JOIN keep USING (price, day)""",
+        "weighted_disc": """
+            SELECT p.p_brand,
+                   CAST(sum(CAST(round(l.l_discount * 100) AS BIGINT)
+                            * CAST(round(l.l_quantity * 100) AS BIGINT))
+                        AS BIGINT) AS num,
+                   CAST(sum(CAST(round(l.l_quantity * 100) AS BIGINT))
+                        AS BIGINT) AS den,
+                   CAST(sum(CAST(round(l.l_discount * 100) AS BIGINT)
+                            * CAST(round(l.l_quantity * 100) AS BIGINT))
+                        * 1000000
+                        // sum(CAST(round(l.l_quantity * 100) AS BIGINT))
+                        AS BIGINT) AS wavg_ppm
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY p.p_brand""",
         "rare_term_pairs": r"""
             WITH d AS (
               SELECT doc_id,
