@@ -3051,6 +3051,125 @@ def _q_weighted_disc(sf_dir: str):
     return rollup.map_batches(ratio, batch_format="pyarrow")
 
 
+def _q_bfs_layers(sf_dir: str):
+    """Iterative BFS from seed node 0 on the derived doc graph (same
+    arithmetic edge rule as ``pagerank``), 3 expansion rounds.  Each
+    round is one broadcast-frontier semi-join over the distributed edge
+    set (frontier and visited sets are node-space-sized — the small
+    side — never corpus-sized); layer = first-visit round, matching the
+    recursive-CTE min(layer) semantics."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    import ray as _ray
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id"])
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        did = t["doc_id"]
+        src = _mod(did, 211)
+        dst = _mod(pc.add(pc.multiply(did, 13), 7), 211)
+        tt = pa.table({"src": src, "dst": dst})
+        tt = tt.filter(pc.not_equal(tt["src"], tt["dst"]))
+        return tt.group_by(["src", "dst"]).aggregate([])
+
+    edges = docs.map_batches(to_edges, batch_format="pyarrow")
+
+    visited = {0: 0}
+    frontier = frozenset([0])
+    for layer in (1, 2, 3):
+        if not frontier:
+            break
+        ref = _ray.put(frontier)
+
+        def expand(t: pa.Table) -> pa.Table:
+            f = _ray.get(ref)
+            mask = pa.array([s in f for s in t["src"].to_numpy()])
+            return t.filter(mask).select(["dst"])
+
+        # reachable node set is graph-node-sized (the small rollup),
+        # never corpus-sized — take_all is bounded by |nodes|
+        reached = {int(r["dst"]) for r in
+                   edges.map_batches(expand,
+                                     batch_format="pyarrow").take_all()}
+        frontier = frozenset(n for n in reached if n not in visited)
+        for nd in frontier:
+            visited[nd] = layer
+
+    nodes = sorted(visited)
+    return pd.DataFrame({
+        "node": pd.Series(nodes, dtype="int64"),
+        "layer": pd.Series([visited[n] for n in nodes], dtype="int64")})
+
+
+def _q_value_gini(sf_dir: str):
+    """Exact Gini coefficient of order values — a global
+    order-statistic aggregate: range-partition by value into contiguous
+    buckets, per-bucket counts → broadcast exclusive rank offsets, then
+    each bucket contributes the scalar Σ(rank·x) from a local sort.
+    Nothing but per-bucket scalars ever leaves the workers; all
+    arithmetic is int64 (gini reported as floored ppm)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    import ray as _ray
+
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = np.rint(np.asarray(
+            t["o_totalprice"].to_numpy(zero_copy_only=False)) * 100
+        ).astype(np.int64)
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "price": pa.array(c, pa.int64())})
+
+    pr = orders.map_batches(cents, batch_format="pyarrow")
+    lo = int(pr.min("price"))
+    hi = int(pr.max("price"))
+    span = max(1, hi - lo + 1)
+
+    def with_part(t: pa.Table) -> pa.Table:
+        p = (t["price"].to_numpy() - lo) * 256 // span
+        return t.append_column("part", pa.array(p, pa.int64()))
+
+    parted = pr.map_batches(with_part, batch_format="pyarrow")
+    totals = (parted.select_columns(["part"])
+              .groupby("part").aggregate(Count(alias_name="n")).take_all())
+    totals.sort(key=lambda r: r["part"])
+    offsets, acc = {}, 0
+    for r in totals:
+        offsets[r["part"]] = acc
+        acc += r["n"]
+    off_ref = _ray.put(offsets)
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        off = _ray.get(off_ref)[int(g["part"].iloc[0])]
+        g = g.sort_values(["price", "o_orderkey"])
+        x = g["price"].to_numpy(dtype=np.int64)
+        ranks = off + np.arange(1, len(g) + 1, dtype=np.int64)
+        return pd.DataFrame({"s1": [int(np.sum(ranks * x))],
+                             "sx": [int(np.sum(x))],
+                             "n": [len(x)]})
+
+    parts = (parted.groupby("part")
+             .map_groups(per_part, batch_format="pandas").to_pandas())
+    s1 = int(parts["s1"].sum())
+    sx = int(parts["sx"].sum())
+    n = int(parts["n"].sum())
+    gini_ppm = (2 * s1 - (n + 1) * sx) * 1_000_000 // (n * sx)
+    return pd.DataFrame({"n": pd.Series([n], dtype="int64"),
+                         "sum_x": pd.Series([sx], dtype="int64"),
+                         "s1": pd.Series([s1], dtype="int64"),
+                         "gini_ppm": pd.Series([gini_ppm], dtype="int64")})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction pipeline family (pages fixture derived from documents)
@@ -3211,6 +3330,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_fill_gaps": _q_daily_fill_gaps,
         "pareto_orders": _q_pareto_orders,
         "weighted_disc": _q_weighted_disc,
+        "bfs_layers": _q_bfs_layers,
+        "value_gini": _q_value_gini,
         # composed curation
         "curate": _q_curate,
         # multimodal
@@ -4259,6 +4380,39 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS wavg_ppm
             FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
             GROUP BY p.p_brand""",
+        "bfs_layers": """
+            WITH RECURSIVE e AS (
+              SELECT DISTINCT doc_id % 211 AS src,
+                              (doc_id * 13 + 7) % 211 AS dst
+              FROM documents
+              WHERE (doc_id % 211) <> ((doc_id * 13 + 7) % 211)
+            ), b AS (
+              SELECT CAST(0 AS BIGINT) AS node, 0 AS layer
+              UNION
+              SELECT e.dst AS node, b.layer + 1
+              FROM b JOIN e ON e.src = b.node
+              WHERE b.layer < 3
+            )
+            SELECT node, CAST(min(layer) AS BIGINT) AS layer
+            FROM b GROUP BY node""",
+        "value_gini": """
+            WITH o AS (
+              SELECT o_orderkey,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS price
+              FROM orders
+            ), r AS (
+              SELECT price, row_number() OVER (
+                       ORDER BY price, o_orderkey) AS rn
+              FROM o
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(price) AS BIGINT) AS sum_x,
+                   CAST(sum(rn * price) AS BIGINT) AS s1,
+                   CAST((2 * sum(rn * price)
+                         - (count(*) + 1) * sum(price)) * 1000000
+                        // (count(*) * sum(price)) AS BIGINT)
+                     AS gini_ppm
+            FROM r""",
         "rare_term_pairs": r"""
             WITH d AS (
               SELECT doc_id,
