@@ -3170,6 +3170,117 @@ def _q_value_gini(sf_dir: str):
                          "gini_ppm": pd.Series([gini_ppm], dtype="int64")})
 
 
+def _q_repeat_orders_7d(sf_dir: str):
+    """Band (range) join, key-scoped: pairs of orders from the SAME
+    customer placed ≤ 7 days apart.  The distributed plan for a band
+    join whose key bounds the bucket: hash equi-join on the key, then a
+    vectorized band filter — the pair blowup is per-customer (~10
+    orders), never cross-customer."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        day = (pc.cast(t["o_orderdate"], pa.int64()).to_numpy()
+               // 86_400_000_000).astype(np.int64)
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_custkey": t["o_custkey"],
+                         "day": pa.array(day, pa.int64())})
+
+    base = orders.map_batches(prep, batch_format="pyarrow")
+    n = base.count()
+    parts = max(1, min(16, n // 2048 + 1))
+    j = base.join(base, join_type="inner", num_partitions=parts,
+                  on=("o_custkey",), right_suffix="_r")
+
+    def band(t: pa.Table) -> pa.Table:
+        gap = pc.subtract(t["day_r"], t["day"])
+        keep = pc.and_(
+            pc.less(t["o_orderkey"], t["o_orderkey_r"]),
+            pc.and_(pc.greater_equal(gap, -7), pc.less_equal(gap, 7)))
+        t = t.filter(keep)
+        return pa.table({"c_custkey": t["o_custkey"],
+                         "k1": t["o_orderkey"], "k2": t["o_orderkey_r"],
+                         "gap_days": pc.abs(pc.subtract(t["day_r"],
+                                                        t["day"]))})
+
+    return j.map_batches(band, batch_format="pyarrow")
+
+
+_PROFILE_NUMERIC = ("o_orderkey", "o_custkey", "price_cents", "order_day")
+_PROFILE_ALL = _PROFILE_NUMERIC + ("o_orderstatus", "o_orderpriority")
+
+
+def _q_profile_orders(sf_dir: str):
+    """Data-profiling operator: per-column null count, exact distinct
+    count, and (numeric columns) min/max over orders, emitted long
+    (column, metric, value).  Distinct counts use the per-batch
+    local-distinct → tiny global groupby shape, one column at a time —
+    each shuffle moves unique values only."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice",
+                 "o_orderdate", "o_orderstatus", "o_orderpriority"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        price = np.rint(np.asarray(
+            t["o_totalprice"].to_numpy(zero_copy_only=False)) * 100
+        ).astype(np.int64)
+        day = (pc.cast(t["o_orderdate"], pa.int64()).to_numpy()
+               // 86_400_000_000).astype(np.int64)
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_custkey": t["o_custkey"],
+                         "price_cents": pa.array(price, pa.int64()),
+                         "order_day": pa.array(day, pa.int64()),
+                         "o_orderstatus": t["o_orderstatus"],
+                         "o_orderpriority": t["o_orderpriority"]})
+
+    ds = orders.map_batches(derive, batch_format="pyarrow")
+
+    # one pass for ALL null counters, one aggregate for ALL min/max —
+    # only the exact distinct counts need a shuffle per column
+    def null_counts(t: pa.Table) -> pa.Table:
+        return pa.table({f"null_{c}": pa.array([t[c].null_count],
+                                               pa.int64())
+                         for c in _PROFILE_ALL})
+
+    nulls_parts = ds.map_batches(null_counts,
+                                 batch_format="pyarrow").take_all()
+    nulls = {c: sum(r[f"null_{c}"] for r in nulls_parts)
+             for c in _PROFILE_ALL}
+    from ray.data.aggregate import Max, Min
+    mm = ds.aggregate(*[a for c in _PROFILE_NUMERIC
+                        for a in (Min(c, alias_name=f"min_{c}"),
+                                  Max(c, alias_name=f"max_{c}"))])
+
+    rows = []
+    for col in _PROFILE_ALL:
+        distinct = (ds.select_columns([col]).map_batches(
+            lambda t, c=col: t.filter(pc.is_valid(t[c]))
+            .group_by(c).aggregate([]),
+            batch_format="pyarrow")
+            .groupby(col).aggregate(Count()).count())
+        rows.append((col, "n_null", nulls[col]))
+        rows.append((col, "n_distinct", int(distinct)))
+        if col in _PROFILE_NUMERIC:
+            rows.append((col, "min", int(mm[f"min_{col}"])))
+            rows.append((col, "max", int(mm[f"max_{col}"])))
+    return pd.DataFrame({
+        "column": pd.Series([r[0] for r in rows], dtype=object),
+        "metric": pd.Series([r[1] for r in rows], dtype=object),
+        "value": pd.Series([r[2] for r in rows], dtype="int64")})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction pipeline family (pages fixture derived from documents)
@@ -3332,6 +3443,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_disc": _q_weighted_disc,
         "bfs_layers": _q_bfs_layers,
         "value_gini": _q_value_gini,
+        "repeat_orders_7d": _q_repeat_orders_7d,
+        "profile_orders": _q_profile_orders,
         # composed curation
         "curate": _q_curate,
         # multimodal
@@ -4413,6 +4526,85 @@ def oracle_sql() -> dict[str, str]:
                         // (count(*) * sum(price)) AS BIGINT)
                      AS gini_ppm
             FROM r""",
+        "repeat_orders_7d": """
+            WITH o AS (
+              SELECT o_orderkey, o_custkey,
+                     CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
+                       AS day
+              FROM orders
+            )
+            SELECT a.o_custkey AS c_custkey,
+                   a.o_orderkey AS k1, b.o_orderkey AS k2,
+                   CAST(abs(b.day - a.day) AS BIGINT) AS gap_days
+            FROM o a JOIN o b
+              ON a.o_custkey = b.o_custkey
+             AND a.o_orderkey < b.o_orderkey
+             AND abs(b.day - a.day) <= 7""",
+        "profile_orders": """
+            WITH o AS (
+              SELECT o_orderkey, o_custkey,
+                     CAST(round(o_totalprice * 100) AS BIGINT)
+                       AS price_cents,
+                     CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
+                       AS order_day,
+                     o_orderstatus, o_orderpriority
+              FROM orders
+            )
+            SELECT 'o_orderkey' AS "column", m.metric, m.value FROM (
+              SELECT 'n_null' AS metric,
+                     CAST(count(*) FILTER (o_orderkey IS NULL) AS BIGINT)
+                       AS value FROM o
+              UNION ALL SELECT 'n_distinct',
+                CAST(count(DISTINCT o_orderkey) AS BIGINT) FROM o
+              UNION ALL SELECT 'min', CAST(min(o_orderkey) AS BIGINT) FROM o
+              UNION ALL SELECT 'max', CAST(max(o_orderkey) AS BIGINT) FROM o
+            ) m
+            UNION ALL
+            SELECT 'o_custkey', m.metric, m.value FROM (
+              SELECT 'n_null' AS metric,
+                     CAST(count(*) FILTER (o_custkey IS NULL) AS BIGINT)
+                       AS value FROM o
+              UNION ALL SELECT 'n_distinct',
+                CAST(count(DISTINCT o_custkey) AS BIGINT) FROM o
+              UNION ALL SELECT 'min', CAST(min(o_custkey) AS BIGINT) FROM o
+              UNION ALL SELECT 'max', CAST(max(o_custkey) AS BIGINT) FROM o
+            ) m
+            UNION ALL
+            SELECT 'price_cents', m.metric, m.value FROM (
+              SELECT 'n_null' AS metric,
+                     CAST(count(*) FILTER (price_cents IS NULL) AS BIGINT)
+                       AS value FROM o
+              UNION ALL SELECT 'n_distinct',
+                CAST(count(DISTINCT price_cents) AS BIGINT) FROM o
+              UNION ALL SELECT 'min', CAST(min(price_cents) AS BIGINT) FROM o
+              UNION ALL SELECT 'max', CAST(max(price_cents) AS BIGINT) FROM o
+            ) m
+            UNION ALL
+            SELECT 'order_day', m.metric, m.value FROM (
+              SELECT 'n_null' AS metric,
+                     CAST(count(*) FILTER (order_day IS NULL) AS BIGINT)
+                       AS value FROM o
+              UNION ALL SELECT 'n_distinct',
+                CAST(count(DISTINCT order_day) AS BIGINT) FROM o
+              UNION ALL SELECT 'min', CAST(min(order_day) AS BIGINT) FROM o
+              UNION ALL SELECT 'max', CAST(max(order_day) AS BIGINT) FROM o
+            ) m
+            UNION ALL
+            SELECT 'o_orderstatus', m.metric, m.value FROM (
+              SELECT 'n_null' AS metric,
+                     CAST(count(*) FILTER (o_orderstatus IS NULL) AS BIGINT)
+                       AS value FROM o
+              UNION ALL SELECT 'n_distinct',
+                CAST(count(DISTINCT o_orderstatus) AS BIGINT) FROM o
+            ) m
+            UNION ALL
+            SELECT 'o_orderpriority', m.metric, m.value FROM (
+              SELECT 'n_null' AS metric,
+                     CAST(count(*) FILTER (o_orderpriority IS NULL)
+                          AS BIGINT) AS value FROM o
+              UNION ALL SELECT 'n_distinct',
+                CAST(count(DISTINCT o_orderpriority) AS BIGINT) FROM o
+            ) m""",
         "rare_term_pairs": r"""
             WITH d AS (
               SELECT doc_id,

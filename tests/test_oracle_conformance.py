@@ -23,6 +23,13 @@ KEYS = [
     "top_users",
     "lineitem_agg",
     "media_meta",
+    # round-2 relational/curation shapes
+    "basket_pairs",
+    "keep_best_dedup",
+    "users_all_types",
+    "pareto_orders",
+    "value_gini",
+    "scd2_dim",
 ]
 
 
