@@ -3281,6 +3281,99 @@ def _q_profile_orders(sf_dir: str):
         "value": pd.Series([r[2] for r in rows], dtype="int64")})
 
 
+def _q_props_value_cov(sf_dir: str):
+    """Distributed covariance via SUFFICIENT STATISTICS: per event
+    type, the exact integer covariance numerator n·Σxy − Σx·Σy between
+    the JSON ``k`` prop and the event value (cents).  Each batch emits
+    the four partial sums; only those scalars shuffle — the canonical
+    way to compute second moments without float accumulation order
+    effects."""
+    import pyarrow as pa
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "value", "props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t["props"], r'"k":\s*(?P<k>-?\d+)')
+        k = pc.fill_null(pc.cast(pc.struct_field(m, "k"), pa.int64()),
+                         0).to_numpy()
+        v = np.rint(np.asarray(
+            t["value"].to_numpy(zero_copy_only=False)) * 100
+        ).astype(np.int64)
+        tt = pa.table({"event_type": t["event_type"],
+                       "sx": pa.array(k, pa.int64()),
+                       "sy": pa.array(v, pa.int64()),
+                       "sxy": pa.array(k * v, pa.int64()),
+                       "n": pa.array(np.ones(len(t), np.int64))})
+        g = tt.group_by("event_type").aggregate(
+            [("sx", "sum"), ("sy", "sum"), ("sxy", "sum"), ("n", "sum")])
+        return pa.table({"event_type": g["event_type"],
+                         "sx": g["sx_sum"], "sy": g["sy_sum"],
+                         "sxy": g["sxy_sum"], "n": g["n_sum"]})
+
+    rollup = (ev.map_batches(partial, batch_format="pyarrow")
+              .groupby("event_type")
+              .aggregate(Sum("sx", alias_name="sx"),
+                         Sum("sy", alias_name="sy"),
+                         Sum("sxy", alias_name="sxy"),
+                         Sum("n", alias_name="n")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy()
+        cov_num = n * t["sxy"].to_numpy() \
+            - t["sx"].to_numpy() * t["sy"].to_numpy()
+        return pa.table({"event_type": t["event_type"], "n": t["n"],
+                         "sx": t["sx"], "sy": t["sy"], "sxy": t["sxy"],
+                         "cov_num": pa.array(cov_num, pa.int64())})
+
+    return rollup.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_nation_matrix(sf_dir: str):
+    """Broadcast CROSS JOIN of two small dimensions: every ordered
+    nation pair within the same region, with an arithmetic affinity
+    key.  The right side rides in the closure (dimension tables never
+    shuffle); output is |nation|² bounded."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    import ray as _ray
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_regionkey"])
+    right = list(zip(nation["n_nationkey"].to_pylist(),
+                     nation["n_regionkey"].to_pylist()))
+    ref = _ray.put(right)
+
+    left = rd.read_parquet(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_regionkey"])
+
+    def cross(t: pa.Table) -> pa.Table:
+        rt = _ray.get(ref)
+        a_k, a_r = (t["n_nationkey"].to_numpy().astype(np.int64),
+                    t["n_regionkey"].to_numpy().astype(np.int64))
+        b_k = np.array([x[0] for x in rt], np.int64)
+        b_r = np.array([x[1] for x in rt], np.int64)
+        # full outer product, then same-region + ordered filter
+        aa_k = np.repeat(a_k, len(b_k))
+        aa_r = np.repeat(a_r, len(b_k))
+        bb_k = np.tile(b_k, len(a_k))
+        bb_r = np.tile(b_r, len(a_k))
+        keep = (aa_r == bb_r) & (aa_k < bb_k)
+        return pa.table({
+            "a": pa.array(aa_k[keep], pa.int64()),
+            "b": pa.array(bb_k[keep], pa.int64()),
+            "region": pa.array(aa_r[keep], pa.int64()),
+            "affinity": pa.array((aa_k[keep] * 31 + bb_k[keep]) % 97,
+                                 pa.int64())})
+
+    return left.map_batches(cross, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction pipeline family (pages fixture derived from documents)
@@ -3445,6 +3538,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_gini": _q_value_gini,
         "repeat_orders_7d": _q_repeat_orders_7d,
         "profile_orders": _q_profile_orders,
+        "props_value_cov": _q_props_value_cov,
+        "nation_matrix": _q_nation_matrix,
         # composed curation
         "curate": _q_curate,
         # multimodal
@@ -4605,6 +4700,30 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT 'n_distinct',
                 CAST(count(DISTINCT o_orderpriority) AS BIGINT) FROM o
             ) m""",
+        "props_value_cov": """
+            WITH e AS (
+              SELECT event_type,
+                     COALESCE(CAST(regexp_extract(props, '"k":\\s*(-?\\d+)',
+                                                  1) AS BIGINT), 0) AS k,
+                     CAST(round(value * 100) AS BIGINT) AS v
+              FROM events
+            )
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(k) AS BIGINT) AS sx,
+                   CAST(sum(v) AS BIGINT) AS sy,
+                   CAST(sum(k * v) AS BIGINT) AS sxy,
+                   CAST(count(*) * sum(k * v) - sum(k) * sum(v)
+                        AS BIGINT) AS cov_num
+            FROM e GROUP BY event_type""",
+        "nation_matrix": """
+            SELECT a.n_nationkey AS a, b.n_nationkey AS b,
+                   CAST(a.n_regionkey AS BIGINT) AS region,
+                   CAST((a.n_nationkey * 31 + b.n_nationkey) % 97
+                        AS BIGINT) AS affinity
+            FROM nation a CROSS JOIN nation b
+            WHERE a.n_regionkey = b.n_regionkey
+              AND a.n_nationkey < b.n_nationkey""",
         "rare_term_pairs": r"""
             WITH d AS (
               SELECT doc_id,
