@@ -3374,6 +3374,91 @@ def _q_nation_matrix(sf_dir: str):
     return left.map_batches(cross, batch_format="pyarrow")
 
 
+def _q_diverse_top_docs(sf_dir: str):
+    """Diversified top-k: the 20 longest documents with AT MOST 2 per
+    source.  Per-batch local cap (top-2 per source inside the batch is
+    a superset of the global per-source top-2 contribution), per-source
+    groupby cap, then the tiny candidate set is ranked driver-side with
+    explicit rank columns so ordering is hash-checkable."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "source", "n_chars"])
+
+    def local_cap(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_chars", "doc_id"],
+                          ascending=[False, True]).head(2)
+        return g
+
+    def batch_cap(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        return pa.Table.from_pandas(
+            df.sort_values(["n_chars", "doc_id"],
+                           ascending=[False, True])
+            .groupby("source", sort=False).head(2),
+            preserve_index=False)
+
+    capped = docs.map_batches(batch_cap, batch_format="pyarrow")
+    per_source = capped.groupby("source").map_groups(
+        local_cap, batch_format="pandas")
+    cand = per_source.to_pandas()
+    cand = cand.sort_values(["n_chars", "doc_id"],
+                            ascending=[False, True])
+    cand["rs"] = cand.groupby("source", sort=False).cumcount() + 1
+    cand = cand.head(20).reset_index(drop=True)
+    cand.insert(0, "rank",
+                np.arange(1, len(cand) + 1, dtype=np.int64))
+    cand["rs"] = cand["rs"].astype("int64")
+    return cand[["rank", "doc_id", "source", "n_chars", "rs"]]
+
+
+def _q_user_value_norm(sf_dir: str):
+    """Per-group normalization via join-back: each event's value as an
+    exact ppm ratio of its user's mean — the per-user sufficient stats
+    (sum, count) are a tiny rollup hash-joined back onto the event
+    stream, then one vectorized integer kernel.  The standard
+    'normalize by group statistics' shape without ever broadcasting a
+    corpus-sized map."""
+    import pyarrow as pa
+
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "user_id", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = np.rint(np.asarray(
+            t["value"].to_numpy(zero_copy_only=False)) * 100
+        ).astype(np.int64)
+        return pa.table({"event_id": t["event_id"],
+                         "user_id": t["user_id"],
+                         "v": pa.array(v, pa.int64())})
+
+    base = ev.map_batches(cents, batch_format="pyarrow")
+    stats = (base.groupby("user_id")
+             .aggregate(Sum("v", alias_name="s"),
+                        Count(alias_name="nu")))
+    n = base.count()
+    parts = max(1, min(16, n // 40_000 + 1))
+    j = base.join(stats, join_type="inner", num_partitions=parts,
+                  on=("user_id",))
+
+    def finish(t: pa.Table) -> pa.Table:
+        v = t["v"].to_numpy()
+        s = t["s"].to_numpy()
+        nu = t["nu"].to_numpy().astype(np.int64)
+        norm = v * 1_000_000 * nu // s
+        return pa.table({"event_id": t["event_id"],
+                         "user_id": t["user_id"],
+                         "norm_ppm": pa.array(norm, pa.int64())})
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction pipeline family (pages fixture derived from documents)
@@ -3540,6 +3625,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_orders": _q_profile_orders,
         "props_value_cov": _q_props_value_cov,
         "nation_matrix": _q_nation_matrix,
+        "diverse_top_docs": _q_diverse_top_docs,
+        "user_value_norm": _q_user_value_norm,
         # composed curation
         "curate": _q_curate,
         # multimodal
@@ -4724,6 +4811,28 @@ def oracle_sql() -> dict[str, str]:
             FROM nation a CROSS JOIN nation b
             WHERE a.n_regionkey = b.n_regionkey
               AND a.n_nationkey < b.n_nationkey""",
+        "diverse_top_docs": """
+            WITH r AS (
+              SELECT doc_id, source, n_chars,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY n_chars DESC, doc_id) AS rs
+              FROM documents
+            ), t AS (
+              SELECT * FROM r WHERE rs <= 2
+            )
+            SELECT CAST(row_number() OVER (
+                     ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank,
+                   doc_id, source, n_chars, CAST(rs AS BIGINT) AS rs
+            FROM t ORDER BY n_chars DESC, doc_id LIMIT 20""",
+        "user_value_norm": """
+            SELECT event_id, user_id,
+                   CAST(CAST(round(value * 100) AS BIGINT) * 1000000
+                        * count(*) OVER (PARTITION BY user_id)
+                        // sum(CAST(round(value * 100) AS BIGINT))
+                          OVER (PARTITION BY user_id)
+                        AS BIGINT) AS norm_ppm
+            FROM events""",
         "rare_term_pairs": r"""
             WITH d AS (
               SELECT doc_id,
