@@ -3459,6 +3459,111 @@ def _q_user_value_norm(sf_dir: str):
     return j.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_join_card_est(sf_dir: str):
+    """Join-size estimation from per-key count statistics (the planner
+    primitive): |A⋈B| = Σ_k n_A(k)·n_B(k), computed exactly as two
+    per-key count rollups (combiner first) joined key-to-key, plus the
+    self-join estimate Σ n(k)².  Only per-key counters shuffle."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def key_counts(path: str, key: str):
+        ds = rd.read_parquet(os.path.join(sf_dir, path), columns=[key])
+
+        def partial(t: pa.Table) -> pa.Table:
+            g = t.group_by(key).aggregate([([], "count_all")])
+            return pa.table({"k": g[key], "n": g["count_all"]})
+
+        return (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby("k").aggregate(Sum("n", alias_name="n")))
+
+    li_pk = key_counts("lineitem.parquet", "l_partkey")
+    self_est = int(li_pk.map_batches(
+        lambda t: pa.table({"sq": pa.array(
+            [int(np.sum(t["n"].to_numpy() ** 2))], pa.int64())}),
+        batch_format="pyarrow").sum("sq"))
+
+    li_ok = key_counts("lineitem.parquet", "l_orderkey")
+    o_ok = key_counts("orders.parquet", "o_orderkey")
+    n = li_ok.count()
+    # one partition per ~40k rollup rows (each join partition costs an
+    # aggregator actor spin-up; see ops/dedup.py partition-sizing note)
+    parts = max(1, min(8, n // 40_000 + 1))
+    j = li_ok.join(o_ok, join_type="inner", num_partitions=parts,
+                   on=("k",), right_suffix="_r")
+    two_est = int(j.map_batches(
+        lambda t: pa.table({"p": pa.array(
+            [int(np.sum(t["n"].to_numpy() * t["n_r"].to_numpy()))],
+            pa.int64())}),
+        batch_format="pyarrow").sum("p"))
+
+    return pd.DataFrame({
+        "join_name": pd.Series(["lineitem_self_partkey",
+                                "lineitem_orders_orderkey"],
+                               dtype=object),
+        "est_rows": pd.Series([self_est, two_est], dtype="int64")})
+
+
+def _q_contamination_frac(sf_dir: str):
+    """Train/test contamination scoring: per document, the exact
+    fraction (ppm) of its word 3-grams that appear in the held-out set
+    (docs with doc_id % 31 == 0).  The test-gram set is the SMALL side:
+    distinct grams broadcast once via ray.put; the corpus pass is one
+    map_batches membership count — the decontamination shape used on
+    training corpora, with the overlap reported per doc instead of a
+    hard drop."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    import ray as _ray
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+
+    def grams_of(text: str) -> list:
+        ws = (text or "").split(" ")
+        return [ws[i] + " " + ws[i + 1] + " " + ws[i + 2]
+                for i in range(max(0, len(ws) - 2))]
+
+    def test_grams(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(_mod(t["doc_id"], 31), 0))
+        out = set()
+        for txt in t["text"].to_pylist():
+            out.update(grams_of(txt))
+        return pa.table({"gram": pa.array(sorted(out), pa.string())})
+
+    # held-out gram set: the small side — distinct grams, broadcast once
+    tg = set()
+    for r in docs.map_batches(test_grams,
+                              batch_format="pyarrow").take_all():
+        tg.add(r["gram"])
+    ref = _ray.put(frozenset(tg))
+
+    def score(t: pa.Table) -> pa.Table:
+        ts = _ray.get(ref)
+        ids, ngs, hits = [], [], []
+        for did, txt in zip(t["doc_id"].to_pylist(),
+                            t["text"].to_pylist()):
+            gs = grams_of(txt)
+            h = sum(1 for g in gs if g in ts)
+            ids.append(did)
+            ngs.append(len(gs))
+            hits.append(h)
+        ngs = np.array(ngs, np.int64)
+        hits = np.array(hits, np.int64)
+        frac = hits * 1_000_000 // np.maximum(ngs, 1)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_grams": pa.array(ngs, pa.int64()),
+                         "n_hit": pa.array(hits, pa.int64()),
+                         "frac_ppm": pa.array(frac, pa.int64())})
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction pipeline family (pages fixture derived from documents)
@@ -3627,6 +3732,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_matrix": _q_nation_matrix,
         "diverse_top_docs": _q_diverse_top_docs,
         "user_value_norm": _q_user_value_norm,
+        "join_card_est": _q_join_card_est,
+        "contamination_frac": _q_contamination_frac,
         # composed curation
         "curate": _q_curate,
         # multimodal
@@ -4833,6 +4940,50 @@ def oracle_sql() -> dict[str, str]:
                           OVER (PARTITION BY user_id)
                         AS BIGINT) AS norm_ppm
             FROM events""",
+        "join_card_est": """
+            WITH a AS (
+              SELECT l_partkey, CAST(count(*) AS BIGINT) AS n
+              FROM lineitem GROUP BY l_partkey
+            ), b AS (
+              SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n
+              FROM lineitem GROUP BY l_orderkey
+            ), c AS (
+              SELECT o_orderkey, CAST(count(*) AS BIGINT) AS n
+              FROM orders GROUP BY o_orderkey
+            )
+            SELECT 'lineitem_self_partkey' AS join_name,
+                   CAST(sum(n * n) AS BIGINT) AS est_rows FROM a
+            UNION ALL
+            SELECT 'lineitem_orders_orderkey',
+                   CAST(sum(b.n * c.n) AS BIGINT)
+            FROM b JOIN c ON b.l_orderkey = c.o_orderkey""",
+        "contamination_frac": """
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS ws
+              FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       generate_series(1, greatest(len(ws) - 2, 0)),
+                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+                       AS gram
+              FROM w
+            ), t AS (
+              SELECT DISTINCT gram FROM g WHERE doc_id % 31 = 0
+            ), pd AS (
+              SELECT g.doc_id,
+                     CAST(count(*) AS BIGINT) AS n_grams,
+                     CAST(count(*) FILTER (
+                       gram IN (SELECT gram FROM t)) AS BIGINT) AS n_hit
+              FROM g GROUP BY g.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(pd.n_grams, 0) AS BIGINT) AS n_grams,
+                   CAST(COALESCE(pd.n_hit, 0) AS BIGINT) AS n_hit,
+                   CAST(COALESCE(pd.n_hit, 0) * 1000000
+                        // greatest(COALESCE(pd.n_grams, 0), 1)
+                        AS BIGINT) AS frac_ppm
+            FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id""",
         "rare_term_pairs": r"""
             WITH d AS (
               SELECT doc_id,
