@@ -535,7 +535,7 @@ def _q_lang_label_mix(sf_dir: str):
     emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
                           columns=["vec_id", "label"])
     n = docs.count()
-    parts = max(1, min(8, n // 2048 + 1))
+    parts = max(1, min(8, n // 40_000 + 1))
     j = docs.join(emb, join_type="inner", num_partitions=parts,
                   on=("doc_id",), right_on=("vec_id",))
 
@@ -2446,7 +2446,7 @@ def _q_basket_pairs(sf_dir: str):
              .aggregate(Count(alias_name="_n"))
              .select_columns(["l_orderkey", "l_partkey"]))
     n_items = items.count()
-    parts = max(1, min(16, n_items // 2048 + 1))
+    parts = max(1, min(16, n_items // 40_000 + 1))
 
     j = items.join(items, join_type="inner", num_partitions=parts,
                    on=("l_orderkey",), right_suffix="_r")
@@ -2678,7 +2678,7 @@ def _q_keep_best_dedup(sf_dir: str):
          .aggregate(Max("n_chars", alias_name="best_len"),
                     Count(alias_name="n_docs")))
     n = docs.count()
-    parts = max(1, min(8, n // 2048 + 1))
+    parts = max(1, min(8, n // 40_000 + 1))
     j = docs.join(g, join_type="inner", num_partitions=parts,
                   on=("lang", "source"))
     hits = j.map_batches(
@@ -2884,7 +2884,7 @@ def _q_user_top_type(sf_dir: str):
     best = counts.groupby("user_id").aggregate(
         Max("n", alias_name="best"))
     n = counts.count()
-    parts = max(1, min(8, n // 2048 + 1))
+    parts = max(1, min(8, n // 40_000 + 1))
     j = counts.join(best, join_type="inner", num_partitions=parts,
                     on=("user_id",))
     hits = j.map_batches(
@@ -3193,7 +3193,7 @@ def _q_repeat_orders_7d(sf_dir: str):
 
     base = orders.map_batches(prep, batch_format="pyarrow")
     n = base.count()
-    parts = max(1, min(16, n // 2048 + 1))
+    parts = max(1, min(16, n // 40_000 + 1))
     j = base.join(base, join_type="inner", num_partitions=parts,
                   on=("o_custkey",), right_suffix="_r")
 
