@@ -3564,6 +3564,82 @@ def _q_contamination_frac(sf_dir: str):
     return docs.map_batches(score, batch_format="pyarrow")
 
 
+_CKSUM_P = 1_000_000_007
+
+
+def _q_table_checksum(sf_dir: str):
+    """Order-insensitive content checksums for integrity auditing:
+    per table, row count plus Σ(md5_lower64(key||'|'||payload) mod p) —
+    a pure combiner (per-batch residue sums, one scalar per batch), so
+    two copies of a 100 TB table can be compared without moving either.
+    md5 lower-64 matches DuckDB's md5_number_lower (little-endian bytes
+    8..16)."""
+    import hashlib
+
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    def cksum(path: str, fmt) -> tuple:
+        ds = rd.read_parquet(os.path.join(sf_dir, path))
+
+        def partial(t: pa.Table) -> pa.Table:
+            acc = 0
+            n = len(t)
+            for row in fmt(t):
+                h = hashlib.md5(row.encode("utf-8")).digest()
+                acc += int.from_bytes(h[8:], "little") % _CKSUM_P
+            return pa.table({"s": pa.array([acc], pa.int64()),
+                             "n": pa.array([n], pa.int64())})
+
+        parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+        return (sum(r["n"] for r in parts), sum(r["s"] for r in parts))
+
+    def fmt_docs(t: pa.Table):
+        for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            yield f"{d}|{x}"
+
+    def fmt_nation(t: pa.Table):
+        for k, nm in zip(t["n_nationkey"].to_pylist(),
+                         t["n_name"].to_pylist()):
+            yield f"{k}|{nm}"
+
+    rows = [("documents", *cksum("documents.parquet", fmt_docs)),
+            ("nation", *cksum("nation.parquet", fmt_nation))]
+    return pd.DataFrame({
+        "table_name": pd.Series([r[0] for r in rows], dtype=object),
+        "n_rows": pd.Series([r[1] for r in rows], dtype="int64"),
+        "checksum": pd.Series([r[2] for r in rows], dtype="int64")})
+
+
+def _q_cube_rollup(sf_dir: str):
+    """CUBE over (lang, source): all four grouping sets.  The finest
+    rollup is computed ONCE distributed; the coarser sets re-aggregate
+    that tiny table driver-side — the standard way to serve a CUBE
+    without shuffling the corpus four times."""
+    import pandas as pd
+
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["lang", "source"])
+    fine = (docs.groupby(["lang", "source"])
+            .aggregate(Count(alias_name="n")).to_pandas())
+    fine["n"] = fine["n"].astype("int64")
+    by_lang = fine.groupby("lang", as_index=False)["n"].sum()
+    by_lang["source"] = None
+    by_source = fine.groupby("source", as_index=False)["n"].sum()
+    by_source["lang"] = None
+    total = pd.DataFrame({"lang": [None], "source": [None],
+                          "n": [int(fine["n"].sum())]})
+    out = pd.concat([fine, by_lang, by_source, total],
+                    ignore_index=True)[["lang", "source", "n"]]
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction pipeline family (pages fixture derived from documents)
@@ -3734,6 +3810,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_norm": _q_user_value_norm,
         "join_card_est": _q_join_card_est,
         "contamination_frac": _q_contamination_frac,
+        "table_checksum": _q_table_checksum,
+        "cube_rollup": _q_cube_rollup,
         # composed curation
         "curate": _q_curate,
         # multimodal
@@ -4984,6 +5062,23 @@ def oracle_sql() -> dict[str, str]:
                         // greatest(COALESCE(pd.n_grams, 0), 1)
                         AS BIGINT) AS frac_ppm
             FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id""",
+        "table_checksum": """
+            SELECT 'documents' AS table_name,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CAST(md5_number_lower(
+                     CAST(doc_id AS VARCHAR) || '|' || text)
+                     % 1000000007 AS BIGINT)) AS BIGINT) AS checksum
+            FROM documents
+            UNION ALL
+            SELECT 'nation',
+                   CAST(count(*) AS BIGINT),
+                   CAST(sum(CAST(md5_number_lower(
+                     CAST(n_nationkey AS VARCHAR) || '|' || n_name)
+                     % 1000000007 AS BIGINT)) AS BIGINT)
+            FROM nation""",
+        "cube_rollup": """
+            SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+            FROM documents GROUP BY CUBE (lang, source)""",
         "rare_term_pairs": r"""
             WITH d AS (
               SELECT doc_id,
