@@ -3640,6 +3640,122 @@ def _q_cube_rollup(sf_dir: str):
     return out
 
 
+def _q_orders_above_cust_avg(sf_dir: str):
+    """Correlated-subquery shape: per customer, how many of their
+    orders cost MORE than their own average — decorrelated into one
+    per-customer (sum, count) rollup hash-joined back, with the
+    comparison done as exact cross-multiplication price·n > sum."""
+    import pyarrow as pa
+
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_custkey", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = np.rint(np.asarray(
+            t["o_totalprice"].to_numpy(zero_copy_only=False)) * 100
+        ).astype(np.int64)
+        return pa.table({"o_custkey": t["o_custkey"],
+                         "price": pa.array(c, pa.int64())})
+
+    base = orders.map_batches(cents, batch_format="pyarrow")
+    stats = (base.groupby("o_custkey")
+             .aggregate(Sum("price", alias_name="s"),
+                        Count(alias_name="cn")))
+    n = base.count()
+    parts = max(1, min(8, n // 40_000 + 1))
+    j = base.join(stats, join_type="inner", num_partitions=parts,
+                  on=("o_custkey",))
+
+    def above(t: pa.Table) -> pa.Table:
+        keep = t["price"].to_numpy() * t["cn"].to_numpy() \
+            > t["s"].to_numpy()
+        t = t.filter(pa.array(keep))
+        return pa.table({"c_custkey": t["o_custkey"],
+                         "one": pa.array(np.ones(len(t), np.int64))})
+
+    return (j.map_batches(above, batch_format="pyarrow")
+            .groupby("c_custkey")
+            .aggregate(Sum("one", alias_name="n_above")))
+
+
+def _q_time_multi_rollup(sf_dir: str):
+    """Multi-granularity rollup in ONE corpus pass: each event emits a
+    tagged (granularity, bucket) row for hour, day and week; a single
+    groupby serves all three time scales — three shuffles collapsed
+    into one tagged union."""
+    import pyarrow as pa
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["ts"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy()
+        parts = []
+        for g, div in (("hour", 3_600_000_000),
+                       ("day", 86_400_000_000),
+                       ("week", 7 * 86_400_000_000)):
+            parts.append(pa.table({
+                "granularity": pa.array([g] * len(t), pa.string()),
+                "bucket": pa.array(us // div, pa.int64()),
+                "n": pa.array(np.ones(len(t), np.int64))}))
+        tt = pa.concat_tables(parts)
+        g2 = tt.group_by(["granularity", "bucket"]).aggregate(
+            [("n", "sum")])
+        return pa.table({"granularity": g2["granularity"],
+                         "bucket": g2["bucket"], "n": g2["n_sum"]})
+
+    return (ev.map_batches(tag, batch_format="pyarrow")
+            .groupby(["granularity", "bucket"])
+            .aggregate(Sum("n", alias_name="n")))
+
+
+_TYPE_BITS = {"view": 0, "click": 1, "purchase": 2, "signup": 3,
+              "error": 4}
+
+
+def _q_user_type_mask(sf_dir: str):
+    """Feature bitmask: per user, an integer whose bits mark which
+    event types the user has ever produced.  Local distinct →
+    global distinct pair rollup → sum of per-type bit values (each bit
+    contributes once, so SUM == OR)."""
+    import pyarrow as pa
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_type"])
+
+    def local(t: pa.Table) -> pa.Table:
+        g = t.group_by(["user_id", "event_type"]).aggregate([])
+        bits = np.array([1 << _TYPE_BITS[x]
+                         for x in g["event_type"].to_pylist()], np.int64)
+        return pa.table({"user_id": g["user_id"],
+                         "event_type": g["event_type"],
+                         "bit": pa.array(bits, pa.int64())})
+
+    pairs = (ev.map_batches(local, batch_format="pyarrow")
+             .groupby(["user_id", "event_type"])
+             .aggregate(Sum("bit", alias_name="bit_sum")))
+
+    def debit(t: pa.Table) -> pa.Table:
+        # bit_sum is bit × multiplicity (pair seen in k batches); the
+        # distinct pair contributes its bit exactly once
+        bits = np.array([1 << _TYPE_BITS[x]
+                         for x in t["event_type"].to_pylist()], np.int64)
+        return pa.table({"user_id": t["user_id"],
+                         "bit": pa.array(bits, pa.int64())})
+
+    return (pairs.map_batches(debit, batch_format="pyarrow")
+            .groupby("user_id").aggregate(Sum("bit", alias_name="mask")))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction pipeline family (pages fixture derived from documents)
@@ -3812,6 +3928,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination_frac": _q_contamination_frac,
         "table_checksum": _q_table_checksum,
         "cube_rollup": _q_cube_rollup,
+        "orders_above_cust_avg": _q_orders_above_cust_avg,
+        "time_multi_rollup": _q_time_multi_rollup,
+        "user_type_mask": _q_user_type_mask,
         # composed curation
         "curate": _q_curate,
         # multimodal
@@ -5079,6 +5198,38 @@ def oracle_sql() -> dict[str, str]:
         "cube_rollup": """
             SELECT lang, source, CAST(count(*) AS BIGINT) AS n
             FROM documents GROUP BY CUBE (lang, source)""",
+        "orders_above_cust_avg": """
+            WITH o AS (
+              SELECT o_custkey,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS price
+              FROM orders
+            ), s AS (
+              SELECT o_custkey, CAST(sum(price) AS BIGINT) AS s,
+                     CAST(count(*) AS BIGINT) AS cn
+              FROM o GROUP BY o_custkey
+            )
+            SELECT o.o_custkey AS c_custkey,
+                   CAST(count(*) AS BIGINT) AS n_above
+            FROM o JOIN s ON o.o_custkey = s.o_custkey
+            WHERE o.price * s.cn > s.s
+            GROUP BY o.o_custkey""",
+        "time_multi_rollup": """
+            SELECT g.granularity,
+                   CAST(epoch_us(ts) // g.div AS BIGINT) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events
+            CROSS JOIN (
+              SELECT unnest(['hour', 'day', 'week']) AS granularity,
+                     unnest([3600000000, 86400000000,
+                             604800000000]) AS div) g
+            GROUP BY g.granularity, bucket""",
+        "user_type_mask": """
+            SELECT user_id,
+                   CAST(sum(DISTINCT CASE event_type
+                     WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                     WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8
+                     ELSE 16 END) AS BIGINT) AS mask
+            FROM events GROUP BY user_id""",
         "rare_term_pairs": r"""
             WITH d AS (
               SELECT doc_id,
