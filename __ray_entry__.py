@@ -3756,6 +3756,155 @@ def _q_user_type_mask(sf_dir: str):
             .groupby("user_id").aggregate(Sum("bit", alias_name="mask")))
 
 
+def _q_median_interp(sf_dir: str):
+    """Exact interpolated median of order value as an integer: the sum
+    of the two middle order-statistics (2×median in cents, no float
+    division).  Distributed selection via the value-rollup: per-batch
+    (value, count) partials → one groupby on distinct values → a
+    cumulative search on the tiny sorted rollup."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = np.rint(np.asarray(
+            t["o_totalprice"].to_numpy(zero_copy_only=False)) * 100
+        ).astype(np.int64)
+        tt = pa.table({"price": pa.array(c, pa.int64()),
+                       "n": pa.array(np.ones(len(c), np.int64))})
+        g = tt.group_by("price").aggregate([("n", "sum")])
+        return pa.table({"price": g["price"], "n": g["n_sum"]})
+
+    rollup = (orders.map_batches(partial, batch_format="pyarrow")
+              .groupby("price").aggregate(Sum("n", alias_name="n"))
+              .to_pandas().sort_values("price").reset_index(drop=True))
+    vals = rollup["price"].to_numpy(dtype=np.int64)
+    cum = rollup["n"].to_numpy(dtype=np.int64).cumsum()
+    n = int(cum[-1])
+    lo_rank = (n + 1) // 2
+    hi_rank = n // 2 + 1
+    lo_v = int(vals[np.searchsorted(cum, lo_rank)])
+    hi_v = int(vals[np.searchsorted(cum, hi_rank)])
+    return pd.DataFrame({"n": pd.Series([n], dtype="int64"),
+                         "mid2_cents": pd.Series([lo_v + hi_v],
+                                                 dtype="int64")})
+
+
+def _q_region_revenue(sf_dir: str):
+    """Snowflake rollup with COMPOSED broadcast dimensions: nation and
+    region are joined driver-side into one custkey→region map chain
+    (customer is itself treated as the broadcastable mid dimension at
+    this scale is NOT assumed — customer joins distributed), revenue
+    rolls up per region name."""
+    import pyarrow as pa
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    import ray as _ray
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_regionkey"])
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"),
+                           columns=["r_regionkey", "r_name"])
+    r_name = dict(zip(region["r_regionkey"].to_pylist(),
+                      region["r_name"].to_pylist()))
+    nat_to_region = {k: r_name[r] for k, r in
+                     zip(nation["n_nationkey"].to_pylist(),
+                         nation["n_regionkey"].to_pylist())}
+    ref = _ray.put(nat_to_region)
+
+    cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey", "c_nationkey"])
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_custkey", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = np.rint(np.asarray(
+            t["o_totalprice"].to_numpy(zero_copy_only=False)) * 100
+        ).astype(np.int64)
+        tt = pa.table({"o_custkey": t["o_custkey"],
+                       "rev": pa.array(c, pa.int64())})
+        g = tt.group_by("o_custkey").aggregate([("rev", "sum")])
+        return pa.table({"o_custkey": g["o_custkey"],
+                         "rev": g["rev_sum"]})
+
+    per_cust = (orders.map_batches(cents, batch_format="pyarrow")
+                .groupby("o_custkey").aggregate(
+                    Sum("rev", alias_name="rev")))
+    n = per_cust.count()
+    parts = max(1, min(8, n // 40_000 + 1))
+    j = per_cust.join(cust, join_type="inner", num_partitions=parts,
+                      on=("o_custkey",), right_on=("c_custkey",))
+
+    def tag_region(t: pa.Table) -> pa.Table:
+        m = _ray.get(ref)
+        names = pa.array([m[int(k)] for k in
+                          t["c_nationkey"].to_pylist()], pa.string())
+        return pa.table({"r_name": names, "rev": t["rev"]})
+
+    return (j.map_batches(tag_region, batch_format="pyarrow")
+            .groupby("r_name").aggregate(Sum("rev",
+                                             alias_name="revenue")))
+
+
+def _q_trailing_active_users(sf_dir: str):
+    """Trailing 3-day active users per day (the DAU/WAU windowed
+    distinct): distinct (user, day) pairs, each expanded to the ≤3
+    window days it keeps the user active in, one more distinct, then a
+    count — two small shuffles over unique pairs, never raw events."""
+    import pyarrow as pa
+
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        day = pc.cast(t["ts"], pa.int64()).to_numpy() // 86_400_000_000
+        tt = pa.table({"user_id": t["user_id"],
+                       "day": pa.array(day, pa.int64())})
+        return tt.group_by(["user_id", "day"]).aggregate([])
+
+    distinct = (ev.map_batches(pairs, batch_format="pyarrow")
+                .groupby(["user_id", "day"]).aggregate(Count()))
+    # the window-day universe: only days that actually occur
+    days = frozenset(
+        r["day"] for r in
+        distinct.groupby("day").aggregate(Count()).take_all())
+    import ray as _ray
+    dref = _ray.put(days)
+
+    def expand(t: pa.Table) -> pa.Table:
+        ds_ = _ray.get(dref)
+        u = t["user_id"].to_numpy()
+        d = t["day"].to_numpy()
+        us, ws = [], []
+        for off in (0, 1, 2):
+            w = d + off
+            keep = np.fromiter((x in ds_ for x in w), bool, len(w))
+            us.append(u[keep])
+            ws.append(w[keep])
+        tt = pa.table({"user_id": pa.array(np.concatenate(us), pa.int64()),
+                       "wday": pa.array(np.concatenate(ws), pa.int64())})
+        return tt.group_by(["user_id", "wday"]).aggregate([])
+
+    win = (distinct.map_batches(expand, batch_format="pyarrow")
+           .groupby(["user_id", "wday"]).aggregate(Count()))
+    out = (win.groupby("wday")
+           .aggregate(Count(alias_name="active_3d")))
+    return out.map_batches(
+        lambda t: pa.table({"day": t["wday"], "active_3d":
+                            pc.cast(t["active_3d"], pa.int64())}),
+        batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction pipeline family (pages fixture derived from documents)
@@ -3931,6 +4080,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_above_cust_avg": _q_orders_above_cust_avg,
         "time_multi_rollup": _q_time_multi_rollup,
         "user_type_mask": _q_user_type_mask,
+        "median_interp": _q_median_interp,
+        "region_revenue": _q_region_revenue,
+        "trailing_active_users": _q_trailing_active_users,
         # composed curation
         "curate": _q_curate,
         # multimodal
@@ -5230,6 +5382,43 @@ def oracle_sql() -> dict[str, str]:
                      WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8
                      ELSE 16 END) AS BIGINT) AS mask
             FROM events GROUP BY user_id""",
+        "median_interp": """
+            WITH o AS (
+              SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS price
+              FROM orders
+            ), r AS (
+              SELECT price, row_number() OVER (ORDER BY price) AS rn
+              FROM o
+            ), nn AS (
+              SELECT count(*) AS n FROM o
+            )
+            SELECT CAST(nn.n AS BIGINT) AS n,
+                   CAST((SELECT price FROM r WHERE rn = (nn.n + 1) // 2)
+                        + (SELECT price FROM r WHERE rn = nn.n // 2 + 1)
+                        AS BIGINT) AS mid2_cents
+            FROM nn""",
+        "region_revenue": """
+            SELECT r.r_name,
+                   CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS revenue
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name""",
+        "trailing_active_users": """
+            WITH p AS (
+              SELECT DISTINCT user_id,
+                     CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+              FROM events
+            ), days AS (
+              SELECT DISTINCT day FROM p
+            )
+            SELECT d.day,
+                   CAST(count(DISTINCT p.user_id) AS BIGINT)
+                     AS active_3d
+            FROM days d JOIN p ON p.day BETWEEN d.day - 2 AND d.day
+            GROUP BY d.day""",
         "rare_term_pairs": r"""
             WITH d AS (
               SELECT doc_id,
