@@ -3905,6 +3905,101 @@ def _q_trailing_active_users(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_user_streaks(sf_dir: str):
+    """Gaps-and-islands: each user's longest run of consecutive active
+    days.  Distinct (user, day) pairs first (the shuffle moves unique
+    pairs), then a per-user vectorized streak scan — day − rank is
+    constant within an island, exactly the SQL islands trick."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        day = pc.cast(t["ts"], pa.int64()).to_numpy() // 86_400_000_000
+        tt = pa.table({"user_id": t["user_id"],
+                       "day": pa.array(day, pa.int64())})
+        return tt.group_by(["user_id", "day"]).aggregate([])
+
+    distinct = (ev.map_batches(pairs, batch_format="pyarrow")
+                .groupby(["user_id", "day"]).aggregate(Count()))
+
+    def streak(g: pd.DataFrame) -> pd.DataFrame:
+        d = np.sort(g["day"].to_numpy(dtype=np.int64))
+        island = d - np.arange(len(d))  # constant within a run
+        _, counts = np.unique(island, return_counts=True)
+        return pd.DataFrame({"user_id": [int(g["user_id"].iloc[0])],
+                             "max_streak": [int(counts.max())]})
+
+    out = distinct.groupby("user_id").map_groups(
+        streak, batch_format="pandas")
+    return out.map_batches(
+        lambda t: pa.table({"user_id": pc.cast(t["user_id"], pa.int64()),
+                            "max_streak": pc.cast(t["max_streak"],
+                                                  pa.int64())}),
+        batch_format="pyarrow")
+
+
+def _q_type_cooccur_lift(sf_dir: str):
+    """Co-occurrence lift between event types at the user level, exact
+    integer numerators: lift(a,b) = (n_ab·n_users) / (n_a·n_b) emitted
+    as the two products (never a float ratio).  Distinct (user, type)
+    pairs → per-type counts (tiny, broadcast) → hash self-join on user
+    → ordered-pair rollup."""
+    import pyarrow as pa
+
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    import ray as _ray
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_type"])
+
+    def local(t: pa.Table) -> pa.Table:
+        return t.group_by(["user_id", "event_type"]).aggregate([])
+
+    pairs = (ev.map_batches(local, batch_format="pyarrow")
+             .groupby(["user_id", "event_type"]).aggregate(Count())
+             .select_columns(["user_id", "event_type"]))
+    type_counts = {r["event_type"]: r["count()"] for r in
+                   pairs.groupby("event_type").aggregate(
+                       Count()).take_all()}
+    n_users = pairs.groupby("user_id").aggregate(Count()).count()
+    tc_ref = _ray.put(type_counts)
+
+    n = pairs.count()
+    parts = max(1, min(8, n // 40_000 + 1))
+    j = pairs.join(pairs, join_type="inner", num_partitions=parts,
+                   on=("user_id",), right_suffix="_r")
+
+    def ordered(t: pa.Table) -> pa.Table:
+        keep = pc.less(t["event_type"], t["event_type_r"])
+        t = t.filter(keep)
+        return pa.table({"a": t["event_type"], "b": t["event_type_r"]})
+
+    co = (j.map_batches(ordered, batch_format="pyarrow")
+          .groupby(["a", "b"]).aggregate(Count(alias_name="n_ab")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        tc = _ray.get(tc_ref)
+        na = np.array([tc[x] for x in t["a"].to_pylist()], np.int64)
+        nb = np.array([tc[x] for x in t["b"].to_pylist()], np.int64)
+        nab = t["n_ab"].to_numpy().astype(np.int64)
+        return pa.table({"a": t["a"], "b": t["b"],
+                         "n_a": pa.array(na, pa.int64()),
+                         "n_b": pa.array(nb, pa.int64()),
+                         "n_ab": pa.array(nab, pa.int64()),
+                         "lift_num": pa.array(nab * n_users, pa.int64()),
+                         "lift_den": pa.array(na * nb, pa.int64())})
+
+    return co.map_batches(finish, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction pipeline family (pages fixture derived from documents)
@@ -4083,6 +4178,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "median_interp": _q_median_interp,
         "region_revenue": _q_region_revenue,
         "trailing_active_users": _q_trailing_active_users,
+        "user_streaks": _q_user_streaks,
+        "type_cooccur_lift": _q_type_cooccur_lift,
         # composed curation
         "curate": _q_curate,
         # multimodal
@@ -5419,6 +5516,44 @@ def oracle_sql() -> dict[str, str]:
                      AS active_3d
             FROM days d JOIN p ON p.day BETWEEN d.day - 2 AND d.day
             GROUP BY d.day""",
+        "user_streaks": """
+            WITH p AS (
+              SELECT DISTINCT user_id,
+                     CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+              FROM events
+            ), g AS (
+              SELECT user_id, day,
+                     day - row_number() OVER (
+                       PARTITION BY user_id ORDER BY day) AS grp
+              FROM p
+            ), s AS (
+              SELECT user_id, CAST(count(*) AS BIGINT) AS len
+              FROM g GROUP BY user_id, grp
+            )
+            SELECT user_id, CAST(max(len) AS BIGINT) AS max_streak
+            FROM s GROUP BY user_id""",
+        "type_cooccur_lift": """
+            WITH p AS (
+              SELECT DISTINCT user_id, event_type FROM events
+            ), tc AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS n
+              FROM p GROUP BY event_type
+            ), nu AS (
+              SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n FROM p
+            ), co AS (
+              SELECT x.event_type AS a, y.event_type AS b,
+                     CAST(count(*) AS BIGINT) AS n_ab
+              FROM p x JOIN p y
+                ON x.user_id = y.user_id
+               AND x.event_type < y.event_type
+              GROUP BY x.event_type, y.event_type
+            )
+            SELECT co.a, co.b, ta.n AS n_a, tb.n AS n_b, co.n_ab,
+                   CAST(co.n_ab * nu.n AS BIGINT) AS lift_num,
+                   CAST(ta.n * tb.n AS BIGINT) AS lift_den
+            FROM co JOIN tc ta ON co.a = ta.event_type
+                    JOIN tc tb ON co.b = tb.event_type
+                    CROSS JOIN nu""",
         "rare_term_pairs": r"""
             WITH d AS (
               SELECT doc_id,
