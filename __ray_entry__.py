@@ -4000,6 +4000,118 @@ def _q_type_cooccur_lift(sf_dir: str):
     return co.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_nation_region_share(sf_dir: str):
+    """Hierarchical ratio: each nation's exact ppm share of its
+    region's revenue.  One distributed per-customer revenue rollup
+    feeds BOTH levels; nation→region is a broadcast dimension chain and
+    the two tiny rollups divide integer-exactly driver-side."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    import ray as _ray
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_name",
+                                    "n_regionkey"])
+    nat_region = dict(zip(nation["n_nationkey"].to_pylist(),
+                          nation["n_regionkey"].to_pylist()))
+    nat_name = dict(zip(nation["n_nationkey"].to_pylist(),
+                        nation["n_name"].to_pylist()))
+    ref = _ray.put(nat_region)
+
+    cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey", "c_nationkey"])
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_custkey", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = np.rint(np.asarray(
+            t["o_totalprice"].to_numpy(zero_copy_only=False)) * 100
+        ).astype(np.int64)
+        tt = pa.table({"o_custkey": t["o_custkey"],
+                       "rev": pa.array(c, pa.int64())})
+        g = tt.group_by("o_custkey").aggregate([("rev", "sum")])
+        return pa.table({"o_custkey": g["o_custkey"],
+                         "rev": g["rev_sum"]})
+
+    per_cust = (orders.map_batches(cents, batch_format="pyarrow")
+                .groupby("o_custkey")
+                .aggregate(Sum("rev", alias_name="rev")))
+    n = per_cust.count()
+    parts = max(1, min(8, n // 40_000 + 1))
+    j = per_cust.join(cust, join_type="inner", num_partitions=parts,
+                      on=("o_custkey",), right_on=("c_custkey",))
+    per_nation = (j.groupby("c_nationkey")
+                  .aggregate(Sum("rev", alias_name="rev"))
+                  .to_pandas())
+    per_nation["c_nationkey"] = per_nation["c_nationkey"].astype("int64")
+    per_nation["region"] = per_nation["c_nationkey"].map(nat_region)
+    region_tot = per_nation.groupby("region")["rev"].sum().to_dict()
+    out = pd.DataFrame({
+        "n_name": per_nation["c_nationkey"].map(nat_name),
+        "revenue": per_nation["rev"].astype("int64"),
+        "region_revenue": per_nation["region"].map(region_tot)
+        .astype("int64")})
+    out["share_ppm"] = (out["revenue"] * 1_000_000
+                        // out["region_revenue"]).astype("int64")
+    return out.reset_index(drop=True)
+
+
+def _q_doc_len_pct_in_lang(sf_dir: str):
+    """Grouped CDF assignment: each document's exact within-language
+    length percentile, as (count of strictly shorter docs)·1e6 // n.
+    The per-lang value rollup (distinct lengths + counts) is the SMALL
+    side, broadcast once; assignment is a vectorized searchsorted per
+    batch — no per-row window function over the corpus."""
+    import pyarrow as pa
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    import ray as _ray
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tt = pa.table({"lang": t["lang"], "v": t["n_chars"],
+                       "n": pa.array(np.ones(len(t), np.int64))})
+        g = tt.group_by(["lang", "v"]).aggregate([("n", "sum")])
+        return pa.table({"lang": g["lang"], "v": g["v"],
+                         "n": g["n_sum"]})
+
+    rollup = (docs.map_batches(partial, batch_format="pyarrow")
+              .groupby(["lang", "v"]).aggregate(Sum("n", alias_name="n"))
+              .to_pandas())
+    cdf = {}
+    for lang, g in rollup.groupby("lang"):
+        g = g.sort_values("v")
+        vals = g["v"].to_numpy(dtype=np.int64)
+        counts = g["n"].to_numpy(dtype=np.int64)
+        cum = np.concatenate(([0], counts.cumsum()))
+        cdf[lang] = (vals, cum[:-1], int(cum[-1]))
+    ref = _ray.put(cdf)
+
+    def assign(t: pa.Table) -> pa.Table:
+        m = _ray.get(ref)
+        out = np.empty(len(t), np.int64)
+        langs = np.asarray(t["lang"].to_pylist())
+        v = t["n_chars"].to_numpy()
+        for lang in np.unique(langs):
+            vals, below, total = m[lang]
+            idx = langs == lang
+            pos = np.searchsorted(vals, v[idx], side="left")
+            out[idx] = below[pos] * 1_000_000 // total
+        return pa.table({"doc_id": t["doc_id"], "lang": t["lang"],
+                         "n_chars": t["n_chars"],
+                         "pct_ppm": pa.array(out, pa.int64())})
+
+    return docs.map_batches(assign, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction pipeline family (pages fixture derived from documents)
@@ -4180,6 +4292,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trailing_active_users": _q_trailing_active_users,
         "user_streaks": _q_user_streaks,
         "type_cooccur_lift": _q_type_cooccur_lift,
+        "nation_region_share": _q_nation_region_share,
+        "doc_len_pct_in_lang": _q_doc_len_pct_in_lang,
         # composed curation
         "curate": _q_curate,
         # multimodal
@@ -5554,6 +5668,32 @@ def oracle_sql() -> dict[str, str]:
             FROM co JOIN tc ta ON co.a = ta.event_type
                     JOIN tc tb ON co.b = tb.event_type
                     CROSS JOIN nu""",
+        "nation_region_share": """
+            WITH nr AS (
+              SELECT n.n_name, n.n_nationkey, n.n_regionkey,
+                     CAST(sum(CAST(round(o.o_totalprice * 100)
+                                   AS BIGINT)) AS BIGINT) AS revenue
+              FROM orders o
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN nation n ON c.c_nationkey = n.n_nationkey
+              GROUP BY n.n_name, n.n_nationkey, n.n_regionkey
+            ), rr AS (
+              SELECT n_regionkey,
+                     CAST(sum(revenue) AS BIGINT) AS region_revenue
+              FROM nr GROUP BY n_regionkey
+            )
+            SELECT nr.n_name, nr.revenue, rr.region_revenue,
+                   CAST(nr.revenue * 1000000 // rr.region_revenue
+                        AS BIGINT) AS share_ppm
+            FROM nr JOIN rr ON nr.n_regionkey = rr.n_regionkey""",
+        "doc_len_pct_in_lang": """
+            SELECT doc_id, lang, n_chars,
+                   CAST((rank() OVER (
+                          PARTITION BY lang ORDER BY n_chars) - 1)
+                        * 1000000
+                        // count(*) OVER (PARTITION BY lang)
+                        AS BIGINT) AS pct_ppm
+            FROM documents""",
         "rare_term_pairs": r"""
             WITH d AS (
               SELECT doc_id,
