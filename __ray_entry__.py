@@ -4112,6 +4112,414 @@ def _q_doc_len_pct_in_lang(sf_dir: str):
     return docs.map_batches(assign, batch_format="pyarrow")
 
 
+def _q_nation_pair_flows(sf_dir: str):
+    """TPC-H Q7 shape: trade volume between every ordered (supplier
+    nation, customer nation) pair per ship year, supp ≠ cust.  Same
+    scale order as Q5: supplier→nation broadcast into the lineitem
+    scan, partial (orderkey, s_nat, year) pre-agg BEFORE the two
+    large-large hash joins, pair filter after, 600-row rollup.  Exact
+    1e-4-dollar int64 revenue (ref: pmocr.sh has no joins; this is the
+    anti-join discipline of pmocr.sh:2126-2144 generalized)."""
+    import pyarrow as pa
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    import ray
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_name"])
+    n_map = dict(zip(nation["n_nationkey"].to_pylist(),
+                     nation["n_name"].to_pylist()))
+    supplier = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                             columns=["s_suppkey", "s_nationkey"])
+    s_map = dict(zip(supplier["s_suppkey"].to_pylist(),
+                     supplier["s_nationkey"].to_pylist()))
+    s_ref = ray.put(s_map)
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                                  "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        smap = ray.get(s_ref)
+        nat = pa.array([smap[k] for k in t["l_suppkey"].to_pylist()],
+                       pa.int64())
+        year = pc.cast(pc.year(t["l_shipdate"]), pa.int64())
+        ext = np.rint(np.asarray(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False)) * 100
+        ).astype(np.int64)
+        disc = np.rint(np.asarray(
+            t["l_discount"].to_numpy(zero_copy_only=False)) * 100
+        ).astype(np.int64)
+        tt = pa.table({"l_orderkey": t["l_orderkey"], "s_nat": nat,
+                       "l_year": year,
+                       "rev": pa.array(ext * (100 - disc), pa.int64())})
+        g = tt.group_by(["l_orderkey", "s_nat", "l_year"]).aggregate(
+            [("rev", "sum")])
+        return pa.table({"l_orderkey": g["l_orderkey"],
+                         "s_nat": g["s_nat"], "l_year": g["l_year"],
+                         "rev": g["rev_sum"]})
+
+    per_order = (li.map_batches(partial, batch_format="pyarrow")
+                 .groupby(["l_orderkey", "s_nat", "l_year"])
+                 .aggregate(Sum("rev", alias_name="rev")))
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_custkey"])
+    n = per_order.count()
+    parts = max(1, min(8, n // 40_000 + 1))
+    j1 = per_order.join(orders, join_type="inner", num_partitions=parts,
+                        on=("l_orderkey",), right_on=("o_orderkey",))
+    customer = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                               columns=["c_custkey", "c_nationkey"])
+    j2 = j1.join(customer, join_type="inner", num_partitions=parts,
+                 on=("o_custkey",), right_on=("c_custkey",))
+    n_ref = ray.put(n_map)
+
+    def cross_pairs(t: pa.Table) -> pa.Table:
+        nmap = ray.get(n_ref)
+        c_nat = pc.cast(t["c_nationkey"], pa.int64())
+        keep = pc.invert(pc.equal(c_nat, t["s_nat"]))
+        t = t.append_column("c_nat", c_nat).filter(
+            pc.fill_null(keep, False))
+        supp = pa.array([nmap[k] for k in t["s_nat"].to_pylist()],
+                        pa.string())
+        cust = pa.array([nmap[k] for k in t["c_nat"].to_pylist()],
+                        pa.string())
+        tt = pa.table({"supp_nation": supp, "cust_nation": cust,
+                       "l_year": t["l_year"], "rev": t["rev"]})
+        g = tt.group_by(["supp_nation", "cust_nation", "l_year"]).aggregate(
+            [("rev", "sum")])
+        return pa.table({"supp_nation": g["supp_nation"],
+                         "cust_nation": g["cust_nation"],
+                         "l_year": g["l_year"],
+                         "revenue_e4": g["rev_sum"]})
+
+    return (j2.map_batches(cross_pairs, batch_format="pyarrow")
+            .groupby(["supp_nation", "cust_nation", "l_year"])
+            .aggregate(Sum("revenue_e4", alias_name="revenue_e4")))
+
+
+def _q_sole_returner_suppliers(sf_dir: str):
+    """TPC-H Q21 shape (multi-EXISTS self-join on the fact table):
+    per finished multi-supplier order, find the *sole* supplier whose
+    lines were returned, and tally returned lines per such supplier.
+    Two cascaded groupbys replace the EXISTS/NOT-EXISTS pair: the
+    per-(order,supplier) rollup makes rows unique, so the per-order
+    stage computes n_supp / n_ret_supp / the sole offender with plain
+    Sum/Min aggregates — no correlated rescan of lineitem."""
+    import pyarrow as pa
+
+    import ray.data as rd
+    from ray.data.aggregate import Min, Sum
+
+    import ray
+
+    SENT = (1 << 62)
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_suppkey",
+                                  "l_returnflag"])
+
+    def per_supp_partial(t: pa.Table) -> pa.Table:
+        ret = pc.cast(pc.equal(t["l_returnflag"], "R"), pa.int64())
+        tt = pa.table({"l_orderkey": t["l_orderkey"],
+                       "l_suppkey": t["l_suppkey"], "ret": ret})
+        g = tt.group_by(["l_orderkey", "l_suppkey"]).aggregate(
+            [("ret", "sum")])
+        return pa.table({"l_orderkey": g["l_orderkey"],
+                         "l_suppkey": g["l_suppkey"],
+                         "ret_lines": g["ret_sum"]})
+
+    per_supp = (li.map_batches(per_supp_partial, batch_format="pyarrow")
+                .groupby(["l_orderkey", "l_suppkey"])
+                .aggregate(Sum("ret_lines", alias_name="ret_lines")))
+
+    def per_order_partial(t: pa.Table) -> pa.Table:
+        # rows are unique per (order, supplier) here, so per-batch
+        # partials + a global Sum/Min compose exactly
+        ret = t["ret_lines"].to_numpy()
+        supp = t["l_suppkey"].to_numpy()
+        is_ret = (ret > 0).astype(np.int64)
+        supp_if = np.where(is_ret == 1, supp, SENT)
+        tt = pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "n_supp": pa.array(np.ones(len(t), np.int64)),
+            "n_ret_supp": pa.array(is_ret),
+            "ret_total": pa.array(ret.astype(np.int64)),
+            "ret_supp": pa.array(supp_if, pa.int64()),
+        })
+        g = tt.group_by("l_orderkey").aggregate(
+            [("n_supp", "sum"), ("n_ret_supp", "sum"),
+             ("ret_total", "sum"), ("ret_supp", "min")])
+        return pa.table({"l_orderkey": g["l_orderkey"],
+                         "n_supp": g["n_supp_sum"],
+                         "n_ret_supp": g["n_ret_supp_sum"],
+                         "ret_total": g["ret_total_sum"],
+                         "ret_supp": g["ret_supp_min"]})
+
+    per_order = (per_supp.map_batches(per_order_partial,
+                                      batch_format="pyarrow")
+                 .groupby("l_orderkey")
+                 .aggregate(Sum("n_supp", alias_name="n_supp"),
+                            Sum("n_ret_supp", alias_name="n_ret_supp"),
+                            Sum("ret_total", alias_name="ret_total"),
+                            Min("ret_supp", alias_name="ret_supp")))
+
+    def sole(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(t["n_supp"], 2),
+                       pc.equal(t["n_ret_supp"], 1))
+        t = t.filter(pc.fill_null(keep, False))
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "ret_supp": t["ret_supp"],
+                         "ret_lines": t["ret_total"]})
+
+    cand = per_order.map_batches(sole, batch_format="pyarrow")
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_orderstatus"])
+
+    def f_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["o_orderstatus"], "F")).select(
+            ["o_orderkey"])
+
+    f_orders = orders.map_batches(f_only, batch_format="pyarrow")
+    n = cand.count()
+    parts = max(1, min(8, n // 40_000 + 1))
+    j = cand.join(f_orders, join_type="inner", num_partitions=parts,
+                  on=("l_orderkey",), right_on=("o_orderkey",))
+    from ray.data.aggregate import Count
+
+    agg = (j.groupby("ret_supp")
+           .aggregate(Count(alias_name="n_orders"),
+                      Sum("ret_lines", alias_name="n_ret_lines")))
+    supplier = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                             columns=["s_suppkey", "s_name"])
+    s_name = dict(zip(supplier["s_suppkey"].to_pylist(),
+                      supplier["s_name"].to_pylist()))
+    name_ref = ray.put(s_name)
+
+    def named(t: pa.Table) -> pa.Table:
+        m = ray.get(name_ref)
+        return pa.table({
+            "s_name": pa.array([m[k] for k in t["ret_supp"].to_pylist()],
+                               pa.string()),
+            "n_orders": pc.cast(t["n_orders"], pa.int64()),
+            "n_ret_lines": t["n_ret_lines"]})
+
+    return agg.map_batches(named, batch_format="pyarrow")
+
+
+def _q_ks_lang_len(sf_dir: str):
+    """Distributed two-sample Kolmogorov–Smirnov statistic: max CDF
+    gap between the length distribution of lang='en' documents and all
+    others, exact in cross-multiplied integers (no float CDF).  The
+    shuffle moves only (value, n_en, n_other) rollup triples; the
+    cumulative scan runs driver-side over the tiny distinct-value
+    support."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        e = pc.cast(pc.equal(t["lang"], "en"), pa.int64())
+        tt = pa.table({"v": t["n_chars"], "ne": e,
+                       "no": pc.subtract(pa.scalar(1, pa.int64()), e)})
+        g = tt.group_by("v").aggregate([("ne", "sum"), ("no", "sum")])
+        return pa.table({"v": g["v"], "ne": g["ne_sum"],
+                         "no": g["no_sum"]})
+
+    rollup = (docs.map_batches(partial, batch_format="pyarrow")
+              .groupby("v")
+              .aggregate(Sum("ne", alias_name="ne"),
+                         Sum("no", alias_name="no"))
+              .to_pandas().sort_values("v"))
+    cne = rollup["ne"].to_numpy(dtype=np.int64).cumsum()
+    cno = rollup["no"].to_numpy(dtype=np.int64).cumsum()
+    n_en, n_other = int(cne[-1]), int(cno[-1])
+    d_num = int(np.max(np.abs(cne * n_other - cno * n_en)))
+    return pd.DataFrame({
+        "n_en": [n_en], "n_other": [n_other], "d_num": [d_num],
+        "ks_ppm": [d_num * 1_000_000 // (n_en * n_other)]}).astype("int64")
+
+
+def _q_order_backlog(sf_dir: str):
+    """Interval-overlap sweep: for each day in the delta support, how
+    many orders are open (orderdate ≤ day < last ship day of the
+    order's lines).  The classic +1/-1 delta decomposition: per-order
+    end day from a lineitem partial-max rollup, hash-joined to orders,
+    exploded to two delta rows, summed per day — the shuffle carries
+    only (day, ±1) pairs and the cumulative scan runs driver-side over
+    the ~2.5k-day support (bounded by the calendar, not the data)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data as rd
+    from ray.data.aggregate import Max, Sum
+
+    US_PER_DAY = 86_400_000_000
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_shipdate"])
+
+    def end_partial(t: pa.Table) -> pa.Table:
+        d = pc.divide(pc.cast(t["l_shipdate"], pa.int64()),
+                      US_PER_DAY)
+        tt = pa.table({"l_orderkey": t["l_orderkey"], "ed": d})
+        g = tt.group_by("l_orderkey").aggregate([("ed", "max")])
+        return pa.table({"l_orderkey": g["l_orderkey"],
+                         "ed": g["ed_max"]})
+
+    ends = (li.map_batches(end_partial, batch_format="pyarrow")
+            .groupby("l_orderkey").aggregate(Max("ed", alias_name="ed")))
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_orderdate"])
+    n = ends.count()
+    parts = max(1, min(8, n // 40_000 + 1))
+    j = ends.join(orders, join_type="inner", num_partitions=parts,
+                  on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def deltas(t: pa.Table) -> pa.Table:
+        sd = pc.divide(pc.cast(t["o_orderdate"], pa.int64()), US_PER_DAY)
+        day = pa.concat_arrays([sd.combine_chunks(),
+                                t["ed"].combine_chunks()])
+        one = np.ones(len(t), np.int64)
+        delta = pa.array(np.concatenate([one, -one]), pa.int64())
+        tt = pa.table({"day": day, "delta": delta})
+        g = tt.group_by("day").aggregate([("delta", "sum")])
+        return pa.table({"day": g["day"], "delta": g["delta_sum"]})
+
+    rollup = (j.map_batches(deltas, batch_format="pyarrow")
+              .groupby("day").aggregate(Sum("delta", alias_name="delta"))
+              .to_pandas().sort_values("day"))
+    return pd.DataFrame({
+        "day": rollup["day"].to_numpy(dtype=np.int64),
+        "open_orders": rollup["delta"].to_numpy(dtype=np.int64).cumsum(),
+    }).reset_index(drop=True)
+
+
+def _q_weighted_median_price(sf_dir: str):
+    """Grouped *weighted* median: per returnflag, the smallest price
+    (cents) whose cumulative quantity weight reaches half the group
+    total.  Holistic aggregate made distributive: the all-to-all moves
+    only (group, value, weight-sum) triples over the bounded price
+    domain; the per-group cumulative scan is driver-side over distinct
+    values only."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_returnflag", "l_extendedprice",
+                                  "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = np.rint(np.asarray(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False)) * 100
+        ).astype(np.int64)
+        w = np.rint(np.asarray(
+            t["l_quantity"].to_numpy(zero_copy_only=False))
+        ).astype(np.int64)
+        tt = pa.table({"grp": t["l_returnflag"],
+                       "v": pa.array(v, pa.int64()),
+                       "w": pa.array(w, pa.int64())})
+        g = tt.group_by(["grp", "v"]).aggregate([("w", "sum")])
+        return pa.table({"grp": g["grp"], "v": g["v"], "w": g["w_sum"]})
+
+    rollup = (li.map_batches(partial, batch_format="pyarrow")
+              .groupby(["grp", "v"]).aggregate(Sum("w", alias_name="w"))
+              .to_pandas())
+    out_g, out_v = [], []
+    for grp, g in rollup.groupby("grp"):
+        g = g.sort_values("v")
+        w = g["w"].to_numpy(dtype=np.int64)
+        cw = w.cumsum()
+        tot = cw[-1]
+        idx = int(np.searchsorted(cw * 2, tot, side="left"))
+        out_g.append(grp)
+        out_v.append(int(g["v"].to_numpy(dtype=np.int64)[idx]))
+    return pd.DataFrame({"l_returnflag": out_g,
+                         "wmedian_cents": pd.array(out_v,
+                                                   dtype="int64")})
+
+
+def _q_vocab_overlap(sf_dir: str):
+    """Exact pairwise vocabulary Jaccard between languages.  The
+    corpus-sized explode dedups (lang, term) per batch before any
+    shuffle; the two term-keyed shuffles move only vocab-sized pairs
+    (never document text), and the pairwise math collapses to a
+    ≤2^L-row *lang-bitmask histogram* — no vocab×vocab join anywhere."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["lang", "text"])
+    langs = sorted(
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["lang"])
+        .groupby("lang").count().to_pandas()["lang"])
+    bit = {l: 1 << i for i, l in enumerate(langs)}
+
+    import re
+
+    tok = re.compile(r"\S+")
+
+    def explode(t: pa.Table) -> pa.Table:
+        seen = set()
+        for lang, text in zip(t["lang"].to_pylist(),
+                              t["text"].to_pylist()):
+            b = bit[lang]
+            for term in tok.findall(text or ""):
+                seen.add((term, b))
+        if not seen:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "b": pa.array([], pa.int64())})
+        terms, bits = zip(*seen)
+        return pa.table({"term": pa.array(terms, pa.string()),
+                         "b": pa.array(bits, pa.int64())})
+
+    # distinct (term, lang-bit) globally, then OR bits per term: after
+    # the distinct, each (term, bit) is unique, so Sum == bitwise OR
+    distinct = (docs.map_batches(explode, batch_format="pyarrow")
+                .groupby(["term", "b"]).aggregate(Count(alias_name="_n")))
+    masks = (distinct.groupby("term").aggregate(Sum("b", alias_name="mask")))
+
+    def hist(t: pa.Table) -> pa.Table:
+        tt = pa.table({"mask": t["mask"],
+                       "n": pa.array(np.ones(len(t), np.int64))})
+        g = tt.group_by("mask").aggregate([("n", "sum")])
+        return pa.table({"mask": g["mask"], "n": g["n_sum"]})
+
+    h = (masks.map_batches(hist, batch_format="pyarrow")
+         .groupby("mask").aggregate(Sum("n", alias_name="n")).to_pandas())
+    mask_n = dict(zip(h["mask"].astype("int64"), h["n"].astype("int64")))
+    size = {l: sum(n for m, n in mask_n.items() if m & bit[l])
+            for l in langs}
+    rows = []
+    for i, a in enumerate(langs):
+        for bl in langs[i + 1:]:
+            common = sum(n for m, n in mask_n.items()
+                         if (m & bit[a]) and (m & bit[bl]))
+            if common == 0:
+                continue
+            union = size[a] + size[bl] - common
+            rows.append((a, bl, size[a], size[bl], common,
+                         common * 1_000_000 // union))
+    out = pd.DataFrame(rows, columns=["lang_a", "lang_b", "n_a", "n_b",
+                                      "n_common", "jaccard_ppm"])
+    for c in ["n_a", "n_b", "n_common", "jaccard_ppm"]:
+        out[c] = out[c].astype("int64")
+    return out
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction pipeline family (pages fixture derived from documents)
@@ -4294,6 +4702,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_cooccur_lift": _q_type_cooccur_lift,
         "nation_region_share": _q_nation_region_share,
         "doc_len_pct_in_lang": _q_doc_len_pct_in_lang,
+        "nation_pair_flows": _q_nation_pair_flows,
+        "sole_returner_suppliers": _q_sole_returner_suppliers,
+        "ks_lang_len": _q_ks_lang_len,
+        "order_backlog": _q_order_backlog,
+        "weighted_median_price": _q_weighted_median_price,
+        "vocab_overlap": _q_vocab_overlap,
         # composed curation
         "curate": _q_curate,
         # multimodal
@@ -5694,6 +6108,135 @@ def oracle_sql() -> dict[str, str]:
                         // count(*) OVER (PARTITION BY lang)
                         AS BIGINT) AS pct_ppm
             FROM documents""",
+        "nation_pair_flows": """
+            SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+                   CAST(extract(year FROM l.l_shipdate) AS BIGINT)
+                       AS l_year,
+                   CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l.l_discount * 100)
+                                          AS BIGINT)))
+                        AS BIGINT) AS revenue_e4
+            FROM lineitem l
+            JOIN orders o   ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+            JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+            WHERE s.s_nationkey <> c.c_nationkey
+            GROUP BY ns.n_name, nc.n_name, l_year""",
+        "sole_returner_suppliers": """
+            WITH ls AS (
+              SELECT l_orderkey, l_suppkey,
+                     CAST(sum(CASE WHEN l_returnflag = 'R'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS ret_lines
+              FROM lineitem GROUP BY l_orderkey, l_suppkey
+            ), po AS (
+              SELECT l_orderkey,
+                     count(*) AS n_supp,
+                     sum(CASE WHEN ret_lines > 0 THEN 1 ELSE 0 END)
+                         AS n_ret_supp,
+                     CAST(sum(ret_lines) AS BIGINT) AS ret_total,
+                     min(CASE WHEN ret_lines > 0 THEN l_suppkey END)
+                         AS ret_supp
+              FROM ls GROUP BY l_orderkey
+            )
+            SELECT s.s_name,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(po.ret_total) AS BIGINT) AS n_ret_lines
+            FROM po
+            JOIN orders o ON po.l_orderkey = o.o_orderkey
+            JOIN supplier s ON po.ret_supp = s.s_suppkey
+            WHERE po.n_supp >= 2 AND po.n_ret_supp = 1
+              AND o.o_orderstatus = 'F'
+            GROUP BY s.s_name""",
+        "ks_lang_len": """
+            WITH g AS (
+              SELECT n_chars AS v,
+                     CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                          AS BIGINT) AS ne,
+                     CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)
+                          AS BIGINT) AS no
+              FROM documents GROUP BY n_chars
+            ), c AS (
+              SELECT CAST(sum(ne) OVER (ORDER BY v) AS BIGINT) AS cne,
+                     CAST(sum(no) OVER (ORDER BY v) AS BIGINT) AS cno
+              FROM g
+            ), t AS (
+              SELECT CAST(sum(ne) AS BIGINT) AS n_en,
+                     CAST(sum(no) AS BIGINT) AS n_other
+              FROM g
+            )
+            SELECT t.n_en, t.n_other,
+                   CAST(max(abs(c.cne * t.n_other - c.cno * t.n_en))
+                        AS BIGINT) AS d_num,
+                   CAST(max(abs(c.cne * t.n_other - c.cno * t.n_en))
+                        * 1000000 // (t.n_en * t.n_other)
+                        AS BIGINT) AS ks_ppm
+            FROM c, t GROUP BY t.n_en, t.n_other""",
+        "order_backlog": """
+            WITH le AS (
+              SELECT l_orderkey,
+                     CAST(epoch_us(max(l_shipdate)) // 86400000000
+                          AS BIGINT) AS ed
+              FROM lineitem GROUP BY l_orderkey
+            ), o AS (
+              SELECT CAST(epoch_us(o_orderdate) // 86400000000
+                          AS BIGINT) AS sd, le.ed
+              FROM orders JOIN le ON o_orderkey = l_orderkey
+            ), d AS (
+              SELECT sd AS day, CAST(1 AS BIGINT) AS delta FROM o
+              UNION ALL
+              SELECT ed, CAST(-1 AS BIGINT) FROM o
+            ), g AS (
+              SELECT day, CAST(sum(delta) AS BIGINT) AS delta
+              FROM d GROUP BY day
+            )
+            SELECT day,
+                   CAST(sum(delta) OVER (ORDER BY day) AS BIGINT)
+                       AS open_orders
+            FROM g""",
+        "weighted_median_price": """
+            WITH d AS (
+              SELECT l_returnflag AS grp,
+                     CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+                     CAST(round(l_quantity) AS BIGINT) AS w
+              FROM lineitem
+            ), g AS (
+              SELECT grp, v, CAST(sum(w) AS BIGINT) AS w
+              FROM d GROUP BY grp, v
+            ), c AS (
+              SELECT grp, v,
+                     CAST(sum(w) OVER (PARTITION BY grp ORDER BY v)
+                          AS BIGINT) AS cw,
+                     CAST(sum(w) OVER (PARTITION BY grp) AS BIGINT) AS tw
+              FROM g
+            )
+            SELECT grp AS l_returnflag,
+                   CAST(min(v) AS BIGINT) AS wmedian_cents
+            FROM c WHERE cw * 2 >= tw GROUP BY grp""",
+        "vocab_overlap": r"""
+            WITH lt AS (
+              SELECT DISTINCT lang, term FROM (
+                SELECT lang,
+                       unnest(regexp_extract_all(text, '\S+')) AS term
+                FROM documents)
+            ), p AS (
+              SELECT a.lang AS lang_a, b.lang AS lang_b,
+                     CAST(count(*) AS BIGINT) AS n_common
+              FROM lt a JOIN lt b
+                   ON a.term = b.term AND a.lang < b.lang
+              GROUP BY a.lang, b.lang
+            ), s AS (
+              SELECT lang, CAST(count(*) AS BIGINT) AS n
+              FROM lt GROUP BY lang
+            )
+            SELECT p.lang_a, p.lang_b, sa.n AS n_a, sb.n AS n_b,
+                   p.n_common,
+                   CAST(p.n_common * 1000000
+                        // (sa.n + sb.n - p.n_common) AS BIGINT)
+                       AS jaccard_ppm
+            FROM p JOIN s sa ON p.lang_a = sa.lang
+                   JOIN s sb ON p.lang_b = sb.lang""",
         "rare_term_pairs": r"""
             WITH d AS (
               SELECT doc_id,
