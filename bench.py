@@ -198,6 +198,22 @@ def _spin(n: int) -> float:
     return time.perf_counter() - t0
 
 
+def _membw(reps: int = 20) -> int:
+    """Streaming-copy worker (64 MiB buffers).  Aggregate bandwidth is
+    computed by the caller from the POOL's wall clock, not per-worker
+    self-timing — under host time-slicing a worker's own clock spans
+    arbitrary descheduled gaps and sums of per-worker rates are
+    meaningless.  Returns bytes touched (read+write)."""
+    import numpy as np
+
+    a = np.ones(8 * 1024 * 1024, dtype=np.float64)  # 64 MiB
+    b = np.empty_like(a)
+    np.copyto(b, a)  # fault in the destination outside the count
+    for _ in range(reps):
+        np.copyto(b, a)
+    return a.nbytes * reps * 2
+
+
 def _host_capacity_probe(lo: int, hi: int, work: int = 40_000_000) -> dict:
     """How much parallel CPU does the host grant RIGHT NOW?
 
@@ -212,17 +228,25 @@ def _host_capacity_probe(lo: int, hi: int, work: int = 40_000_000) -> dict:
     """
     import multiprocessing as mp
 
-    out = {}
+    out, bw = {}, {}
     for n in (lo, hi):
         with mp.Pool(n) as p:
             t0 = time.perf_counter()
             p.map(_spin, [work] * n)
             out[n] = time.perf_counter() - t0
+            # aggregate streaming bandwidth at the same concurrency,
+            # from the pool's wall clock (see _membw docstring)
+            t0 = time.perf_counter()
+            nbytes = sum(p.map(_membw, [20] * n))
+            bw[n] = round(nbytes / (time.perf_counter() - t0) / 1e9, 1)
     thr_lo, thr_hi = lo / out[lo], hi / out[hi]
     return {
         "spin_sec_lo": round(out[lo], 2),
         "spin_sec_hi": round(out[hi], 2),
         "host_efficiency": round((thr_hi / thr_lo) / (hi / lo), 3),
+        "membw_gbs_lo": bw[lo],
+        "membw_gbs_hi": bw[hi],
+        "membw_efficiency": round((bw[hi] / bw[lo]) / (hi / lo), 3),
     }
 
 
@@ -322,7 +346,13 @@ def _update_baseline_md(summary: dict, results: dict) -> None:
         f"(pre {summary['host_probe_pre']['host_efficiency']} / post "
         f"{summary['host_probe_post']['host_efficiency']}) — the ceiling any "
         f"engine could measure; host-normalized engine efficiency: "
-        f"**{summary['host_normalized_efficiency']}**.",
+        f"**{summary['host_normalized_efficiency']}**. Streaming memory "
+        f"bandwidth {summary['host_probe_pre'].get('membw_gbs_lo', '?')}→"
+        f"{summary['host_probe_pre'].get('membw_gbs_hi', '?')} GB/s "
+        f"aggregate at {lo}→{hi} procs (scaling "
+        f"{summary['host_probe_pre'].get('membw_efficiency', '?')} pre / "
+        f"{summary['host_probe_post'].get('membw_efficiency', '?')} post) — "
+        f"the byte-scanning kernel's own ceiling.",
         "",
         f"Per-op seconds at {hi} cpus: "
         + json.dumps(results[hi]["queries"]),
