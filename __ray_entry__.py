@@ -4520,6 +4520,110 @@ def _q_vocab_overlap(sf_dir: str):
     return out
 
 
+def _q_rfm_scores(sf_dir: str):
+    """RFM customer segmentation with *deterministic* quintiles: each
+    dimension's bucket is min(4, strictly-below-count·5 // n) — a pure
+    function of the value, so ties never straddle buckets and the
+    result is partitioning-independent (NTILE's positional ties are
+    not).  One per-customer rollup is materialized once and reused by
+    the three dimension-CDF rollups and the final assignment; the CDFs
+    travel as one broadcast (bounded value domains: days, order
+    counts; monetary support is distinct-cents — at 100 TB swap in
+    fixed-width bins)."""
+    import pyarrow as pa
+
+    import ray.data as rd
+    from ray.data.aggregate import Max, Sum
+
+    import ray
+
+    US_PER_DAY = 86_400_000_000
+
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_custkey", "o_orderdate",
+                                      "o_totalprice"])
+
+    # global max order day: dedicated column-pruned pass (cheap), so
+    # the per-customer rollup below executes exactly once
+    dates = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                            columns=["o_orderdate"])
+
+    def day_max(t: pa.Table) -> pa.Table:
+        d = pc.max(pc.divide(pc.cast(t["o_orderdate"], pa.int64()),
+                             US_PER_DAY))
+        return pa.table({"d": pa.array([d.as_py()], pa.int64())})
+
+    max_day = int(dates.map_batches(day_max, batch_format="pyarrow")
+                  .max("d"))
+
+    def per_cust_partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t["o_orderdate"], pa.int64()), US_PER_DAY)
+        cents = np.rint(np.asarray(
+            t["o_totalprice"].to_numpy(zero_copy_only=False)) * 100
+        ).astype(np.int64)
+        tt = pa.table({"ck": t["o_custkey"], "last_day": day,
+                       "freq": pa.array(np.ones(len(t), np.int64)),
+                       "mon": pa.array(cents, pa.int64())})
+        g = tt.group_by("ck").aggregate(
+            [("last_day", "max"), ("freq", "sum"), ("mon", "sum")])
+        return pa.table({"ck": g["ck"], "last_day": g["last_day_max"],
+                         "freq": g["freq_sum"], "mon": g["mon_sum"]})
+
+    def to_rec(t: pa.Table) -> pa.Table:
+        rec = pc.subtract(pa.scalar(max_day, pa.int64()), t["last_day"])
+        return pa.table({"ck": t["ck"], "rec": rec, "freq": t["freq"],
+                         "mon": t["mon"]})
+
+    per_cust = (orders.map_batches(per_cust_partial,
+                                   batch_format="pyarrow")
+                .groupby("ck")
+                .aggregate(Max("last_day", alias_name="last_day"),
+                           Sum("freq", alias_name="freq"),
+                           Sum("mon", alias_name="mon"))
+                .map_batches(to_rec, batch_format="pyarrow")
+                .materialize())
+    n_cust = per_cust.count()
+
+    def dim_rollup(dim: str):
+        def partial(t: pa.Table) -> pa.Table:
+            tt = pa.table({"v": t[dim],
+                           "n": pa.array(np.ones(len(t), np.int64))})
+            g = tt.group_by("v").aggregate([("n", "sum")])
+            return pa.table({"v": g["v"], "n": g["n_sum"]})
+
+        df = (per_cust.map_batches(partial, batch_format="pyarrow")
+              .groupby("v").aggregate(Sum("n", alias_name="n"))
+              .to_pandas().sort_values("v"))
+        vals = df["v"].to_numpy(dtype=np.int64)
+        cum = np.concatenate(([0], df["n"].to_numpy(np.int64).cumsum()))
+        return vals, cum[:-1]  # below(v) = customers strictly < v
+
+    cdf_ref = ray.put({d: dim_rollup(d) for d in ("rec", "freq", "mon")})
+
+    def assign(t: pa.Table) -> pa.Table:
+        cdfs = ray.get(cdf_ref)
+        code = np.zeros(len(t), np.int64)
+        for dim, mul in (("rec", 100), ("freq", 10), ("mon", 1)):
+            vals, below = cdfs[dim]
+            v = t[dim].to_numpy()
+            pos = np.searchsorted(vals, v, side="left")
+            b = np.minimum(4, below[pos] * 5 // n_cust)
+            code += b * mul
+        tt = pa.table({"rfm_code": pa.array(code, pa.int64()),
+                       "n_customers": pa.array(np.ones(len(t), np.int64)),
+                       "sum_monetary": t["mon"]})
+        g = tt.group_by("rfm_code").aggregate(
+            [("n_customers", "sum"), ("sum_monetary", "sum")])
+        return pa.table({"rfm_code": g["rfm_code"],
+                         "n_customers": g["n_customers_sum"],
+                         "sum_monetary": g["sum_monetary_sum"]})
+
+    return (per_cust.map_batches(assign, batch_format="pyarrow")
+            .groupby("rfm_code")
+            .aggregate(Sum("n_customers", alias_name="n_customers"),
+                       Sum("sum_monetary", alias_name="sum_monetary")))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction pipeline family (pages fixture derived from documents)
@@ -4708,6 +4812,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_backlog": _q_order_backlog,
         "weighted_median_price": _q_weighted_median_price,
         "vocab_overlap": _q_vocab_overlap,
+        "rfm_scores": _q_rfm_scores,
         # composed curation
         "curate": _q_curate,
         # multimodal
@@ -6237,6 +6342,34 @@ def oracle_sql() -> dict[str, str]:
                        AS jaccard_ppm
             FROM p JOIN s sa ON p.lang_a = sa.lang
                    JOIN s sb ON p.lang_b = sb.lang""",
+        "rfm_scores": """
+            WITH pc AS (
+              SELECT o_custkey AS ck,
+                     CAST(max(epoch_us(o_orderdate)) // 86400000000
+                          AS BIGINT) AS last_day,
+                     CAST(count(*) AS BIGINT) AS freq,
+                     CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS mon
+              FROM orders GROUP BY o_custkey
+            ), d AS (
+              SELECT ck,
+                     (SELECT max(last_day) FROM pc) - last_day AS rec,
+                     freq, mon
+              FROM pc
+            ), b AS (
+              SELECT mon,
+                     least(4, (rank() OVER (ORDER BY rec) - 1) * 5
+                              // count(*) OVER ()) AS rb,
+                     least(4, (rank() OVER (ORDER BY freq) - 1) * 5
+                              // count(*) OVER ()) AS fb,
+                     least(4, (rank() OVER (ORDER BY mon) - 1) * 5
+                              // count(*) OVER ()) AS mb
+              FROM d
+            )
+            SELECT CAST(rb * 100 + fb * 10 + mb AS BIGINT) AS rfm_code,
+                   CAST(count(*) AS BIGINT) AS n_customers,
+                   CAST(sum(mon) AS BIGINT) AS sum_monetary
+            FROM b GROUP BY rfm_code""",
         "rare_term_pairs": r"""
             WITH d AS (
               SELECT doc_id,

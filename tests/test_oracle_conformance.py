@@ -30,6 +30,13 @@ KEYS = [
     "pareto_orders",
     "value_gini",
     "scd2_dim",
+    # late round-2 relational/analytic shapes
+    "nation_pair_flows",
+    "sole_returner_suppliers",
+    "ks_lang_len",
+    "weighted_median_price",
+    "vocab_overlap",
+    "rfm_scores",
 ]
 
 
