@@ -175,6 +175,17 @@ def run_bench() -> dict:
         events_path, columns=["event_type", "ts", "value"])).count()
     queries["moving_window"] = round(time.perf_counter() - t0, 3)
 
+    # join-heavy relational shapes from the driver-gate sweep
+    import __ray_entry__ as E
+
+    t0 = time.perf_counter()
+    E._q_nation_pair_flows(SF_DIR).count()
+    queries["nation_pair_flows"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    E._q_vocab_overlap(SF_DIR)
+    queries["vocab_overlap"] = round(time.perf_counter() - t0, 3)
+
     result = {
         "metric": "headline extraction wall-clock (read→sniff→extract→write) + op benches",
         "value": round(headline, 3),
