@@ -4624,6 +4624,112 @@ def _q_rfm_scores(sf_dir: str):
                        Sum("sum_monetary", alias_name="sum_monetary")))
 
 
+def _q_emb_norm_outliers(sf_dir: str):
+    """Robust outlier flagging on a vector column, bit-exact across
+    engines: each embedding is quantized q = floor(x·2²⁰) (scaling by
+    a power of two is EXACT in IEEE double, floor has no tie rule —
+    no round() half-even/half-away divergence), the squared norm is an
+    exact int64 sum, and median/MAD come from the same strict
+    2·cum ≥ n walk used by weighted_median.  One materialized
+    (vec_id, norm) table feeds both the value-counts rollup and the
+    flag pass; the driver walk is over distinct norms (swap in
+    fixed-width bins at 10⁹ vectors)."""
+    import pyarrow as pa
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    import ray
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"])
+
+    def norms(t: pa.Table) -> pa.Table:
+        col = t["embedding"].combine_chunks()
+        flat = np.asarray(col.values, dtype=np.float64)
+        d = len(flat) // len(t)
+        q = np.floor(flat * 1048576.0).astype(np.int64).reshape(len(t), d)
+        s = (q * q).sum(axis=1)
+        return pa.table({"vec_id": t["vec_id"],
+                         "norm_q2": pa.array(s, pa.int64())})
+
+    nt = emb.map_batches(norms, batch_format="pyarrow").materialize()
+
+    def rollup(t: pa.Table) -> pa.Table:
+        tt = pa.table({"v": t["norm_q2"],
+                       "n": pa.array(np.ones(len(t), np.int64))})
+        g = tt.group_by("v").aggregate([("n", "sum")])
+        return pa.table({"v": g["v"], "n": g["n_sum"]})
+
+    def strict_median(df) -> int:
+        df = df.sort_values("v")
+        w = df["n"].to_numpy(dtype=np.int64)
+        cw = w.cumsum()
+        idx = int(np.searchsorted(cw * 2, cw[-1], side="left"))
+        return int(df["v"].to_numpy(dtype=np.int64)[idx])
+
+    vals = (nt.map_batches(rollup, batch_format="pyarrow")
+            .groupby("v").aggregate(Sum("n", alias_name="n")).to_pandas())
+    med = strict_median(vals)
+    vals["v"] = (vals["v"].astype("int64") - med).abs()
+    mad = strict_median(vals.groupby("v", as_index=False)["n"].sum())
+    lim_ref = ray.put((med, 3 * mad))
+
+    def flag(t: pa.Table) -> pa.Table:
+        med_, lim = ray.get(lim_ref)
+        s = t["norm_q2"].to_numpy()
+        out = (np.abs(s - med_) > lim).astype(np.int64)
+        return pa.table({"vec_id": t["vec_id"], "norm_q2": t["norm_q2"],
+                         "is_outlier": pa.array(out, pa.int64())})
+
+    return nt.map_batches(flag, batch_format="pyarrow")
+
+
+def _q_cohort_retention(sf_dir: str):
+    """Quarterly cohort-retention triangle: customers bucketed by
+    first-order quarter; for each (cohort, later-quarter) the count of
+    cohort customers who ordered again.  The per-customer first
+    quarter is a Min rollup hash-joined back to the distinct
+    (customer, quarter) activity set — the classic self-referential
+    temporal join, with both join inputs already reduced to one row
+    per customer(-quarter) before the exchange."""
+    import pyarrow as pa
+
+    import ray.data as rd
+    from ray.data.aggregate import Min, Sum
+
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_custkey", "o_orderdate"])
+
+    def cust_q(t: pa.Table) -> pa.Table:
+        y = pc.cast(pc.year(t["o_orderdate"]), pa.int64())
+        q = pc.cast(pc.quarter(t["o_orderdate"]), pa.int64())
+        qi = pc.add(pc.multiply(y, 4), pc.subtract(q, 1))
+        tt = pa.table({"ck": t["o_custkey"], "q": qi})
+        return tt.group_by(["ck", "q"]).aggregate([])
+
+    activity = (orders.map_batches(cust_q, batch_format="pyarrow")
+                .groupby(["ck", "q"]).count()
+                .drop_columns(["count()"]))
+    first_q = (activity.groupby("ck").aggregate(Min("q", alias_name="cohort")))
+    n = first_q.count()
+    parts = max(1, min(8, n // 40_000 + 1))
+    j = activity.join(first_q, join_type="inner", num_partitions=parts,
+                      on=("ck",), right_on=("ck",))
+
+    def pair(t: pa.Table) -> pa.Table:
+        tt = pa.table({"cohort_q": t["cohort"], "active_q": t["q"],
+                       "n": pa.array(np.ones(len(t), np.int64))})
+        g = tt.group_by(["cohort_q", "active_q"]).aggregate([("n", "sum")])
+        return pa.table({"cohort_q": g["cohort_q"],
+                         "active_q": g["active_q"],
+                         "n_customers": g["n_sum"]})
+
+    return (j.map_batches(pair, batch_format="pyarrow")
+            .groupby(["cohort_q", "active_q"])
+            .aggregate(Sum("n_customers", alias_name="n_customers")))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction pipeline family (pages fixture derived from documents)
@@ -4813,6 +4919,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_median_price": _q_weighted_median_price,
         "vocab_overlap": _q_vocab_overlap,
         "rfm_scores": _q_rfm_scores,
+        "emb_norm_outliers": _q_emb_norm_outliers,
+        "cohort_retention": _q_cohort_retention,
         # composed curation
         "curate": _q_curate,
         # multimodal
@@ -6370,6 +6478,50 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_customers,
                    CAST(sum(mon) AS BIGINT) AS sum_monetary
             FROM b GROUP BY rfm_code""",
+        "emb_norm_outliers": """
+            WITH nq AS (
+              SELECT vec_id,
+                     CAST(list_sum(list_transform(
+                          CAST(embedding AS DOUBLE[]),
+                          x -> CAST(floor(x * 1048576) AS BIGINT)
+                               * CAST(floor(x * 1048576) AS BIGINT)))
+                          AS BIGINT) AS s
+              FROM embeddings
+            ), m AS (
+              SELECT min(v) AS med FROM (
+                SELECT s AS v,
+                       count(*) OVER (ORDER BY s) * 2
+                         >= count(*) OVER () AS ok
+                FROM nq) WHERE ok
+            ), a AS (
+              SELECT vec_id, s,
+                     abs(s - (SELECT med FROM m)) AS ad
+              FROM nq
+            ), mm AS (
+              SELECT min(v) AS mad FROM (
+                SELECT ad AS v,
+                       count(*) OVER (ORDER BY ad) * 2
+                         >= count(*) OVER () AS ok
+                FROM a) WHERE ok
+            )
+            SELECT vec_id, CAST(s AS BIGINT) AS norm_q2,
+                   CAST(CASE WHEN ad > 3 * (SELECT mad FROM mm)
+                        THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+            FROM a""",
+        "cohort_retention": """
+            WITH a AS (
+              SELECT DISTINCT o_custkey AS ck,
+                     CAST(extract(year FROM o_orderdate) * 4
+                          + extract(quarter FROM o_orderdate) - 1
+                          AS BIGINT) AS q
+              FROM orders
+            ), f AS (
+              SELECT ck, min(q) AS cohort_q FROM a GROUP BY ck
+            )
+            SELECT f.cohort_q, a.q AS active_q,
+                   CAST(count(*) AS BIGINT) AS n_customers
+            FROM a JOIN f ON a.ck = f.ck
+            GROUP BY f.cohort_q, a.q""",
         "rare_term_pairs": r"""
             WITH d AS (
               SELECT doc_id,
