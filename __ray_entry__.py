@@ -4730,6 +4730,124 @@ def _q_cohort_retention(sf_dir: str):
             .aggregate(Sum("n_customers", alias_name="n_customers")))
 
 
+def _q_rank_fusion(sf_dir: str):
+    """Reciprocal-rank fusion of two document rankings (by length and
+    by a quality proxy), integer-exact: score = Σ 10⁹//(60+rank).
+    Each ranking is assigned distributively via the broadcast-CDF
+    trick — rank = strictly-below count on the (value, doc_id) pair,
+    no global sort of the corpus — then one map pass fuses and a
+    sort().limit(k) returns the top 20."""
+    import pyarrow as pa
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    import ray
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "n_chars", "text"])
+
+    def with_quality(t: pa.Table) -> pa.Table:
+        # quality proxy: words per 100 chars (int), deterministic
+        words = pc.list_value_length(
+            pc.split_pattern_regex(pc.coalesce(t["text"], ""), r"\s+"))
+        n = pc.max_element_wise(t["n_chars"], 1)
+        q = pc.divide(pc.multiply(pc.cast(words, pa.int64()), 100),
+                      pc.cast(n, pa.int64()))
+        return pa.table({"doc_id": t["doc_id"],
+                         "len_v": pc.cast(t["n_chars"], pa.int64()),
+                         "q_v": q})
+
+    scored = docs.map_batches(with_quality,
+                              batch_format="pyarrow").materialize()
+
+    def dim_cdf(dim: str):
+        def partial(t: pa.Table) -> pa.Table:
+            tt = pa.table({"v": t[dim],
+                           "n": pa.array(np.ones(len(t), np.int64))})
+            g = tt.group_by("v").aggregate([("n", "sum")])
+            return pa.table({"v": g["v"], "n": g["n_sum"]})
+
+        df = (scored.map_batches(partial, batch_format="pyarrow")
+              .groupby("v").aggregate(Sum("n", alias_name="n"))
+              .to_pandas().sort_values("v"))
+        vals = df["v"].to_numpy(dtype=np.int64)
+        cum = np.concatenate(([0], df["n"].to_numpy(np.int64).cumsum()))
+        return vals, cum[:-1], int(cum[-1])
+
+    cdf_ref = ray.put({d: dim_cdf(d) for d in ("len_v", "q_v")})
+
+    def fuse(t: pa.Table) -> pa.Table:
+        cdfs = ray.get(cdf_ref)
+        score = np.zeros(len(t), np.int64)
+        for dim in ("len_v", "q_v"):
+            vals, below, total = cdfs[dim]
+            v = t[dim].to_numpy()
+            # rank 1 = best (largest value); ties share the best rank
+            # of the tied block: rank = (# strictly greater) + 1
+            pos = np.searchsorted(vals, v, side="right")
+            count_le = np.concatenate((below, [total]))[pos]
+            rank = total - count_le + 1
+            score += 1_000_000_000 // (60 + rank)
+        return pa.table({"doc_id": t["doc_id"],
+                         "rrf_score": pa.array(score, pa.int64())})
+
+    return (scored.map_batches(fuse, batch_format="pyarrow")
+            .sort(["rrf_score", "doc_id"], descending=[True, False])
+            .limit(20))
+
+
+def _q_daily_anomalies(sf_dir: str):
+    """Trailing-window anomaly detection on daily event volume,
+    entirely in integers: day d is anomalous when its count exceeds
+    the trailing-28-day mean by 1σ — tested as
+    (c·n − S) > 0 ∧ (c·n − S)² > n·Q − S², which clears both
+    denominators so no float mean/σ ever exists.  The corpus shuffle
+    carries only (day, count) pairs; the trailing scan runs over the
+    bounded day support."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    US_PER_DAY = 86_400_000_000
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = pc.divide(pc.cast(t["ts"], pa.int64()), US_PER_DAY)
+        tt = pa.table({"day": d,
+                       "n": pa.array(np.ones(len(t), np.int64))})
+        g = tt.group_by("day").aggregate([("n", "sum")])
+        return pa.table({"day": g["day"], "n": g["n_sum"]})
+
+    daily = (ev.map_batches(partial, batch_format="pyarrow")
+             .groupby("day").aggregate(Sum("n", alias_name="n"))
+             .to_pandas().sort_values("day"))
+    days = daily["day"].to_numpy(dtype=np.int64)
+    counts = daily["n"].to_numpy(dtype=np.int64)
+    rows = []
+    for i in range(len(days)):
+        lo_day = days[i] - 28
+        j0 = int(np.searchsorted(days, lo_day, side="left"))
+        w = counts[j0:i][days[j0:i] < days[i]]
+        n = len(w)
+        if n < 7:  # warm-up: not enough history to judge
+            continue
+        s, q = int(w.sum()), int((w * w).sum())
+        c = int(counts[i])
+        lhs = c * n - s
+        if lhs > 0 and lhs * lhs > n * q - s * s:
+            rows.append((int(days[i]), c, n, s))
+    out = pd.DataFrame(rows, columns=["day", "n_events", "win_days",
+                                      "win_sum"])
+    for col in out.columns:
+        out[col] = out[col].astype("int64")
+    return out
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction pipeline family (pages fixture derived from documents)
@@ -4921,6 +5039,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rfm_scores": _q_rfm_scores,
         "emb_norm_outliers": _q_emb_norm_outliers,
         "cohort_retention": _q_cohort_retention,
+        "rank_fusion": _q_rank_fusion,
+        "daily_anomalies": _q_daily_anomalies,
         # composed curation
         "curate": _q_curate,
         # multimodal
@@ -6522,6 +6642,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_customers
             FROM a JOIN f ON a.ck = f.ck
             GROUP BY f.cohort_q, a.q""",
+        "rank_fusion": r"""
+            WITH d AS (
+              SELECT doc_id, CAST(n_chars AS BIGINT) AS len_v,
+                     CAST(len(string_split_regex(coalesce(text, ''),
+                                                 '\s+')) AS BIGINT)
+                       * 100
+                       // CAST(greatest(n_chars, 1) AS BIGINT) AS q_v
+              FROM documents
+            ), r AS (
+              SELECT doc_id,
+                     rank() OVER (ORDER BY len_v DESC) AS rl,
+                     rank() OVER (ORDER BY q_v DESC) AS rq
+              FROM d
+            )
+            SELECT doc_id,
+                   CAST(1000000000 // (60 + rl)
+                        + 1000000000 // (60 + rq) AS BIGINT)
+                       AS rrf_score
+            FROM r ORDER BY rrf_score DESC, doc_id LIMIT 20""",
+        "daily_anomalies": """
+            WITH g AS (
+              SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY day
+            ), w AS (
+              SELECT day, n,
+                     CAST(count(n) OVER win AS BIGINT) AS wn,
+                     CAST(coalesce(sum(n) OVER win, 0) AS BIGINT) AS ws,
+                     CAST(coalesce(sum(n * n) OVER win, 0) AS BIGINT)
+                         AS wq
+              FROM g
+              WINDOW win AS (ORDER BY day
+                             RANGE BETWEEN 28 PRECEDING
+                                       AND 1 PRECEDING)
+            )
+            SELECT day, n AS n_events, wn AS win_days, ws AS win_sum
+            FROM w
+            WHERE wn >= 7 AND (n * wn - ws) > 0
+              AND (n * wn - ws) * (n * wn - ws)
+                  > wn * wq - ws * ws""",
         "rare_term_pairs": r"""
             WITH d AS (
               SELECT doc_id,
