@@ -4848,6 +4848,122 @@ def _q_daily_anomalies(sf_dir: str):
     return out
 
 
+def _q_small_order_revenue(sf_dir: str):
+    """TPC-H Q17 shape: revenue from lineitems whose quantity is below
+    20% of their part's average quantity.  The correlated AVG becomes
+    a per-part (n, Σqty) rollup hash-joined back to the fact table;
+    the 20% test is the integer cross-multiplication
+    qty·5·n < Σ — no float average exists, so the filter is exact and
+    partitioning-independent.  Output: one row (revenue_e2, n_lines)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_partkey", "l_quantity",
+                                  "l_extendedprice"])
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        q = np.rint(np.asarray(
+            t["l_quantity"].to_numpy(zero_copy_only=False))
+        ).astype(np.int64)
+        tt = pa.table({"pk": t["l_partkey"],
+                       "sq": pa.array(q, pa.int64()),
+                       "n": pa.array(np.ones(len(t), np.int64))})
+        g = tt.group_by("pk").aggregate([("sq", "sum"), ("n", "sum")])
+        return pa.table({"pk": g["pk"], "sq": g["sq_sum"],
+                         "n": g["n_sum"]})
+
+    per_part = (li.map_batches(qty_partial, batch_format="pyarrow")
+                .groupby("pk")
+                .aggregate(Sum("sq", alias_name="sq"),
+                           Sum("n", alias_name="n")))
+    n = per_part.count()
+    parts = max(1, min(8, n // 40_000 + 1))
+    j = li.join(per_part, join_type="inner", num_partitions=parts,
+                on=("l_partkey",), right_on=("pk",))
+
+    def below(t: pa.Table) -> pa.Table:
+        q = np.rint(np.asarray(
+            t["l_quantity"].to_numpy(zero_copy_only=False))
+        ).astype(np.int64)
+        cents = np.rint(np.asarray(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False)) * 100
+        ).astype(np.int64)
+        keep = q * 5 * t["n"].to_numpy() < t["sq"].to_numpy()
+        return pa.table({
+            "rev": pa.array([int(cents[keep].sum())], pa.int64()),
+            "n": pa.array([int(keep.sum())], pa.int64())})
+
+    agg = (j.map_batches(below, batch_format="pyarrow").to_pandas())
+    return pd.DataFrame({"revenue_e2": [int(agg["rev"].sum())],
+                         "n_lines": [int(agg["n"].sum())]}).astype("int64")
+
+
+def _q_large_orders(sf_dir: str):
+    """TPC-H Q18 shape: orders whose total quantity exceeds a
+    threshold (HAVING over the fact rollup), joined back to orders and
+    customer for the report columns.  The rollup-then-filter runs
+    BEFORE any join, so only qualifying orderkeys (a tiny set) enter
+    the exchanges; customer names attach via hash join sized from the
+    survivor count."""
+    import pyarrow as pa
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    THRESH = 250
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = np.rint(np.asarray(
+            t["l_quantity"].to_numpy(zero_copy_only=False))
+        ).astype(np.int64)
+        tt = pa.table({"l_orderkey": t["l_orderkey"],
+                       "qty": pa.array(q, pa.int64())})
+        g = tt.group_by("l_orderkey").aggregate([("qty", "sum")])
+        return pa.table({"l_orderkey": g["l_orderkey"],
+                         "qty": g["qty_sum"]})
+
+    per_order = (li.map_batches(partial, batch_format="pyarrow")
+                 .groupby("l_orderkey")
+                 .aggregate(Sum("qty", alias_name="total_qty")))
+
+    def having(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t["total_qty"], THRESH))
+
+    big = per_order.map_batches(having, batch_format="pyarrow")
+    n = max(1, big.count())
+    parts = max(1, min(8, n // 40_000 + 1))
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate", "o_totalprice"])
+    j1 = big.join(orders, join_type="inner", num_partitions=parts,
+                  on=("l_orderkey",), right_on=("o_orderkey",))
+    customer = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                               columns=["c_custkey", "c_name"])
+    j2 = j1.join(customer, join_type="inner", num_partitions=parts,
+                 on=("o_custkey",), right_on=("c_custkey",))
+
+    def report(t: pa.Table) -> pa.Table:
+        cents = np.rint(np.asarray(
+            t["o_totalprice"].to_numpy(zero_copy_only=False)) * 100
+        ).astype(np.int64)
+        day = pc.divide(pc.cast(t["o_orderdate"], pa.int64()),
+                        86_400_000_000)
+        return pa.table({"c_name": t["c_name"],
+                         "o_orderkey": t["l_orderkey"],
+                         "order_day": day,
+                         "totalprice_e2": pa.array(cents, pa.int64()),
+                         "total_qty": t["total_qty"]})
+
+    return j2.map_batches(report, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction pipeline family (pages fixture derived from documents)
@@ -5041,6 +5157,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": _q_cohort_retention,
         "rank_fusion": _q_rank_fusion,
         "daily_anomalies": _q_daily_anomalies,
+        "small_order_revenue": _q_small_order_revenue,
+        "large_orders": _q_large_orders,
         # composed curation
         "curate": _q_curate,
         # multimodal
@@ -6682,6 +6800,37 @@ def oracle_sql() -> dict[str, str]:
             WHERE wn >= 7 AND (n * wn - ws) > 0
               AND (n * wn - ws) * (n * wn - ws)
                   > wn * wq - ws * ws""",
+        "small_order_revenue": """
+            WITH pq AS (
+              SELECT l_partkey AS pk,
+                     CAST(sum(CAST(round(l_quantity) AS BIGINT))
+                          AS BIGINT) AS sq,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM lineitem GROUP BY l_partkey
+            )
+            SELECT CAST(sum(CAST(round(l.l_extendedprice * 100)
+                                 AS BIGINT)) AS BIGINT) AS revenue_e2,
+                   CAST(count(*) AS BIGINT) AS n_lines
+            FROM lineitem l JOIN pq ON l.l_partkey = pq.pk
+            WHERE CAST(round(l.l_quantity) AS BIGINT) * 5 * pq.n
+                  < pq.sq""",
+        "large_orders": """
+            WITH po AS (
+              SELECT l_orderkey,
+                     CAST(sum(CAST(round(l_quantity) AS BIGINT))
+                          AS BIGINT) AS total_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING total_qty > 250
+            )
+            SELECT c.c_name, po.l_orderkey AS o_orderkey,
+                   CAST(epoch_us(o.o_orderdate) // 86400000000
+                        AS BIGINT) AS order_day,
+                   CAST(round(o.o_totalprice * 100) AS BIGINT)
+                       AS totalprice_e2,
+                   po.total_qty
+            FROM po
+            JOIN orders o ON po.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey""",
         "rare_term_pairs": r"""
             WITH d AS (
               SELECT doc_id,
