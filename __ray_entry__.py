@@ -4964,6 +4964,96 @@ def _q_large_orders(sf_dir: str):
     return j2.map_batches(report, batch_format="pyarrow")
 
 
+def _q_contingency_chi2(sf_dir: str):
+    """Independence audit of the (lang, source) contingency table with
+    a floor-exact scaled χ²: per cell the standardized-residual
+    numerator (o·N − r·c) and the cell term
+    (o·N − r·c)² // (r·c) // N — floored identically on both engines,
+    so the statistic is integer-reproducible.  One tiny groupby builds
+    the table; margins and terms are driver-side arithmetic over the
+    L×S cells."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["lang", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tt = pa.table({"lang": t["lang"], "source": t["source"],
+                       "n": pa.array(np.ones(len(t), np.int64))})
+        g = tt.group_by(["lang", "source"]).aggregate([("n", "sum")])
+        return pa.table({"lang": g["lang"], "source": g["source"],
+                         "n": g["n_sum"]})
+
+    cells = (docs.map_batches(partial, batch_format="pyarrow")
+             .groupby(["lang", "source"])
+             .aggregate(Sum("n", alias_name="n")).to_pandas())
+    cells["n"] = cells["n"].astype("int64")
+    N = int(cells["n"].sum())
+    r = cells.groupby("lang")["n"].sum().to_dict()
+    c = cells.groupby("source")["n"].sum().to_dict()
+    out = cells.copy()
+    rc = out["lang"].map(r).astype("int64") * \
+        out["source"].map(c).astype("int64")
+    resid = out["n"] * N - rc
+    out["resid_num"] = resid.astype("int64")
+    out["chi2_term"] = ((resid * resid) // rc // N).astype("int64")
+    return out[["lang", "source", "n", "resid_num", "chi2_term"]] \
+        .reset_index(drop=True)
+
+
+def _q_cov_matrix(sf_dir: str):
+    """Single-pass moment matrix over the four lineitem measures
+    (quantity, price in hecto-dollars, discount e2, tax e2): per batch
+    the 4+10 sufficient statistics (Σxᵢ, Σxᵢxⱼ) as int64, one global
+    reduce, and the pairwise covariance published as the exact integer
+    numerator n·Σxy − Σx·Σy (the n² denominator is the consumer's) —
+    the shuffle moves 15 numbers per batch regardless of corpus size.
+    Price is quantized to 100-dollar units so n·Σxy stays within int64
+    (cents² × n × n overflows past ~10⁵ rows)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    COLS = ["qty", "price_h2", "disc_e2", "tax_e2"]
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_quantity", "l_extendedprice",
+                                  "l_discount", "l_tax"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = np.empty((len(t), 4), np.int64)
+        for i, (src, scale) in enumerate(
+                (("l_quantity", 1), ("l_extendedprice", 100),
+                 ("l_discount", 100), ("l_tax", 100))):
+            m[:, i] = np.rint(np.asarray(
+                t[src].to_numpy(zero_copy_only=False)) * scale
+            ).astype(np.int64)
+        m[:, 1] //= 10000  # cents -> hecto-dollars, exact int floor
+        row = {"n": pa.array([len(t)], pa.int64())}
+        for i in range(4):
+            row[f"s_{i}"] = pa.array([int(m[:, i].sum())], pa.int64())
+            for j_ in range(i, 4):
+                row[f"s_{i}{j_}"] = pa.array(
+                    [int((m[:, i] * m[:, j_]).sum())], pa.int64())
+        return pa.table(row)
+
+    stats = (li.map_batches(partial, batch_format="pyarrow")
+             .to_pandas().sum())
+    n = int(stats["n"])
+    rows = []
+    for i in range(4):
+        for j_ in range(i, 4):
+            cov_num = n * int(stats[f"s_{i}{j_}"]) \
+                - int(stats[f"s_{i}"]) * int(stats[f"s_{j_}"])
+            rows.append((COLS[i], COLS[j_], n, cov_num))
+    return pd.DataFrame(rows, columns=["x", "y", "n", "cov_num"]).astype(
+        {"n": "int64", "cov_num": "int64"})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction pipeline family (pages fixture derived from documents)
@@ -5159,6 +5249,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_anomalies": _q_daily_anomalies,
         "small_order_revenue": _q_small_order_revenue,
         "large_orders": _q_large_orders,
+        "contingency_chi2": _q_contingency_chi2,
+        "cov_matrix": _q_cov_matrix,
         # composed curation
         "curate": _q_curate,
         # multimodal
@@ -6831,6 +6923,67 @@ def oracle_sql() -> dict[str, str]:
             FROM po
             JOIN orders o ON po.l_orderkey = o.o_orderkey
             JOIN customer c ON o.o_custkey = c.c_custkey""",
+        "contingency_chi2": """
+            WITH cells AS (
+              SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+              FROM documents GROUP BY lang, source
+            ), tot AS (
+              SELECT CAST(sum(n) AS BIGINT) AS nn FROM cells
+            ), rm AS (
+              SELECT lang, CAST(sum(n) AS BIGINT) AS rn
+              FROM cells GROUP BY lang
+            ), cm AS (
+              SELECT source, CAST(sum(n) AS BIGINT) AS cn
+              FROM cells GROUP BY source
+            )
+            SELECT cells.lang, cells.source, cells.n,
+                   CAST(cells.n * tot.nn - rm.rn * cm.cn AS BIGINT)
+                       AS resid_num,
+                   CAST(((cells.n * tot.nn - rm.rn * cm.cn)
+                         * (cells.n * tot.nn - rm.rn * cm.cn))
+                        // (rm.rn * cm.cn) // tot.nn AS BIGINT)
+                       AS chi2_term
+            FROM cells, tot
+            JOIN rm ON cells.lang = rm.lang
+            JOIN cm ON cells.source = cm.source""",
+        "cov_matrix": """
+            WITH m AS (
+              SELECT CAST(round(l_quantity) AS BIGINT) AS x0,
+                     CAST(round(l_extendedprice * 100) AS BIGINT)
+                         // 10000 AS x1,
+                     CAST(round(l_discount * 100) AS BIGINT) AS x2,
+                     CAST(round(l_tax * 100) AS BIGINT) AS x3
+              FROM lineitem
+            ), s AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     sum(x0) AS s0, sum(x1) AS s1,
+                     sum(x2) AS s2, sum(x3) AS s3,
+                     sum(x0*x0) AS s00, sum(x0*x1) AS s01,
+                     sum(x0*x2) AS s02, sum(x0*x3) AS s03,
+                     sum(x1*x1) AS s11, sum(x1*x2) AS s12,
+                     sum(x1*x3) AS s13, sum(x2*x2) AS s22,
+                     sum(x2*x3) AS s23, sum(x3*x3) AS s33
+              FROM m
+            )
+            SELECT p.x, p.y, s.n,
+              CAST(CASE p.x || '/' || p.y
+                WHEN 'qty/qty' THEN s.n*s.s00 - s.s0*s.s0
+                WHEN 'qty/price_h2' THEN s.n*s.s01 - s.s0*s.s1
+                WHEN 'qty/disc_e2' THEN s.n*s.s02 - s.s0*s.s2
+                WHEN 'qty/tax_e2' THEN s.n*s.s03 - s.s0*s.s3
+                WHEN 'price_h2/price_h2' THEN s.n*s.s11 - s.s1*s.s1
+                WHEN 'price_h2/disc_e2' THEN s.n*s.s12 - s.s1*s.s2
+                WHEN 'price_h2/tax_e2' THEN s.n*s.s13 - s.s1*s.s3
+                WHEN 'disc_e2/disc_e2' THEN s.n*s.s22 - s.s2*s.s2
+                WHEN 'disc_e2/tax_e2' THEN s.n*s.s23 - s.s2*s.s3
+                WHEN 'tax_e2/tax_e2' THEN s.n*s.s33 - s.s3*s.s3
+              END AS BIGINT) AS cov_num
+            FROM s, (VALUES
+              ('qty','qty'), ('qty','price_h2'), ('qty','disc_e2'),
+              ('qty','tax_e2'), ('price_h2','price_h2'),
+              ('price_h2','disc_e2'), ('price_h2','tax_e2'),
+              ('disc_e2','disc_e2'), ('disc_e2','tax_e2'),
+              ('tax_e2','tax_e2')) AS p(x, y)""",
         "rare_term_pairs": r"""
             WITH d AS (
               SELECT doc_id,
