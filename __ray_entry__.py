@@ -4968,10 +4968,13 @@ def _q_contingency_chi2(sf_dir: str):
     """Independence audit of the (lang, source) contingency table with
     a floor-exact scaled χ²: per cell the standardized-residual
     numerator (o·N − r·c) and the cell term
-    (o·N − r·c)² // (r·c) // N — floored identically on both engines,
-    so the statistic is integer-reproducible.  One tiny groupby builds
-    the table; margins and terms are driver-side arithmetic over the
-    L×S cells."""
+    (|resid| // N)² // max(r·c // N, 1) — residual pre-scaled by N so
+    the square stays bounded by N² (resid² itself would overflow int64
+    past ~10⁹ documents); abs() keeps every division non-negative,
+    where DuckDB's truncating // and numpy's flooring // agree, so the
+    statistic is integer-reproducible.  One tiny groupby builds the
+    table; margins and terms are driver-side arithmetic over the L×S
+    cells."""
     import pandas as pd
     import pyarrow as pa
 
@@ -5000,7 +5003,9 @@ def _q_contingency_chi2(sf_dir: str):
         out["source"].map(c).astype("int64")
     resid = out["n"] * N - rc
     out["resid_num"] = resid.astype("int64")
-    out["chi2_term"] = ((resid * resid) // rc // N).astype("int64")
+    sr = resid.abs() // N
+    denom = np.maximum(rc // N, 1)
+    out["chi2_term"] = ((sr * sr) // denom).astype("int64")
     return out[["lang", "source", "n", "resid_num", "chi2_term"]] \
         .reset_index(drop=True)
 
@@ -6939,10 +6944,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT cells.lang, cells.source, cells.n,
                    CAST(cells.n * tot.nn - rm.rn * cm.cn AS BIGINT)
                        AS resid_num,
-                   CAST(((cells.n * tot.nn - rm.rn * cm.cn)
-                         * (cells.n * tot.nn - rm.rn * cm.cn))
-                        // (rm.rn * cm.cn) // tot.nn AS BIGINT)
-                       AS chi2_term
+                   CAST((abs(cells.n * tot.nn - rm.rn * cm.cn)
+                         // tot.nn)
+                        * (abs(cells.n * tot.nn - rm.rn * cm.cn)
+                           // tot.nn)
+                        // greatest((rm.rn * cm.cn) // tot.nn, 1)
+                        AS BIGINT) AS chi2_term
             FROM cells, tot
             JOIN rm ON cells.lang = rm.lang
             JOIN cm ON cells.source = cm.source""",
