@@ -5059,6 +5059,248 @@ def _q_cov_matrix(sf_dir: str):
         {"n": "int64", "cov_num": "int64"})
 
 
+def _q_disjunctive_brackets(sf_dir: str):
+    """TPC-H Q19 shape: disjunctive multi-column bracket predicates
+    across a join.  The part dimension is broadcast once as three
+    parallel numpy arrays (sorted keys + brand-code + size) so each
+    lineitem batch evaluates all three OR'd brackets with one
+    searchsorted gather and pure boolean algebra — no join shuffle, no
+    per-row Python.  Revenue exact in 1e-4 dollars (int64)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_brand", "p_size"])
+    keys = np.asarray(part["p_partkey"].to_numpy(zero_copy_only=False),
+                      np.int64)
+    order = np.argsort(keys)
+    keys = keys[order]
+    brand = np.asarray(part["p_brand"].to_pylist(), object)[order]
+    bcode = np.zeros(len(keys), np.int8)
+    for code, name in ((1, "Brand#12"), (2, "Brand#23"), (3, "Brand#34")):
+        bcode[brand == name] = code
+    size = np.asarray(part["p_size"].to_numpy(zero_copy_only=False),
+                      np.int64)[order]
+    dim_ref = ray.put((keys, bcode, size))
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_partkey", "l_quantity",
+                                  "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        k, bc, sz = ray.get(dim_ref)
+        pk = np.asarray(t["l_partkey"].to_numpy(zero_copy_only=False),
+                        np.int64)
+        idx = np.searchsorted(k, pk)
+        b, s = bc[idx], sz[idx]
+        qty = np.rint(np.asarray(
+            t["l_quantity"].to_numpy(zero_copy_only=False))).astype(np.int64)
+        mask = (((b == 1) & (s >= 1) & (s <= 5) & (qty >= 1) & (qty <= 11))
+                | ((b == 2) & (s >= 1) & (s <= 10)
+                   & (qty >= 10) & (qty <= 20))
+                | ((b == 3) & (s >= 1) & (s <= 15)
+                   & (qty >= 20) & (qty <= 30)))
+        ext = np.rint(np.asarray(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False)) * 100
+        ).astype(np.int64)[mask]
+        disc = np.rint(np.asarray(
+            t["l_discount"].to_numpy(zero_copy_only=False)) * 100
+        ).astype(np.int64)[mask]
+        return pa.table({
+            "revenue_e4": pa.array([int((ext * (100 - disc)).sum())],
+                                   pa.int64()),
+            "n_items": pa.array([int(mask.sum())], pa.int64()),
+        })
+
+    row = (li.map_batches(partial, batch_format="pyarrow")
+           .aggregate(Sum("revenue_e4", alias_name="revenue_e4"),
+                      Sum("n_items", alias_name="n_items")))
+    return pd.DataFrame([{"revenue_e4": int(row["revenue_e4"]),
+                          "n_items": int(row["n_items"])}])
+
+
+def _q_top_supplier_rev(sf_dir: str):
+    """TPC-H Q15 shape: supplier(s) with the maximum revenue over a
+    ship-date window, tie-safe.  Per-batch combiner shrinks lineitem to
+    (suppkey, rev) partials, one small groupby builds the per-supplier
+    rollup, a scalar ``max`` aggregate finds the bar, and only the
+    winning row(s) reach the driver — never the rollup, never the
+    fact table.  Names resolved from a broadcast supplier dimension."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    LO = np.datetime64("1996-01-01")
+    HI = np.datetime64("1996-04-01")
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_suppkey", "l_shipdate",
+                                  "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ship = np.asarray(t["l_shipdate"].to_numpy(zero_copy_only=False),
+                          "datetime64[us]")
+        m = (ship >= LO) & (ship < HI)
+        ext = np.rint(np.asarray(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False)) * 100
+        ).astype(np.int64)[m]
+        disc = np.rint(np.asarray(
+            t["l_discount"].to_numpy(zero_copy_only=False)) * 100
+        ).astype(np.int64)[m]
+        supp = np.asarray(t["l_suppkey"].to_numpy(zero_copy_only=False),
+                          np.int64)[m]
+        tt = pa.table({"s_suppkey": pa.array(supp, pa.int64()),
+                       "rev": pa.array(ext * (100 - disc), pa.int64())})
+        g = tt.group_by("s_suppkey").aggregate([("rev", "sum")])
+        return pa.table({"s_suppkey": g["s_suppkey"], "rev": g["rev_sum"]})
+
+    per_supp = (li.map_batches(partial, batch_format="pyarrow")
+                .groupby("s_suppkey")
+                .aggregate(Sum("rev", alias_name="total_rev_e4")))
+    bar = per_supp.max("total_rev_e4")
+
+    def winners(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["total_rev_e4"],
+                                 pa.scalar(int(bar), pa.int64())))
+
+    top = per_supp.map_batches(winners,
+                               batch_format="pyarrow").to_pandas()
+    sup = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                        columns=["s_suppkey", "s_name"])
+    names = dict(zip(sup["s_suppkey"].to_pylist(),
+                     sup["s_name"].to_pylist()))
+    top["s_name"] = top["s_suppkey"].map(names)
+    top = top[["s_suppkey", "s_name", "total_rev_e4"]]
+    return top.astype({"s_suppkey": "int64", "total_rev_e4": "int64"}) \
+        .reset_index(drop=True)
+
+
+def _q_nation_market_share(sf_dir: str):
+    """TPC-H Q8 shape: a target nation's share of ECONOMY-part revenue
+    sold into one region, per order year, published as the exact
+    integer (numerator, denominator) pair in 1e-4 dollars.  Part
+    membership and supplier→nation are broadcast into the lineitem
+    scan; the fact side is pre-aggregated to one (orderkey, total,
+    target) row BEFORE the two hash joins (orders window-filtered,
+    customers region-filtered before joining, so the shuffle moves
+    only qualifying keys); final rollup is a handful of year rows."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    TARGET_NATION = 2
+    REGION = 2  # ASIA
+    LO = np.datetime64("1996-01-01")
+    HI = np.datetime64("1998-01-01")
+
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_type"])
+    eco = np.sort(np.asarray(
+        part.filter(pc.equal(part["p_type"], "ECONOMY"))["p_partkey"]
+        .to_numpy(zero_copy_only=False), np.int64))
+    sup = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                        columns=["s_suppkey", "s_nationkey"])
+    skeys = np.asarray(sup["s_suppkey"].to_numpy(zero_copy_only=False),
+                       np.int64)
+    sorder = np.argsort(skeys)
+    skeys = skeys[sorder]
+    snat = np.asarray(sup["s_nationkey"].to_numpy(zero_copy_only=False),
+                      np.int64)[sorder]
+    dim_ref = ray.put((eco, skeys, snat))
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_partkey", "l_suppkey",
+                                  "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        eco_k, sk, sn = ray.get(dim_ref)
+        pk = np.asarray(t["l_partkey"].to_numpy(zero_copy_only=False),
+                        np.int64)
+        pos = np.searchsorted(eco_k, pk)
+        pos[pos >= len(eco_k)] = 0
+        m = len(eco_k) > 0
+        m = (eco_k[pos] == pk) if m else np.zeros(len(pk), bool)
+        ext = np.rint(np.asarray(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False)) * 100
+        ).astype(np.int64)[m]
+        disc = np.rint(np.asarray(
+            t["l_discount"].to_numpy(zero_copy_only=False)) * 100
+        ).astype(np.int64)[m]
+        rev = ext * (100 - disc)
+        supp = np.asarray(t["l_suppkey"].to_numpy(zero_copy_only=False),
+                          np.int64)[m]
+        is_target = sn[np.searchsorted(sk, supp)] == TARGET_NATION
+        ok = np.asarray(t["l_orderkey"].to_numpy(zero_copy_only=False),
+                        np.int64)[m]
+        tt = pa.table({"l_orderkey": pa.array(ok, pa.int64()),
+                       "rev": pa.array(rev, pa.int64()),
+                       "target": pa.array(
+                           np.where(is_target, rev, 0), pa.int64())})
+        g = tt.group_by("l_orderkey").aggregate(
+            [("rev", "sum"), ("target", "sum")])
+        return pa.table({"l_orderkey": g["l_orderkey"],
+                         "rev": g["rev_sum"], "target": g["target_sum"]})
+
+    per_order = (li.map_batches(partial, batch_format="pyarrow")
+                 .groupby("l_orderkey")
+                 .aggregate(Sum("rev", alias_name="rev"),
+                            Sum("target", alias_name="target")))
+
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate"])
+
+    def order_window(t: pa.Table) -> pa.Table:
+        d = np.asarray(t["o_orderdate"].to_numpy(zero_copy_only=False),
+                       "datetime64[us]")
+        m = (d >= LO) & (d < HI)
+        t = t.filter(pa.array(m))
+        year = pc.cast(pc.year(t["o_orderdate"]), pa.int64())
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_custkey": t["o_custkey"], "o_year": year})
+
+    orders_w = orders.map_batches(order_window, batch_format="pyarrow")
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_regionkey"])
+    region_nations = set(
+        nation.filter(pc.equal(nation["n_regionkey"], REGION))
+        ["n_nationkey"].to_pylist())
+    cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey", "c_nationkey"])
+
+    def cust_in_region(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(pc.cast(t["c_nationkey"], pa.int64()),
+                        value_set=pa.array(sorted(region_nations),
+                                           pa.int64()))
+        return t.filter(keep).select(["c_custkey"])
+
+    cust_r = cust.map_batches(cust_in_region, batch_format="pyarrow")
+
+    n = per_order.count()
+    parts = max(1, min(8, n // 40_000 + 1))
+    j1 = per_order.join(orders_w, join_type="inner",
+                        num_partitions=parts,
+                        on=("l_orderkey",), right_on=("o_orderkey",))
+    j2 = j1.join(cust_r, join_type="inner", num_partitions=parts,
+                 on=("o_custkey",), right_on=("c_custkey",))
+    out = (j2.groupby("o_year")
+           .aggregate(Sum("target", alias_name="target_rev_e4"),
+                      Sum("rev", alias_name="total_rev_e4"))
+           .to_pandas())
+    return out.astype({"o_year": "int64", "target_rev_e4": "int64",
+                       "total_rev_e4": "int64"}) \
+        .sort_values("o_year").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction pipeline family (pages fixture derived from documents)
@@ -5256,6 +5498,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "large_orders": _q_large_orders,
         "contingency_chi2": _q_contingency_chi2,
         "cov_matrix": _q_cov_matrix,
+        "disjunctive_brackets": _q_disjunctive_brackets,
+        "top_supplier_rev": _q_top_supplier_rev,
+        "nation_market_share": _q_nation_market_share,
         # composed curation
         "curate": _q_curate,
         # multimodal
@@ -6991,6 +7236,59 @@ def oracle_sql() -> dict[str, str]:
               ('price_h2','disc_e2'), ('price_h2','tax_e2'),
               ('disc_e2','disc_e2'), ('disc_e2','tax_e2'),
               ('tax_e2','tax_e2')) AS p(x, y)""",
+        "disjunctive_brackets": """
+            SELECT CAST(coalesce(sum(
+                     CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT))),
+                   0) AS BIGINT) AS revenue_e4,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)""",
+        "top_supplier_rev": """
+            WITH rev AS (
+              SELECT l_suppkey AS s_suppkey,
+                     CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(round(l_discount * 100)
+                                        AS BIGINT))) AS BIGINT)
+                         AS total_rev_e4
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1996-04-01'
+              GROUP BY l_suppkey
+            )
+            SELECT rev.s_suppkey, s.s_name, rev.total_rev_e4
+            FROM rev JOIN supplier s ON rev.s_suppkey = s.s_suppkey
+            WHERE rev.total_rev_e4 = (SELECT max(total_rev_e4) FROM rev)""",
+        "nation_market_share": """
+            WITH l AS (
+              SELECT l_orderkey,
+                     CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                         AS rev,
+                     s_nationkey
+              FROM lineitem
+              JOIN part ON l_partkey = p_partkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              WHERE p_type = 'ECONOMY'
+            )
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   CAST(sum(CASE WHEN l.s_nationkey = 2
+                            THEN l.rev ELSE 0 END) AS BIGINT)
+                       AS target_rev_e4,
+                   CAST(sum(l.rev) AS BIGINT) AS total_rev_e4
+            FROM l
+            JOIN orders ON l.l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE n_regionkey = 2
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1""",
         "rare_term_pairs": r"""
             WITH d AS (
               SELECT doc_id,
