@@ -5301,6 +5301,65 @@ def _q_nation_market_share(sf_dir: str):
         .sort_values("o_year").reset_index(drop=True)
 
 
+def _q_epoch_price_join(sf_dir: str):
+    """Point-in-time (interval) dimension join — the SCD2 lookup shape:
+    an effective-dated price dimension (3 validity epochs per part,
+    deterministic multiplier) joined to lineitem on key AND
+    ``valid_from <= shipdate < valid_to``.  The dimension is built once
+    on the driver and broadcast as two parallel arrays (sorted part
+    keys + per-part multiplier base); each batch resolves its epoch
+    with one ``searchsorted`` against the boundary vector and its part
+    row with another — an O(log d) vectorized interval lookup, no
+    shuffle, no per-row Python.  Facts fold to 3 epoch rows per batch
+    (combiner) before the global rollup.  Exact 1e-4-dollar int64."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    BOUNDS = np.array(["1997-01-01", "1999-01-01"], "datetime64[us]")
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey"])
+    keys = np.sort(np.asarray(
+        part["p_partkey"].to_numpy(zero_copy_only=False), np.int64))
+    pct_base = keys % 7
+    dim_ref = ray.put((keys, pct_base))
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_partkey", "l_shipdate",
+                                  "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        k, base = ray.get(dim_ref)
+        ship = np.asarray(t["l_shipdate"].to_numpy(zero_copy_only=False),
+                          "datetime64[us]")
+        epoch = np.searchsorted(BOUNDS, ship, side="right").astype(np.int64)
+        pk = np.asarray(t["l_partkey"].to_numpy(zero_copy_only=False),
+                        np.int64)
+        pct = 90 + 5 * epoch + base[np.searchsorted(k, pk)]
+        ext = np.rint(np.asarray(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False)) * 100
+        ).astype(np.int64)
+        tt = pa.table({"epoch_idx": pa.array(epoch, pa.int64()),
+                       "rep": pa.array(ext * pct, pa.int64()),
+                       "one": pa.array(np.ones(len(pk), np.int64))})
+        g = tt.group_by("epoch_idx").aggregate(
+            [("rep", "sum"), ("one", "sum")])
+        return pa.table({"epoch_idx": g["epoch_idx"],
+                         "rep": g["rep_sum"], "one": g["one_sum"]})
+
+    out = (li.map_batches(partial, batch_format="pyarrow")
+           .groupby("epoch_idx")
+           .aggregate(Sum("rep", alias_name="repriced_e4"),
+                      Sum("one", alias_name="n_items"))
+           .to_pandas())
+    return out.astype({"epoch_idx": "int64", "repriced_e4": "int64",
+                       "n_items": "int64"}) \
+        .sort_values("epoch_idx").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction pipeline family (pages fixture derived from documents)
@@ -5501,6 +5560,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "disjunctive_brackets": _q_disjunctive_brackets,
         "top_supplier_rev": _q_top_supplier_rev,
         "nation_market_share": _q_nation_market_share,
+        "epoch_price_join": _q_epoch_price_join,
         # composed curation
         "curate": _q_curate,
         # multimodal
@@ -7264,6 +7324,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT rev.s_suppkey, s.s_name, rev.total_rev_e4
             FROM rev JOIN supplier s ON rev.s_suppkey = s.s_suppkey
             WHERE rev.total_rev_e4 = (SELECT max(total_rev_e4) FROM rev)""",
+        "epoch_price_join": """
+            WITH dim AS (
+              SELECT p_partkey, e.idx AS epoch_idx,
+                     CASE e.idx
+                       WHEN 0 THEN TIMESTAMP '1995-01-01'
+                       WHEN 1 THEN TIMESTAMP '1997-01-01'
+                       ELSE TIMESTAMP '1999-01-01' END AS valid_from,
+                     CASE e.idx
+                       WHEN 0 THEN TIMESTAMP '1997-01-01'
+                       WHEN 1 THEN TIMESTAMP '1999-01-01'
+                       ELSE TIMESTAMP '2999-01-01' END AS valid_to,
+                     90 + 5 * e.idx + p_partkey % 7 AS pct
+              FROM part, (VALUES (0), (1), (2)) AS e(idx)
+            )
+            SELECT d.epoch_idx,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * d.pct) AS BIGINT) AS repriced_e4,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem l
+            JOIN dim d ON l.l_partkey = d.p_partkey
+                      AND l.l_shipdate >= d.valid_from
+                      AND l.l_shipdate < d.valid_to
+            GROUP BY 1""",
         "nation_market_share": """
             WITH l AS (
               SELECT l_orderkey,
