@@ -5360,6 +5360,42 @@ def _q_epoch_price_join(sf_dir: str):
         .sort_values("epoch_idx").reset_index(drop=True)
 
 
+def _q_outlinks(sf_dir: str):
+    """Outlink-graph extraction from raw HTML payloads — the web-native
+    companion to the content extractor: every page's anchors are pulled
+    with one compiled ``href`` regex over the raw bytes (engine-kernel
+    class: per-row parse, columnar everywhere else), counted per batch
+    into a tiny (target, n) combiner table, and rolled up to one row
+    per link target.  PDF and poison payloads contain no anchors by
+    construction, so no routing branch is needed — the kernel is total
+    over the page universe."""
+    import collections
+    import re
+
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    pages_dir, _ = _pages(sf_dir)
+    ds = rd.read_parquet(pages_dir, columns=["html"])
+    href = re.compile(rb'href="([^"]*)"')
+
+    def links(t: pa.Table) -> pa.Table:
+        ctr: collections.Counter = collections.Counter()
+        for payload in t["html"].to_pylist():
+            ctr.update(href.findall(payload or b""))
+        return pa.table({
+            "target": pa.array([k.decode("utf-8") for k in ctr],
+                               pa.string()),
+            "n_links": pa.array([int(v) for v in ctr.values()],
+                                pa.int64()),
+        })
+
+    return (ds.map_batches(links, batch_format="pyarrow")
+            .groupby("target")
+            .aggregate(Sum("n_links", alias_name="n_links")))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction pipeline family (pages fixture derived from documents)
@@ -5561,6 +5597,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_supplier_rev": _q_top_supplier_rev,
         "nation_market_share": _q_nation_market_share,
         "epoch_price_join": _q_epoch_price_join,
+        "outlinks": _q_outlinks,
         # composed curation
         "curate": _q_curate,
         # multimodal
@@ -5728,6 +5765,25 @@ FROM b"""
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "outlinks": _PAGE_CTE + """
+            , h AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN doc_id % 3 = 2
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n2
+              FROM c WHERE cls <= 10 OR cls IN (16, 17, 19)
+            )
+            SELECT t.target,
+                   CAST(CASE WHEN t.promo = 1 THEN h.n2 ELSE h.n END
+                        AS BIGINT) AS n_links
+            FROM h, (VALUES
+              ('/', 0), ('/home', 0), ('/world', 0), ('/politics', 0),
+              ('/business', 0), ('/tech', 0), ('/sport', 0),
+              ('/culture', 0), ('/weather', 0), ('/trending', 0),
+              ('/newsletter', 0), ('/podcast', 0), ('/archive', 0),
+              ('/jobs', 0), ('/deals', 0), ('/about', 0),
+              ('/contact', 0), ('/terms', 0), ('/privacy', 0),
+              ('/cookies', 0), ('/offers', 1), ('/app', 1))
+              AS t(target, promo)""",
         "pages_gen": _PAGE_CTE + """
             SELECT url,
                    TIMESTAMP '2024-01-01 00:00:00' + seq * INTERVAL 1 SECOND AS warc_ts,
