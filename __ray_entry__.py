@@ -5396,6 +5396,40 @@ def _q_outlinks(sf_dir: str):
             .aggregate(Sum("n_links", alias_name="n_links")))
 
 
+def _q_seq_pattern(sf_dir: str):
+    """MATCH_RECOGNIZE-shape sequence pattern matching: each user's
+    event history becomes a compact symbol string (type initials in
+    (ts, event_id) order — the deterministic tie-break both engines
+    share), and a compiled regex counts non-overlapping ``vc*p``
+    funnels (view, any clicks, purchase) per user.  Hash-partitioned
+    ``groupby(user).map_groups`` — each group is one user's bounded
+    history; the regex kernel is O(|seq|) per user."""
+    import re
+
+    import pandas as pd
+    import ray.data as rd
+
+    pat = re.compile("vc*p")
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts", "event_id",
+                                  "event_type"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        seq = "".join(t[0] for t in g["event_type"])
+        return pd.DataFrame({
+            "user_id": [int(g["user_id"].iloc[0])],
+            "seq": [seq],
+            "n_hits": [len(pat.findall(seq))],
+        })
+
+    out = (ev.groupby("user_id")
+           .map_groups(per_user, batch_format="pandas")
+           .to_pandas())
+    return out.astype({"user_id": "int64", "n_hits": "int64"}) \
+        .sort_values("user_id").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction pipeline family (pages fixture derived from documents)
@@ -5598,6 +5632,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_market_share": _q_nation_market_share,
         "epoch_price_join": _q_epoch_price_join,
         "outlinks": _q_outlinks,
+        "seq_pattern": _q_seq_pattern,
         # composed curation
         "curate": _q_curate,
         # multimodal
@@ -5765,6 +5800,17 @@ FROM b"""
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "seq_pattern": """
+            WITH s AS (
+              SELECT user_id,
+                     string_agg(substr(event_type, 1, 1), ''
+                                ORDER BY ts, event_id) AS seq
+              FROM events GROUP BY user_id
+            )
+            SELECT user_id, seq,
+                   CAST(len(regexp_extract_all(seq, 'vc*p')) AS BIGINT)
+                       AS n_hits
+            FROM s""",
         "outlinks": _PAGE_CTE + """
             , h AS (
               SELECT CAST(count(*) AS BIGINT) AS n,
