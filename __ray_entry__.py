@@ -5430,6 +5430,50 @@ def _q_seq_pattern(sf_dir: str):
         .sort_values("user_id").reset_index(drop=True)
 
 
+def _q_grouped_regression(sf_dir: str):
+    """Per-group OLS via sufficient statistics: for each lang, the
+    slope of chars-vs-tokens published as the exact integer pair
+    (n·Σxy − Σx·Σy, n·Σx² − (Σx)²) — the consumer divides.  Each batch
+    folds to ≤|langs| rows of 5 int64 moments (combiner) before one
+    tiny groupby; nothing float crosses the shuffle, so the result is
+    bit-reproducible under any partitioning."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["lang", "text"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        x = pc.count_substring_regex(t["text"], r"\S+").cast(pa.int64())
+        y = pc.utf8_length(t["text"]).cast(pa.int64())
+        xn = np.asarray(x.to_numpy(zero_copy_only=False), np.int64)
+        yn = np.asarray(y.to_numpy(zero_copy_only=False), np.int64)
+        tt = pa.table({"lang": t["lang"],
+                       "n": pa.array(np.ones(len(t), np.int64)),
+                       "sx": pa.array(xn), "sy": pa.array(yn),
+                       "sxy": pa.array(xn * yn), "sxx": pa.array(xn * xn)})
+        g = tt.group_by("lang").aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+             ("sxy", "sum"), ("sxx", "sum")])
+        return g.rename_columns(["lang", "n", "sx", "sy", "sxy", "sxx"])
+
+    agg = (docs.map_batches(moments, batch_format="pyarrow")
+           .groupby("lang")
+           .aggregate(Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+                      Sum("sy", alias_name="sy"),
+                      Sum("sxy", alias_name="sxy"),
+                      Sum("sxx", alias_name="sxx"))
+           .to_pandas())
+    agg["slope_num"] = agg["n"] * agg["sxy"] - agg["sx"] * agg["sy"]
+    agg["slope_den"] = agg["n"] * agg["sxx"] - agg["sx"] * agg["sx"]
+    out = agg[["lang", "n", "slope_num", "slope_den"]].astype(
+        {"n": "int64", "slope_num": "int64", "slope_den": "int64"})
+    return out.sort_values("lang").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction pipeline family (pages fixture derived from documents)
@@ -5633,6 +5677,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "epoch_price_join": _q_epoch_price_join,
         "outlinks": _q_outlinks,
         "seq_pattern": _q_seq_pattern,
+        "grouped_regression": _q_grouped_regression,
         # composed curation
         "curate": _q_curate,
         # multimodal
@@ -5800,6 +5845,20 @@ FROM b"""
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "grouped_regression": r"""
+            WITH m AS (
+              SELECT lang,
+                     CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+                         AS x,
+                     CAST(length(text) AS BIGINT) AS y
+              FROM documents
+            )
+            SELECT lang, CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(*) * sum(x * y) - sum(x) * sum(y)
+                        AS BIGINT) AS slope_num,
+                   CAST(count(*) * sum(x * x) - sum(x) * sum(x)
+                        AS BIGINT) AS slope_den
+            FROM m GROUP BY lang""",
         "seq_pattern": """
             WITH s AS (
               SELECT user_id,
