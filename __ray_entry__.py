@@ -5474,6 +5474,44 @@ def _q_grouped_regression(sf_dir: str):
     return out.sort_values("lang").reset_index(drop=True)
 
 
+def _q_csv_roundtrip(sf_dir: str):
+    """CSV source + sink coverage: the metadata projection of the
+    corpus is written as sharded CSV (one file per block — the same
+    resumable-partition discipline as the parquet sinks), read back
+    with the CSV source, and rolled up per lang.  Quoting-safe by
+    construction (int/short-string columns only); the oracle aggregates
+    the same projection straight from parquet, so a roundtrip fault
+    (type coercion, header loss, row drop) breaks the hash."""
+    import shutil
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    out = os.path.join("/tmp/pmocr_ray_csv",
+                       os.path.basename(os.path.normpath(sf_dir)))
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "lang", "n_chars"])
+    docs.write_csv(out)
+    back = rd.read_csv(out)
+
+    import pyarrow as pa
+
+    def partial(t: pa.Table) -> pa.Table:
+        tt = pa.table({"lang": t["lang"],
+                       "n_docs": pa.array(np.ones(len(t), np.int64)),
+                       "sum_chars": pc.cast(t["n_chars"], pa.int64())})
+        g = tt.group_by("lang").aggregate(
+            [("n_docs", "sum"), ("sum_chars", "sum")])
+        return g.rename_columns(["lang", "n_docs", "sum_chars"])
+
+    return (back.map_batches(partial, batch_format="pyarrow")
+            .groupby("lang")
+            .aggregate(Sum("n_docs", alias_name="n_docs"),
+                       Sum("sum_chars", alias_name="sum_chars")))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction pipeline family (pages fixture derived from documents)
@@ -5678,6 +5716,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "outlinks": _q_outlinks,
         "seq_pattern": _q_seq_pattern,
         "grouped_regression": _q_grouped_regression,
+        "csv_roundtrip": _q_csv_roundtrip,
         # composed curation
         "curate": _q_curate,
         # multimodal
@@ -5845,6 +5884,10 @@ FROM b"""
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "csv_roundtrip": """
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY lang""",
         "grouped_regression": r"""
             WITH m AS (
               SELECT lang,
