@@ -5512,6 +5512,67 @@ def _q_csv_roundtrip(sf_dir: str):
                        Sum("sum_chars", alias_name="sum_chars")))
 
 
+def _q_lang_profiles(sf_dir: str):
+    """Distributed n-gram model training: per-lang char-bigram count
+    profiles (top 10, deterministic (-count, bigram) tie-break, rank
+    emitted as a value column).  The counting kernel is fully
+    vectorized — each batch concatenates one lang's texts with a NUL
+    separator, views the bytes as uint8, forms bigram codes with one
+    multiply-add, and ``bincount``s them; only (lang, code, n) partials
+    cross the shuffle (≤65k rows per lang per batch, typically ~10³).
+    Corpus texts are ASCII so byte bigrams equal the oracle's char
+    bigrams."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["lang", "text"])
+
+    def count_bigrams(t: pa.Table) -> pa.Table:
+        langs_out, codes_out, ns_out = [], [], []
+        langs = t["lang"].to_pylist()
+        texts = t["text"].to_pylist()
+        by_lang: dict[str, list[str]] = {}
+        for lg, tx in zip(langs, texts):
+            by_lang.setdefault(lg, []).append(tx or "")
+        for lg, txts in by_lang.items():
+            blob = np.frombuffer("\x00".join(txts).encode("utf-8"),
+                                 np.uint8)
+            if len(blob) < 2:
+                continue
+            a, b = blob[:-1].astype(np.int32), blob[1:].astype(np.int32)
+            codes = a * 256 + b
+            codes = codes[(a != 0) & (b != 0)]
+            cnt = np.bincount(codes, minlength=65536)
+            nz = np.nonzero(cnt)[0]
+            langs_out.extend([lg] * len(nz))
+            codes_out.extend(nz.tolist())
+            ns_out.extend(cnt[nz].tolist())
+        return pa.table({"lang": pa.array(langs_out, pa.string()),
+                         "code": pa.array(codes_out, pa.int64()),
+                         "n": pa.array(ns_out, pa.int64())})
+
+    per_code = (docs.map_batches(count_bigrams, batch_format="pyarrow")
+                .groupby(["lang", "code"])
+                .aggregate(Sum("n", alias_name="n")))
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["bigram"] = [chr(c >> 8) + chr(c & 255) for c in g["code"]]
+        g = g.sort_values(["n", "bigram"],
+                          ascending=[False, True]).head(10)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["lang", "bigram", "n", "rank"]]
+
+    out = (per_code.groupby("lang")
+           .map_groups(topk, batch_format="pandas").to_pandas())
+    return out.astype({"n": "int64", "rank": "int64"}) \
+        .sort_values(["lang", "rank"]).reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction pipeline family (pages fixture derived from documents)
@@ -5717,6 +5778,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_pattern": _q_seq_pattern,
         "grouped_regression": _q_grouped_regression,
         "csv_roundtrip": _q_csv_roundtrip,
+        "lang_profiles": _q_lang_profiles,
         # composed curation
         "curate": _q_curate,
         # multimodal
@@ -5884,6 +5946,29 @@ FROM b"""
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "lang_profiles": """
+            WITH bg AS (
+              -- all overlapping bigrams = the two interleaved
+              -- non-overlapping extractions (even + odd offsets)
+              SELECT lang, unnest(regexp_extract_all(text, '..'))
+                         AS bigram
+              FROM documents
+              UNION ALL
+              SELECT lang,
+                     unnest(regexp_extract_all(substr(text, 2), '..'))
+                         AS bigram
+              FROM documents
+            ), cnt AS (
+              SELECT lang, bigram, CAST(count(*) AS BIGINT) AS n
+              FROM bg GROUP BY lang, bigram
+            ), rk AS (
+              SELECT lang, bigram, n,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY n DESC, bigram) AS rank
+              FROM cnt
+            )
+            SELECT lang, bigram, n, CAST(rank AS BIGINT) AS rank
+            FROM rk WHERE rank <= 10""",
         "csv_roundtrip": """
             SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS sum_chars
