@@ -37,6 +37,17 @@ KEYS = [
     "weighted_median_price",
     "vocab_overlap",
     "rfm_scores",
+    # session-3 shapes
+    "disjunctive_brackets",
+    "top_supplier_rev",
+    "nation_market_share",
+    "epoch_price_join",
+    "outlinks",
+    "seq_pattern",
+    "grouped_regression",
+    "csv_roundtrip",
+    "lang_profiles",
+    "contingency_chi2",
 ]
 
 
