@@ -5573,6 +5573,62 @@ def _q_lang_profiles(sf_dir: str):
         .sort_values(["lang", "rank"]).reset_index(drop=True)
 
 
+def _q_fk_audit(sf_dir: str):
+    """Referential-integrity audit across the star schema: for each FK
+    edge, the count of DISTINCT fact keys with no dimension match.
+    Fact keys are uniqued per batch (combiner) then globally, and the
+    membership test is the Bloom-prefiltered exact anti-join
+    (ops/joins.bloom_anti_join) — the fixed-size-bitmap shape that
+    scales to dimensions too large to broadcast.  The events edge is
+    deliberately included as a *broken* FK so the audit demonstrably
+    detects orphans, not just confirms zeros."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from pmocr_ray.ops.joins import bloom_anti_join
+
+    def n_orphans(fact_file: str, fact_col: str,
+                  dim_file: str, dim_col: str) -> int:
+        fact = rd.read_parquet(os.path.join(sf_dir, fact_file),
+                               columns=[fact_col])
+
+        def uniq(t: pa.Table) -> pa.Table:
+            vals = np.unique(np.asarray(
+                t[fact_col].to_numpy(zero_copy_only=False), np.int64))
+            return pa.table({fact_col: pa.array(vals, pa.int64())})
+
+        # anti-join FIRST (map-only for definite non-members), distinct
+        # AFTER — the global groupby then runs over the orphan set only,
+        # not the full fact key domain
+        keys = fact.map_batches(uniq, batch_format="pyarrow")
+        dim = rd.read_parquet(os.path.join(sf_dir, dim_file),
+                              columns=[dim_col])
+        orphans = bloom_anti_join(keys, dim, on=fact_col,
+                                  right_on=dim_col)
+        return (orphans.groupby(fact_col)
+                .aggregate(Count(alias_name="_n")).count())
+
+    EDGES = [
+        ("lineitem.l_orderkey->orders", "lineitem.parquet", "l_orderkey",
+         "orders.parquet", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem.parquet", "l_partkey",
+         "part.parquet", "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem.parquet", "l_suppkey",
+         "supplier.parquet", "s_suppkey"),
+        ("orders.o_custkey->customer", "orders.parquet", "o_custkey",
+         "customer.parquet", "c_custkey"),
+        ("events.user_id->customer", "events.parquet", "user_id",
+         "customer.parquet", "c_custkey"),
+    ]
+    rows = [(name, n_orphans(ff, fc, df, dc))
+            for name, ff, fc, df, dc in EDGES]
+    return pd.DataFrame(rows, columns=["fk", "n_orphans"]).astype(
+        {"n_orphans": "int64"})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction pipeline family (pages fixture derived from documents)
@@ -5779,6 +5835,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_regression": _q_grouped_regression,
         "csv_roundtrip": _q_csv_roundtrip,
         "lang_profiles": _q_lang_profiles,
+        "fk_audit": _q_fk_audit,
         # composed curation
         "curate": _q_curate,
         # multimodal
@@ -5946,6 +6003,36 @@ FROM b"""
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "fk_audit": """
+            SELECT 'lineitem.l_orderkey->orders' AS fk,
+                   CAST(count(*) AS BIGINT) AS n_orphans
+            FROM (SELECT DISTINCT l_orderkey FROM lineitem) f
+            LEFT JOIN orders ON f.l_orderkey = o_orderkey
+            WHERE o_orderkey IS NULL
+            UNION ALL
+            SELECT 'lineitem.l_partkey->part',
+                   CAST(count(*) AS BIGINT)
+            FROM (SELECT DISTINCT l_partkey FROM lineitem) f
+            LEFT JOIN part ON f.l_partkey = p_partkey
+            WHERE p_partkey IS NULL
+            UNION ALL
+            SELECT 'lineitem.l_suppkey->supplier',
+                   CAST(count(*) AS BIGINT)
+            FROM (SELECT DISTINCT l_suppkey FROM lineitem) f
+            LEFT JOIN supplier ON f.l_suppkey = s_suppkey
+            WHERE s_suppkey IS NULL
+            UNION ALL
+            SELECT 'orders.o_custkey->customer',
+                   CAST(count(*) AS BIGINT)
+            FROM (SELECT DISTINCT o_custkey FROM orders) f
+            LEFT JOIN customer ON f.o_custkey = c_custkey
+            WHERE c_custkey IS NULL
+            UNION ALL
+            SELECT 'events.user_id->customer',
+                   CAST(count(*) AS BIGINT)
+            FROM (SELECT DISTINCT user_id FROM events) f
+            LEFT JOIN customer ON f.user_id = c_custkey
+            WHERE c_custkey IS NULL""",
         "lang_profiles": """
             WITH bg AS (
               -- all overlapping bigrams = the two interleaved
