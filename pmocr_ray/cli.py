@@ -148,8 +148,10 @@ def main(argv: list[str] | None = None) -> int:
 
     owns_ray = not ray.is_initialized()
     if owns_ray:
-        ray.init(address="local", include_dashboard=False,
-                 logging_level="ERROR")
+        # honor RAY_ADDRESS (ray job submit sets it to the cluster);
+        # fall back to a private local instance for standalone runs
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
+                 include_dashboard=False, logging_level="ERROR")
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
