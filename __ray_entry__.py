@@ -5629,6 +5629,25 @@ def _q_fk_audit(sf_dir: str):
         {"n_orphans": "int64"})
 
 
+def _q_stream_sessions(sf_dir: str):
+    """Stateful-streaming sessionization: the events log is spooled as
+    a hive-partitioned (chunk=time-range, bucket=user-hash) log and
+    consumed chunk-by-chunk by a pool of stateful actors carrying open
+    sessions between chunks (ops/streaming.py).  Equals the batch
+    ``sessionize`` for any chunking — checked against the identical
+    SQL oracle."""
+    import ray.data as rd
+
+    from pmocr_ray.ops.streaming import streaming_sessionize
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts", "event_id"])
+    out = os.path.join("/tmp/pmocr_ray_stream_spool",
+                       os.path.basename(os.path.normpath(sf_dir)))
+    return streaming_sessionize(ev, n_chunks=5, n_buckets=4,
+                                spool_dir=out)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction pipeline family (pages fixture derived from documents)
@@ -5836,6 +5855,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "csv_roundtrip": _q_csv_roundtrip,
         "lang_profiles": _q_lang_profiles,
         "fk_audit": _q_fk_audit,
+        "stream_sessions": _q_stream_sessions,
         # composed curation
         "curate": _q_curate,
         # multimodal
@@ -6198,6 +6218,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
             FROM events GROUP BY user_id
             ORDER BY total_cents DESC, user_id ASC LIMIT 10""",
+        "stream_sessions": """
+            WITH o AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                               > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+              FROM events),
+            s AS (
+              SELECT user_id, ts, event_id,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sess
+              FROM o)
+            SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM s GROUP BY user_id, sess""",
         "sessionize": """
             WITH o AS (
               SELECT user_id, ts, event_id,

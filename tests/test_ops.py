@@ -866,3 +866,55 @@ def test_value_mad_exact(ray_session):
     out2 = value_mad(rd.from_pandas(ev2)).to_pandas()
     # median 300; |v-300| = [200,100,0,700,1700] -> median 200
     assert out2.iloc[0].tolist() == ["y", 300, 200]
+
+
+# ------------------------------------------------------- streaming state
+
+
+def _batch_sessions_df(events):
+    return (sessionize(events).to_pandas()
+            .sort_values(["user_id", "session_start"])
+            .reset_index(drop=True))
+
+
+def test_streaming_sessionize_matches_batch_any_chunking(ray_session, sf_small):
+    import os
+
+    import ray.data as rd
+
+    from pmocr_ray.ops.streaming import streaming_sessionize
+
+    ev = rd.read_parquet(os.path.join(sf_small, "events.parquet"),
+                         columns=["user_id", "ts", "event_id"])
+    expected = _batch_sessions_df(ev)
+    for n_chunks, n_buckets in ((1, 1), (3, 2), (7, 4)):
+        got = (streaming_sessionize(
+                   ev, n_chunks=n_chunks, n_buckets=n_buckets,
+                   spool_dir=f"/tmp/pmocr_stream_t_{n_chunks}_{n_buckets}")
+               .to_pandas()
+               .sort_values(["user_id", "session_start"])
+               .reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            got[["user_id", "session_start", "session_end", "n_events"]],
+            expected[["user_id", "session_start", "session_end",
+                      "n_events"]].astype({"n_events": got["n_events"].dtype}),
+        )
+
+
+def test_streaming_sessionize_session_spans_chunks(ray_session):
+    import ray.data as rd
+
+    from pmocr_ray.ops.streaming import streaming_sessionize
+
+    # one user, events every 10 min over 2 h: ONE session, while every
+    # chunk boundary falls inside it — state must carry across feeds
+    ts = pd.date_range("2024-01-01", periods=13, freq="10min")
+    ev = rd.from_pandas(pd.DataFrame({
+        "user_id": [7] * 13, "ts": ts, "event_id": range(13)}))
+    out = streaming_sessionize(
+        ev, n_chunks=6, n_buckets=2,
+        spool_dir="/tmp/pmocr_stream_t_span").to_pandas()
+    assert len(out) == 1
+    assert out["n_events"].iloc[0] == 13
+    assert out["session_start"].iloc[0] == ts[0]
+    assert out["session_end"].iloc[0] == ts[-1]
