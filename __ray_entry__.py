@@ -5629,6 +5629,23 @@ def _q_fk_audit(sf_dir: str):
         {"n_orphans": "int64"})
 
 
+def _q_stream_windows(sf_dir: str):
+    """Streaming tumbling windows with watermark-gated emission
+    (ops/streaming.streaming_windows): arrival-ordered chunks feed
+    window-hashed stateful actors; complete windows emit as the
+    watermark passes them.  Final rows equal the batch
+    ``late_data_window`` — same SQL oracle."""
+    import ray.data as rd
+
+    from pmocr_ray.ops.streaming import streaming_windows
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "ts"])
+    out = os.path.join("/tmp/pmocr_ray_stream_wspool",
+                       os.path.basename(os.path.normpath(sf_dir)))
+    return streaming_windows(ev, n_chunks=5, n_buckets=4, spool_dir=out)
+
+
 def _q_stream_sessions(sf_dir: str):
     """Stateful-streaming sessionization: the events log is spooled as
     a hive-partitioned (chunk=time-range, bucket=user-hash) log and
@@ -5856,6 +5873,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_profiles": _q_lang_profiles,
         "fk_audit": _q_fk_audit,
         "stream_sessions": _q_stream_sessions,
+        "stream_windows": _q_stream_windows,
         # composed curation
         "curate": _q_curate,
         # multimodal
@@ -6218,6 +6236,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
             FROM events GROUP BY user_id
             ORDER BY total_cents DESC, user_id ASC LIMIT 10""",
+        "stream_windows": """
+            WITH e AS (
+              SELECT epoch_us(ts) AS ts_us,
+                     epoch_us(ts) + (event_id % 7) * 60000000 AS arrival_us
+              FROM events
+            ), w AS (
+              SELECT max(arrival_us) - 30 * 60000000 AS wm FROM e
+            ), g AS (
+              SELECT (ts_us // 3600000000) * 3600000000 AS ws,
+                     CAST(count(*) AS BIGINT) AS n_events,
+                     CAST(sum(CASE WHEN arrival_us >
+                         (ts_us // 3600000000) * 3600000000 + 3600000000
+                         + 3 * 60000000 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_late
+              FROM e GROUP BY 1
+            )
+            SELECT make_timestamp(ws) AS window_start, n_events, n_late,
+                   CASE WHEN ws + 3600000000 <= (SELECT wm FROM w)
+                        THEN 'closed' ELSE 'open' END AS status
+            FROM g""",
         "stream_sessions": """
             WITH o AS (
               SELECT user_id, ts, event_id,

@@ -918,3 +918,25 @@ def test_streaming_sessionize_session_spans_chunks(ray_session):
     assert out["n_events"].iloc[0] == 13
     assert out["session_start"].iloc[0] == ts[0]
     assert out["session_end"].iloc[0] == ts[-1]
+
+
+def test_streaming_windows_chunk_invariant_and_incremental(ray_session, sf_small):
+    import os
+
+    import ray.data as rd
+
+    from pmocr_ray.ops.streaming import streaming_windows
+
+    ev = rd.read_parquet(os.path.join(sf_small, "events.parquet"),
+                         columns=["event_id", "ts"])
+    outs = []
+    for n_chunks, n_buckets in ((1, 1), (4, 3)):
+        t = streaming_windows(
+            ev, n_chunks=n_chunks, n_buckets=n_buckets,
+            spool_dir=f"/tmp/pmocr_streamw_t_{n_chunks}_{n_buckets}")
+        outs.append(t.to_pandas().sort_values("window_start")
+                    .reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    # watermark semantics: old windows closed, the trailing ones open
+    assert (outs[0]["status"] == "closed").sum() > 0
+    assert (outs[0]["status"] == "open").sum() > 0

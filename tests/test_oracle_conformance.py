@@ -48,6 +48,8 @@ KEYS = [
     "csv_roundtrip",
     "lang_profiles",
     "contingency_chi2",
+    "stream_sessions",
+    "stream_windows",
 ]
 
 
