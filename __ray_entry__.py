@@ -5665,6 +5665,57 @@ def _q_stream_sessions(sf_dir: str):
                                 spool_dir=out)
 
 
+def _q_top_parts_per_brand(sf_dir: str):
+    """Per-group top-k as a CUSTOM DISTRIBUTIVE AGGREGATE: a bounded
+    k-candidate state per (group, block) accumulated vectorized, merged
+    associatively across blocks — per-group top-3 without ``map_groups``
+    and without ever co-locating a group's full row set.  The k-bounded
+    state is what makes the shuffle O(groups·k) regardless of group
+    size (contrast: ``map_groups`` moves every row of a hot group to
+    one worker).  Deterministic (-price, partkey) order; exploded to
+    (brand, rank, part, price) rows after the aggregate."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data as rd
+    from ray.data.aggregate import AggregateFn
+
+    K = 3
+
+    def acc_block(state, block):
+        price = np.rint(np.asarray(
+            block["p_retailprice"].to_numpy(zero_copy_only=False)) * 100
+        ).astype(np.int64)
+        ids = np.asarray(block["p_partkey"].to_numpy(zero_copy_only=False),
+                         np.int64)
+        cand = state + list(zip(price.tolist(), ids.tolist()))
+        cand.sort(key=lambda t: (-t[0], t[1]))
+        return cand[:K]
+
+    def merge(a, b):
+        m = a + b
+        m.sort(key=lambda t: (-t[0], t[1]))
+        return m[:K]
+
+    top3 = AggregateFn(
+        init=lambda k: [],
+        accumulate_block=acc_block,
+        merge=merge,
+        name="top3",
+    )
+    part = rd.read_parquet(os.path.join(sf_dir, "part.parquet"),
+                           columns=["p_brand", "p_partkey",
+                                    "p_retailprice"])
+    rows = part.groupby("p_brand").aggregate(top3).take_all()
+    out = [(r["p_brand"], rank + 1, int(pid), int(price))
+           for r in rows
+           for rank, (price, pid) in enumerate(r["top3"])]
+    return pd.DataFrame(out, columns=["p_brand", "rank", "p_partkey",
+                                      "price_cents"]).astype(
+        {"rank": "int64", "p_partkey": "int64", "price_cents": "int64"}) \
+        .sort_values(["p_brand", "rank"]).reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction pipeline family (pages fixture derived from documents)
@@ -5874,6 +5925,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fk_audit": _q_fk_audit,
         "stream_sessions": _q_stream_sessions,
         "stream_windows": _q_stream_windows,
+        "top_parts_per_brand": _q_top_parts_per_brand,
         # composed curation
         "curate": _q_curate,
         # multimodal
@@ -6236,6 +6288,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
             FROM events GROUP BY user_id
             ORDER BY total_cents DESC, user_id ASC LIMIT 10""",
+        "top_parts_per_brand": """
+            WITH r AS (
+              SELECT p_brand, p_partkey,
+                     CAST(round(p_retailprice * 100) AS BIGINT)
+                         AS price_cents,
+                     row_number() OVER (
+                       PARTITION BY p_brand
+                       ORDER BY round(p_retailprice * 100) DESC,
+                                p_partkey) AS rank
+              FROM part)
+            SELECT p_brand, CAST(rank AS BIGINT) AS rank, p_partkey,
+                   price_cents
+            FROM r WHERE rank <= 3""",
         "stream_windows": """
             WITH e AS (
               SELECT epoch_us(ts) AS ts_us,
