@@ -50,6 +50,8 @@ KEYS = [
     "contingency_chi2",
     "stream_sessions",
     "stream_windows",
+    "fk_audit",
+    "top_parts_per_brand",
 ]
 
 
