@@ -131,6 +131,7 @@ def run_incremental(
         shutil.rmtree(tmp_out, ignore_errors=True)   # discard a torn run
         shutil.rmtree(part_out, ignore_errors=True)
 
+        t0 = time.perf_counter()
         ds = run_extraction(
             path,
             done_manifest_path,
@@ -140,6 +141,7 @@ def run_incremental(
         )
         ds.write_parquet(tmp_out)
         os.replace(tmp_out, part_out)
+        wall_s = round(time.perf_counter() - t0, 3)
 
         # per-partition metrics from the written output (columnar read
         # of one small column, not a second pipeline run; vectorized)
@@ -157,6 +159,12 @@ def run_incremental(
             "completed_at": datetime.datetime.now(datetime.timezone.utc).isoformat(),
             "num_rows": sum(counts.values()),
             "counts": counts,
+            # per-partition throughput metrics (north-rule "lineage +
+            # metrics"): wall time covers extract + write of this
+            # partition's own pipeline run
+            "wall_s": wall_s,
+            "rows_per_sec": round(sum(counts.values()) / wall_s, 1)
+            if wall_s > 0 else 0.0,
         }
         # Fold the partition's terminal rows into the done manifest
         # BEFORE committing its lineage entry: a crash between the two

@@ -100,6 +100,7 @@ def test_manifest_commit_atomic_and_counted(tmp_env):
         assert e["num_rows"] == sum(e["counts"].values()) > 0
         assert set(e["counts"]) <= {
             "done", "failed", "skipped_existing_text", "skipped_suffix"}
+        assert e["wall_s"] > 0 and e["rows_per_sec"] > 0
     assert not glob.glob(os.path.join(tmp_env["manifest"], "*.tmp"))
     # summary counts aggregate the per-partition counts
     total = {}
