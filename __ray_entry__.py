@@ -404,6 +404,27 @@ def _q_customers_no_f_orders(sf_dir: str):
                           right_on="o_custkey", num_partitions=8)
 
 
+def _q_customers_no_f_orders_native(sf_dir: str):
+    """Third anti-join physical plan: Ray's native ``left_anti`` join
+    (ops/joins.native_anti_join) — same oracle as the left_outer+filter
+    and Bloom-prefilter variants, so the driver gate proves all three
+    plans agree."""
+    import ray.data as rd
+
+    from pmocr_ray.ops.joins import native_anti_join
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name"],
+    )
+    f_orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderstatus"],
+    ).filter(expr="o_orderstatus == 'F'")
+    return native_anti_join(cust, f_orders, on="c_custkey",
+                            right_on="o_custkey", num_partitions=8)
+
+
 def _q_customers_no_f_orders_bloom(sf_dir: str):
     import ray.data as rd
 
@@ -5773,6 +5794,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_window": _q_hopping_window,
         "customers_no_f_orders": _q_customers_no_f_orders,
         "customers_no_f_orders_bloom": _q_customers_no_f_orders_bloom,
+        "customers_no_f_orders_native": _q_customers_no_f_orders_native,
         "lang_len_quantiles": _q_lang_len_quantiles,
         "label_centroids": _q_label_centroids,
         "orders_running_total": _q_orders_running_total,
@@ -8195,6 +8217,11 @@ def oracle_sql() -> dict[str, str]:
               SELECT 1 FROM orders o
               WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')""",
         "customers_no_f_orders_bloom": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')""",
+        "customers_no_f_orders_native": """
             SELECT c_custkey, c_name FROM customer c
             WHERE NOT EXISTS (
               SELECT 1 FROM orders o

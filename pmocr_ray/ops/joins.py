@@ -91,6 +91,26 @@ def hash_anti_join(left: rd.Dataset, right: rd.Dataset, on: str,
     return joined.map_batches(keep_unmatched, batch_format="pyarrow")
 
 
+def native_anti_join(left: rd.Dataset, right: rd.Dataset, on: str,
+                     right_on: str | None = None,
+                     num_partitions: int = 16) -> rd.Dataset:
+    """Anti join via Ray's native ``join_type="left_anti"``.
+
+    Same semantics as :func:`hash_anti_join` (kept for Ray builds
+    predating native semi/anti support and as the seam the Bloom
+    variant reuses); the right side is still pre-aggregated to one row
+    per key before the exchange so the shuffle moves distinct keys,
+    never payload."""
+    from ray.data.aggregate import Count
+
+    r_on = right_on or on
+    marker = (right.select_columns([r_on])
+              .groupby(r_on).aggregate(Count(alias_name="__m")))
+    return left.join(marker, join_type="left_anti",
+                     num_partitions=num_partitions,
+                     on=(on,), right_on=(r_on,))
+
+
 # ------------------------------------------------------ bloom anti join
 
 def _bloom_indices(keys: list, n_bits: int, k_hashes: int):

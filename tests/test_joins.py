@@ -70,3 +70,22 @@ def test_bloom_anti_join_exact_under_false_positives(ray_session):
                           num_partitions=2).to_pandas()
     expect = {f"u{i}" for i in range(300) if i % 3 != 0}
     assert set(out["k"]) == expect
+
+
+def test_native_anti_join_agrees_with_hash_and_bloom(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from pmocr_ray.ops.joins import (bloom_anti_join, hash_anti_join,
+                                     native_anti_join)
+
+    left = rd.from_pandas(pd.DataFrame(
+        {"k": list(range(100)), "v": [f"x{i}" for i in range(100)]}))
+    right = rd.from_pandas(pd.DataFrame(
+        {"k": [i for i in range(100) if i % 3 == 0] * 2}))
+    expected = sorted(i for i in range(100) if i % 3 != 0)
+    for fn in (hash_anti_join, bloom_anti_join, native_anti_join):
+        got = sorted(r["k"] for r in
+                     fn(left, right, on="k", num_partitions=4)
+                     .select_columns(["k"]).take_all())
+        assert got == expected, fn.__name__
