@@ -5468,8 +5468,11 @@ def _q_grouped_regression(sf_dir: str):
                            columns=["lang", "text"])
 
     def moments(t: pa.Table) -> pa.Table:
-        x = pc.count_substring_regex(t["text"], r"\S+").cast(pa.int64())
-        y = pc.utf8_length(t["text"]).cast(pa.int64())
+        # null text → 0-moment contribution, identical to SQL's
+        # null-skipping sum (adding zero) while count(*) still counts
+        txt = pc.fill_null(t["text"], "")
+        x = pc.count_substring_regex(txt, r"\S+").cast(pa.int64())
+        y = pc.utf8_length(txt).cast(pa.int64())
         xn = np.asarray(x.to_numpy(zero_copy_only=False), np.int64)
         yn = np.asarray(y.to_numpy(zero_copy_only=False), np.int64)
         tt = pa.table({"lang": t["lang"],
