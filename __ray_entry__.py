@@ -5670,6 +5670,23 @@ def _q_stream_windows(sf_dir: str):
     return streaming_windows(ev, n_chunks=5, n_buckets=4, spool_dir=out)
 
 
+def _q_stream_new_users(sf_dir: str):
+    """Streaming first-seen index (ops/streaming.streaming_first_seen):
+    per-bucket membership actors absorb time-ordered chunks and emit
+    only never-seen keys — the shared-mutable-index pattern.  Output
+    equals the batch min-day rollup; same oracle as new_users_curve."""
+    import ray.data as rd
+
+    from pmocr_ray.ops.streaming import streaming_first_seen
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts"])
+    out = os.path.join("/tmp/pmocr_ray_stream_fspool",
+                       os.path.basename(os.path.normpath(sf_dir)))
+    return streaming_first_seen(ev, n_chunks=5, n_buckets=4,
+                                spool_dir=out)
+
+
 def _q_stream_sessions(sf_dir: str):
     """Stateful-streaming sessionization: the events log is spooled as
     a hive-partitioned (chunk=time-range, bucket=user-hash) log and
@@ -5950,6 +5967,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fk_audit": _q_fk_audit,
         "stream_sessions": _q_stream_sessions,
         "stream_windows": _q_stream_windows,
+        "stream_new_users": _q_stream_new_users,
         "top_parts_per_brand": _q_top_parts_per_brand,
         # composed curation
         "curate": _q_curate,
@@ -6326,6 +6344,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT p_brand, CAST(rank AS BIGINT) AS rank, p_partkey,
                    price_cents
             FROM r WHERE rank <= 3""",
+        "stream_new_users": """
+            WITH f AS (
+              SELECT user_id,
+                     min(CAST(epoch_us(ts) // 86400000000 AS BIGINT))
+                       AS day
+              FROM events GROUP BY user_id
+            ), d AS (
+              SELECT day, CAST(count(*) AS BIGINT) AS n_new
+              FROM f GROUP BY day
+            )
+            SELECT day, n_new,
+                   CAST(sum(n_new) OVER (
+                     ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                     AS cum_users
+            FROM d""",
         "stream_windows": """
             WITH e AS (
               SELECT epoch_us(ts) AS ts_us,

@@ -240,6 +240,100 @@ def streaming_windows(
     })
 
 
+@ray.remote
+class SeenIndexBucket:
+    """Shared mutable membership index, one shard per key-hash bucket —
+    the raw-actor pattern the Dataset API can't express (a growing
+    index consulted AND updated by every chunk in order).  ``feed``
+    returns each chunk's first-seen (key, day) pairs; keys already in
+    the index are absorbed silently.
+    """
+
+    def __init__(self) -> None:
+        self.seen: set[int] = set()
+
+    def feed(self, paths: list[str]) -> pa.Table:
+        import pandas as pd
+
+        frames = [pq.read_table(p, columns=["user_id", "day"]).to_pandas()
+                  for p in paths]
+        if not frames:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "day": pa.array([], pa.int64())})
+        t = pd.concat(frames).sort_values(["day", "user_id"])
+        first = t.groupby("user_id", sort=True)["day"].min()
+        fresh = [(int(u), int(d)) for u, d in first.items()
+                 if int(u) not in self.seen]
+        self.seen.update(u for u, _ in fresh)
+        return pa.table({
+            "user_id": pa.array([u for u, _ in fresh], pa.int64()),
+            "day": pa.array([d for _, d in fresh], pa.int64()),
+        })
+
+
+def streaming_first_seen(
+    events: rd.Dataset,
+    *,
+    n_chunks: int = 4,
+    n_buckets: int = 4,
+    spool_dir: str = "/tmp/pmocr_ray_stream_fspool",
+) -> pa.Table:
+    """Per-day new-user counts via a streaming first-seen index: events
+    spool as (chunk=time-range, bucket=user-hash) and each bucket's
+    index actor absorbs its chunks in order, emitting only
+    never-seen-before keys.  Equivalent to the batch min-day rollup
+    (``new_users_curve``) for any chunking because chunks are processed
+    in global time order.  The per-actor state is the key set of its
+    bucket — the streaming analogue of the done-manifest anti-join."""
+    import pyarrow.compute as pc
+
+    lo = events.min("ts")
+    hi = events.max("ts")
+    lo64 = np.datetime64(lo, "us").astype(np.int64)
+    hi64 = np.datetime64(hi, "us").astype(np.int64)
+    span = max(int(hi64 - lo64) + 1, 1)
+
+    def tag(t: pa.Table) -> pa.Table:
+        ts = np.asarray(pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                                pa.int64()).to_numpy())
+        uid = np.asarray(t["user_id"].to_numpy(zero_copy_only=False),
+                         np.int64)
+        return pa.table({
+            "user_id": pa.array(uid),
+            "day": pa.array(ts // 86_400_000_000),
+            "chunk": pa.array((ts - lo64) * n_chunks // span),
+            "bucket": pa.array(uid % n_buckets),
+        })
+
+    shutil.rmtree(spool_dir, ignore_errors=True)
+    (events.select_columns(["user_id", "ts"])
+     .map_batches(tag, batch_format="pyarrow")
+     .write_parquet(spool_dir, partition_cols=["chunk", "bucket"]))
+
+    actors = [SeenIndexBucket.remote() for _ in range(n_buckets)]
+    parts: list[pa.Table] = []
+    for chunk in range(n_chunks):
+        futures = []
+        for b, actor in enumerate(actors):
+            d = os.path.join(spool_dir, f"chunk={chunk}", f"bucket={b}")
+            if not os.path.isdir(d):
+                continue
+            paths = sorted(os.path.join(d, f) for f in os.listdir(d)
+                           if f.endswith(".parquet"))
+            futures.append(actor.feed.remote(paths))
+        parts.extend(ray.get(futures))  # ordered rounds, parallel fan-out
+    firsts = pa.concat_tables([t for t in parts if t.num_rows])
+    # tiny driver rollup: (day → n_new) + running total over day support
+    import pandas as pd
+
+    df = (firsts.to_pandas().groupby("day").size()
+          .rename("n_new").reset_index().sort_values("day"))
+    df["cum_users"] = df["n_new"].cumsum()
+    return pa.Table.from_pandas(
+        df.astype({"day": "int64", "n_new": "int64",
+                   "cum_users": "int64"}), preserve_index=False)
+
+
 def streaming_sessionize(
     events: rd.Dataset,
     *,

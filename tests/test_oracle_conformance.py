@@ -52,6 +52,7 @@ KEYS = [
     "stream_windows",
     "fk_audit",
     "top_parts_per_brand",
+    "stream_new_users",
 ]
 
 
