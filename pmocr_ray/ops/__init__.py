@@ -6,8 +6,9 @@ incremental), similarity search (brute, IVF, full-corpus k-means),
 graph ops (distributed connected components), sequence packing and
 deterministic shuffling (`pack`), compaction (`compact`), joins
 (broadcast / hash / Bloom anti), sketches (KMV), windowed analytics
-(`events`), curation and text analysis (`text`), and multimodal
-plumbing (`media`).
+(`events`), curation and text analysis (`text`), multimodal
+plumbing (`media`), and stateful streaming over a partitioned log —
+session windows, watermark windows, first-seen index (`streaming`).
 Each op here follows the same architecture rules as the extraction
 engine: Arrow batches, vectorized kernels, actor pools for stateful
 stages, partial aggregation before any shuffle, broadcast small sides.

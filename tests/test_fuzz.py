@@ -48,3 +48,48 @@ def test_sniffed_types_route_without_crash(prefix, tail):
         assert ct == "html"
     else:
         assert ct == "unknown" and status == "failed"
+
+
+# --------------------------------------------------- streaming equivalence
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 5),            # user_id
+                  st.integers(0, 6 * 3600)),    # seconds offset
+        min_size=1, max_size=60, unique=True),
+    n_chunks=st.integers(1, 5),
+    n_buckets=st.integers(1, 3),
+)
+def test_streaming_sessionize_equals_batch_on_random_logs(
+        ray_session, events, n_chunks, n_buckets):
+    """Property: the stateful-streaming path is chunking-invariant and
+    equal to the batch operator on arbitrary event logs."""
+    import pandas as pd
+    import ray.data as rd
+
+    from pmocr_ray.ops.events import sessionize
+    from pmocr_ray.ops.streaming import streaming_sessionize
+
+    base = pd.Timestamp("2024-03-01")
+    df = pd.DataFrame({
+        "user_id": [u for u, _ in events],
+        "ts": [base + pd.Timedelta(seconds=s) for _, s in events],
+        "event_id": range(len(events)),
+    })
+    ds = rd.from_pandas(df)
+    cols = ["user_id", "session_start", "session_end", "n_events"]
+
+    def norm(frame):
+        frame = frame[cols].copy()
+        for c in ("session_start", "session_end"):
+            frame[c] = frame[c].astype("datetime64[us]")
+        frame["n_events"] = frame["n_events"].astype("int64")
+        return frame.sort_values(cols).reset_index(drop=True)
+
+    exp = norm(sessionize(ds).to_pandas())
+    got = norm(streaming_sessionize(
+        ds, n_chunks=n_chunks, n_buckets=n_buckets,
+        spool_dir="/tmp/pmocr_stream_fuzz").to_pandas())
+    pd.testing.assert_frame_equal(got, exp)
