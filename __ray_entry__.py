@@ -5757,6 +5757,35 @@ def _q_top_parts_per_brand(sf_dir: str):
         .sort_values(["p_brand", "rank"]).reset_index(drop=True)
 
 
+def _q_page_meta(sf_dir: str):
+    """Structured-metadata extraction from raw HTML: <title> text and
+    the html lang attribute pulled with vectorized binary-regex kernels
+    (``pc.extract_regex`` straight over the payload bytes — no decode
+    pass, no per-row Python).  Non-HTML payloads (PDF, poison) match
+    nothing and yield nulls, so the kernel is total over the page
+    universe — the metadata companion to the main-content extractor."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    pages_dir, _ = _pages(sf_dir)
+    ds = rd.read_parquet(pages_dir, columns=["url", "html"])
+
+    def meta(t: pa.Table) -> pa.Table:
+        title = pc.cast(pc.struct_field(
+            pc.extract_regex(t["html"],
+                             r"<title>(?P<t>[^<]*)</title>"), "t"),
+            pa.string())
+        lang = pc.cast(pc.struct_field(
+            pc.extract_regex(t["html"],
+                             r'<html lang="(?P<l>[a-z]+)">'), "l"),
+            pa.string())
+        return pa.table({"url": t["url"], "title": title,
+                         "html_lang": lang})
+
+    return ds.map_batches(meta, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction pipeline family (pages fixture derived from documents)
@@ -5960,6 +5989,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_market_share": _q_nation_market_share,
         "epoch_price_join": _q_epoch_price_join,
         "outlinks": _q_outlinks,
+        "page_meta": _q_page_meta,
         "seq_pattern": _q_seq_pattern,
         "grouped_regression": _q_grouped_regression,
         "csv_roundtrip": _q_csv_roundtrip,
@@ -6218,6 +6248,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(seq, 'vc*p')) AS BIGINT)
                        AS n_hits
             FROM s""",
+        "page_meta": _PAGE_CTE + """
+            SELECT url,
+                   CASE WHEN cls <= 10 OR cls IN (16, 17, 19)
+                        THEN 'site ' || (seq % 997) END AS title,
+                   CASE WHEN cls <= 10 OR cls IN (16, 17, 19)
+                        THEN lang END AS html_lang
+            FROM c""",
         "outlinks": _PAGE_CTE + """
             , h AS (
               SELECT CAST(count(*) AS BIGINT) AS n,
