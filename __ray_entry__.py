@@ -5647,6 +5647,9 @@ def _q_fk_audit(sf_dir: str):
         ("events.user_id->customer", "events.parquet", "user_id",
          "customer.parquet", "c_custkey"),
     ]
+    # serial on purpose: overlapping these pipelines from driver
+    # threads races Ray Data's lazy fsspec imports (observed
+    # ImportError under a ThreadPoolExecutor); each edge is seconds
     rows = [(name, n_orphans(ff, fc, df, dc))
             for name, ff, fc, df, dc in EDGES]
     return pd.DataFrame(rows, columns=["fk", "n_orphans"]).astype(
