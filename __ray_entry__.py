@@ -2385,6 +2385,35 @@ def _q_priority_semi(sf_dir: str):
         Count(alias_name="n_orders"))
 
 
+def _q_priority_semi_native(sf_dir: str):
+    """Second semi-join physical plan: Ray's native ``left_semi`` join
+    (orders ⋉ qualifying-orderkey set) — same oracle as the
+    distinct-keys + inner-join formulation, so the gate proves the two
+    plans agree.  The probe side is still reduced to distinct keys
+    before the exchange."""
+    import pyarrow as pa
+
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_quantity"])
+
+    def big_qty_keys(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_quantity"], 45.0))
+        return t.select(["l_orderkey"]).group_by("l_orderkey").aggregate([])
+
+    keys = (li.map_batches(big_qty_keys, batch_format="pyarrow")
+            .groupby("l_orderkey").aggregate(Count(alias_name="_n"))
+            .select_columns(["l_orderkey"]))
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_orderpriority"])
+    j = orders.join(keys, join_type="left_semi", num_partitions=4,
+                    on=("o_orderkey",), right_on=("l_orderkey",))
+    return j.groupby("o_orderpriority").aggregate(
+        Count(alias_name="n_orders"))
+
+
 def _q_cust_order_dist(sf_dir: str):
     """TPC-H Q13 shape: distribution of customers by order count,
     INCLUDING zero-order customers — per-cust combiner rollup, one
@@ -5933,6 +5962,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "schema_evolve": _q_schema_evolve,
         "rare_term_pairs": _q_rare_term_pairs,
         "priority_semi": _q_priority_semi,
+        "priority_semi_native": _q_priority_semi_native,
         "cust_order_dist": _q_cust_order_dist,
         "sentence_stats": _q_sentence_stats,
         "basket_pairs": _q_basket_pairs,
@@ -8006,6 +8036,13 @@ def oracle_sql() -> dict[str, str]:
               ON x.term = y.term AND x.doc_id < y.doc_id
             GROUP BY x.doc_id, y.doc_id""",
         "priority_semi": """
+            SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders
+            WHERE EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_quantity > 45)
+            GROUP BY o_orderpriority""",
+        "priority_semi_native": """
             SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
             FROM orders
             WHERE EXISTS (SELECT 1 FROM lineitem
