@@ -53,6 +53,9 @@ KEYS = [
     "fk_audit",
     "top_parts_per_brand",
     "stream_new_users",
+    "page_meta",
+    "customers_no_f_orders_native",
+    "priority_semi_native",
 ]
 
 
