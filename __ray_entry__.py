@@ -5818,6 +5818,43 @@ def _q_page_meta(sf_dir: str):
     return ds.map_batches(meta, batch_format="pyarrow")
 
 
+def _q_user_type_mask_agg(sf_dir: str):
+    """Second physical plan for the feature bitmask: a custom
+    bitwise-OR ``AggregateFn`` (OR is idempotent + associative, so a
+    one-int64 state per group is exact under any partitioning — no
+    distinct pass needed at all, unlike the sum-over-distinct-bits
+    plan).  Same oracle as user_type_mask: the gate proves both plans
+    agree."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data as rd
+    from ray.data.aggregate import AggregateFn
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_type"])
+
+    def with_bits(t: pa.Table) -> pa.Table:
+        bits = np.array([1 << _TYPE_BITS[x]
+                         for x in t["event_type"].to_pylist()], np.int64)
+        return pa.table({"user_id": t["user_id"],
+                         "bit": pa.array(bits, pa.int64())})
+
+    bit_or = AggregateFn(
+        init=lambda k: 0,
+        accumulate_block=lambda s, blk: s | int(
+            np.bitwise_or.reduce(np.asarray(
+                blk["bit"].to_numpy(zero_copy_only=False), np.int64))),
+        merge=lambda a, b: a | b,
+        name="mask",
+    )
+    rows = (ev.map_batches(with_bits, batch_format="pyarrow")
+            .groupby("user_id").aggregate(bit_or).take_all())
+    return pd.DataFrame(rows)[["user_id", "mask"]].astype(
+        {"user_id": "int64", "mask": "int64"}) \
+        .sort_values("user_id").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction pipeline family (pages fixture derived from documents)
@@ -5963,6 +6000,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rare_term_pairs": _q_rare_term_pairs,
         "priority_semi": _q_priority_semi,
         "priority_semi_native": _q_priority_semi_native,
+        "user_type_mask_agg": _q_user_type_mask_agg,
         "cust_order_dist": _q_cust_order_dist,
         "sentence_stats": _q_sentence_stats,
         "basket_pairs": _q_basket_pairs,
@@ -7494,6 +7532,13 @@ def oracle_sql() -> dict[str, str]:
                      unnest([3600000000, 86400000000,
                              604800000000]) AS div) g
             GROUP BY g.granularity, bucket""",
+        "user_type_mask_agg": """
+            SELECT user_id,
+                   CAST(sum(DISTINCT CASE event_type
+                     WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                     WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8
+                     ELSE 16 END) AS BIGINT) AS mask
+            FROM events GROUP BY user_id""",
         "user_type_mask": """
             SELECT user_id,
                    CAST(sum(DISTINCT CASE event_type
