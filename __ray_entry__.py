@@ -5855,6 +5855,51 @@ def _q_user_type_mask_agg(sf_dir: str):
         .sort_values("user_id").reset_index(drop=True)
 
 
+def _q_federated_union(sf_dir: str):
+    """Heterogeneous-source federation: even-id rows stay in Parquet,
+    odd-id rows round-trip through a sharded CSV sink+source, and
+    ``Dataset.union`` of the two feeds one rollup — proving the union
+    operator and the CSV codec reproduce the single-source result
+    bit-for-bit (same oracle as the all-parquet rollup)."""
+    import shutil
+
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "lang", "n_chars"])
+
+    def half(t: pa.Table, even: bool) -> pa.Table:
+        ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False),
+                         np.int64)
+        return t.filter(pa.array((ids % 2 == 0) == even))
+
+    out = os.path.join("/tmp/pmocr_ray_fed_csv",
+                       os.path.basename(os.path.normpath(sf_dir)))
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    docs.map_batches(half, fn_kwargs={"even": False},
+                     batch_format="pyarrow").write_csv(out)
+    odd_back = rd.read_csv(out)
+    even = docs.map_batches(half, fn_kwargs={"even": True},
+                            batch_format="pyarrow")
+    both = even.union(odd_back)
+
+    def partial(t: pa.Table) -> pa.Table:
+        tt = pa.table({"lang": t["lang"],
+                       "n_docs": pa.array(np.ones(len(t), np.int64)),
+                       "sum_chars": pc.cast(t["n_chars"], pa.int64())})
+        g = tt.group_by("lang").aggregate(
+            [("n_docs", "sum"), ("sum_chars", "sum")])
+        return g.rename_columns(["lang", "n_docs", "sum_chars"])
+
+    return (both.map_batches(partial, batch_format="pyarrow")
+            .groupby("lang")
+            .aggregate(Sum("n_docs", alias_name="n_docs"),
+                       Sum("sum_chars", alias_name="sum_chars")))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction pipeline family (pages fixture derived from documents)
@@ -6001,6 +6046,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_semi": _q_priority_semi,
         "priority_semi_native": _q_priority_semi_native,
         "user_type_mask_agg": _q_user_type_mask_agg,
+        "federated_union": _q_federated_union,
         "cust_order_dist": _q_cust_order_dist,
         "sentence_stats": _q_sentence_stats,
         "basket_pairs": _q_basket_pairs,
@@ -6291,6 +6337,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, bigram, n, CAST(rank AS BIGINT) AS rank
             FROM rk WHERE rank <= 10""",
         "csv_roundtrip": """
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY lang""",
+        "federated_union": """
             SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY lang""",
