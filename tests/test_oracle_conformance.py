@@ -56,6 +56,8 @@ KEYS = [
     "page_meta",
     "customers_no_f_orders_native",
     "priority_semi_native",
+    "user_type_mask_agg",
+    "federated_union",
 ]
 
 
