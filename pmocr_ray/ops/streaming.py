@@ -86,6 +86,16 @@ class SessionBucket:
         return _sessions_table(closed)
 
 
+def _ts_bounds_us(events: rd.Dataset) -> tuple[int, int]:
+    """Global (min, max) of the ts column in µs — ONE aggregate pass."""
+    from ray.data.aggregate import Max, Min
+
+    r = events.aggregate(Min("ts", alias_name="lo"),
+                         Max("ts", alias_name="hi"))
+    return (int(np.datetime64(r["lo"], "us").astype(np.int64)),
+            int(np.datetime64(r["hi"], "us").astype(np.int64)))
+
+
 def _sessions_table(rows: list[tuple]) -> pa.Table:
     import pandas as pd
 
@@ -287,11 +297,8 @@ def streaming_first_seen(
     bucket — the streaming analogue of the done-manifest anti-join."""
     import pyarrow.compute as pc
 
-    lo = events.min("ts")
-    hi = events.max("ts")
-    lo64 = np.datetime64(lo, "us").astype(np.int64)
-    hi64 = np.datetime64(hi, "us").astype(np.int64)
-    span = max(int(hi64 - lo64) + 1, 1)
+    lo64, hi64 = _ts_bounds_us(events)
+    span = max(hi64 - lo64 + 1, 1)
 
     def tag(t: pa.Table) -> pa.Table:
         ts = np.asarray(pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
@@ -353,11 +360,8 @@ def streaming_sessionize(
     intra-round fan-out is parallel)."""
     import pyarrow.compute as pc
 
-    lo = events.min("ts")
-    hi = events.max("ts")
-    lo64 = np.datetime64(lo, "us").astype(np.int64)
-    hi64 = np.datetime64(hi, "us").astype(np.int64)
-    span = max(int(hi64 - lo64) + 1, 1)
+    lo64, hi64 = _ts_bounds_us(events)
+    span = max(hi64 - lo64 + 1, 1)
 
     def tag(t: pa.Table) -> pa.Table:
         # normalize to µs before the int view — pandas-sourced columns
