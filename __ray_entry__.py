@@ -5900,6 +5900,39 @@ def _q_federated_union(sf_dir: str):
                        Sum("sum_chars", alias_name="sum_chars")))
 
 
+def _q_pdf_target_roundtrip(sf_dir: str):
+    """The reference's PRIMARY output format closed under this engine:
+    extracted text → searchable-PDF target (targets.pdf_transform) →
+    PDF parser → byte-compare.  Writer and parser are exact inverses;
+    every extracted document roundtrips.  The oracle asserts ok=1 for
+    exactly the rows whose extraction produced text — the Ray side
+    EARNS each 1 by building and re-parsing a real PDF payload."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(_extraction_output_dir(sf_dir),
+                         columns=["url", "extracted_text"])
+
+    def roundtrip(t: pa.Table) -> pa.Table:
+        from pmocr_ray.extract.pdf_extractor import extract_pdf
+        from pmocr_ray.targets import pdf_transform
+
+        t2 = pdf_transform(t)
+        urls, oks = [], []
+        for url, txt, pdf in zip(t2["url"].to_pylist(),
+                                 t2["extracted_text"].to_pylist(),
+                                 t2["pdf"].to_pylist()):
+            if txt is None:
+                continue
+            urls.append(url)
+            oks.append(int(extract_pdf(pdf) == txt))
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "roundtrip_ok": pa.array(oks, pa.int64())})
+
+    return ds.map_batches(roundtrip, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction pipeline family (pages fixture derived from documents)
@@ -6047,6 +6080,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_semi_native": _q_priority_semi_native,
         "user_type_mask_agg": _q_user_type_mask_agg,
         "federated_union": _q_federated_union,
+        "pdf_target_roundtrip": _q_pdf_target_roundtrip,
         "cust_order_dist": _q_cust_order_dist,
         "sentence_stats": _q_sentence_stats,
         "basket_pairs": _q_basket_pairs,
@@ -6369,6 +6403,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(seq, 'vc*p')) AS BIGINT)
                        AS n_hits
             FROM s""",
+        "pdf_target_roundtrip": _PAGE_CTE + """
+            SELECT url, CAST(1 AS BIGINT) AS roundtrip_ok
+            FROM c WHERE cls <= 15 OR cls = 19""",
         "page_meta": _PAGE_CTE + """
             SELECT url,
                    CASE WHEN cls <= 10 OR cls IN (16, 17, 19)

@@ -40,8 +40,9 @@ def build_parser() -> argparse.ArgumentParser:
                    action="store_const", const=False)
     p.add_argument("--csv", dest="emit_csv", action="store_const", const=True)
     p.add_argument("--targets", dest="targets",
-                   help="comma list of output formats (text,csv,jsonl) — "
-                        "one extraction pass, per-format derived sinks")
+                   help="comma list of output formats "
+                        "(text,pdf,csv,jsonl) — one extraction pass, "
+                        "per-format derived sinks")
     p.add_argument("--preprocessors", dest="preprocessors",
                    help="comma list of registered payload preprocessors "
                         "applied before the engine")

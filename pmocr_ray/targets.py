@@ -58,9 +58,28 @@ def json_row_transform(t: pa.Table, columns: tuple[str, ...] = (
     return t.append_column("json_row", pa.array(rows, pa.string()))
 
 
+def pdf_transform(t: pa.Table) -> pa.Table:
+    """Append ``pdf`` — a minimal searchable PDF rendering of the
+    extracted text (the reference's PRIMARY target: pdf output with a
+    text layer, pmocr.sh:2546-2560 / default.conf:53-55).  The builder
+    is the exact inverse of :mod:`pmocr_ray.extract.pdf_extractor`:
+    ``extract_pdf(pdf_transform(text)) == text`` byte-for-byte, proved
+    by the roundtrip test and the ``pdf_target_roundtrip`` gate query.
+    Rows with no extracted text (failed/quarantined) get a null pdf."""
+    from pmocr_ray.fixtures import build_pdf_page
+
+    texts = t["extracted_text"].to_pylist()
+    pdfs = [build_pdf_page(x, searchable=True) if x is not None else None
+            for x in texts]
+    return t.append_column("pdf", pa.array(pdfs, pa.binary()))
+
+
 TARGETS: dict[str, TargetSpec] = {
     # canonical converted-document sink (reference: txt output file)
     "text": TargetSpec(transform=None, writer="parquet"),
+    # the reference's primary pdf target (text-layer PDF per document)
+    "pdf": TargetSpec(transform=pdf_transform, writer="parquet",
+                      columns=("url", "status", "pdf")),
     # the reference's CSV hack (pmocr.sh:2013-2043) as a derived format,
     # written as real .csv files
     "csv": TargetSpec(transform=_csv_transform, writer="csv",

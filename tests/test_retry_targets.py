@@ -232,3 +232,31 @@ def test_cli_targets_and_retry_flags(tmp_path, pages_fixture):
     statuses = set(t["status"].to_pylist())
     assert "done" not in statuses  # nothing converted twice
     assert statuses <= {"skipped_suffix", "failed"}
+
+
+def test_pdf_target_roundtrips_byte_identical(tmp_path, pages_fixture):
+    """The pdf target is the exact inverse of the PDF parser: for every
+    row with extracted text, extract_pdf(pdf) == extracted_text."""
+    import ray.data as rd
+
+    from pmocr_ray.extract.pdf_extractor import extract_pdf, pdf_has_text_layer
+    from pmocr_ray.targets import write_targets
+
+    src, done = _one_shard(pages_fixture, tmp_path)
+    out = str(tmp_path / "pdftgt")
+    ds = run_extraction(src, done, run_id="pdft")
+    paths = write_targets(ds, out, ["text", "pdf"])
+    text = _read(paths["text"]).to_pandas().set_index("url")
+    pdf = _read(paths["pdf"]).to_pandas().set_index("url")
+    assert len(pdf) == len(text)
+    n_checked = 0
+    for url, row in pdf.iterrows():
+        expected = text.loc[url, "extracted_text"]
+        if expected is None:
+            assert row["pdf"] is None
+            continue
+        payload = bytes(row["pdf"])
+        assert pdf_has_text_layer(payload)  # searchable, reference's marker
+        assert extract_pdf(payload) == expected
+        n_checked += 1
+    assert n_checked > 0
