@@ -58,6 +58,7 @@ KEYS = [
     "priority_semi_native",
     "user_type_mask_agg",
     "federated_union",
+    "pdf_target_roundtrip",
 ]
 
 
