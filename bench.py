@@ -354,6 +354,12 @@ def _update_baseline_md(summary: dict, results: dict) -> None:
         f"**Scaling efficiency {lo}→{hi}: {summary['scaling_efficiency']}** "
         f"(target ≥ 0.8; = (t_{lo}/t_{hi}) / ({hi}/{lo}))",
         "",
+        f"_Keep-better policy: this is the BEST paired sample to date "
+        f"(written {datetime.datetime.now().strftime('%Y-%m-%d %H:%M')}), "
+        f"not a central tendency — this host's capacity drifts 2-3× "
+        f"between windows; every run (kept or not) is a row in the "
+        f"measurement-history table below._",
+        "",
         f"Host-capacity probe (pure-compute spin, no Ray): efficiency "
         f"**{summary['host_efficiency']}** in this window "
         f"(pre {summary['host_probe_pre']['host_efficiency']} / post "
@@ -385,7 +391,8 @@ def _update_baseline_md(summary: dict, results: dict) -> None:
                         text.split(_MARK_BEGIN)[1].split(_MARK_END)[0])
         new_eff = summary["scaling_efficiency"]
         if old and new_eff < float(old.group(1)):
-            hist = (f"| auto ({datetime.datetime.now().strftime('%H:%M')}) "
+            now = datetime.datetime.now().strftime("%m-%d %H:%M")
+            hist = (f"| auto ({now}) "
                     f"| {summary['pages']/1e6:.1f}M "
                     f"| {summary['sec_lo']} | {summary['sec_hi']} "
                     f"| {summary['docs_per_sec_hi']:,.0f} | {new_eff} "
@@ -395,10 +402,22 @@ def _update_baseline_md(summary: dict, results: dict) -> None:
                     f"{summary['host_probe_pre'].get('membw_gbs_hi', '?')}/"
                     f"{summary['host_probe_post'].get('membw_gbs_hi', '?')} GB/s |")
             lines = text.splitlines()
-            last_row = max(i for i, ln in enumerate(lines)
-                           if ln.startswith("| ") and ln.count("|") >= 7)
-            lines.insert(last_row + 1, hist)
-            text = "\n".join(lines) + ("\n" if text.endswith("\n") else "")
+            # anchor to the measurement-history table explicitly (its
+            # header names the first column), not "any wide table row"
+            hdr = [i for i, ln in enumerate(lines)
+                   if ln.lstrip().startswith("| when ")]
+            if hdr:
+                j = hdr[0] + 1
+                while j < len(lines) and lines[j].lstrip().startswith("|"):
+                    j += 1
+                lines.insert(j, hist)
+                text = "\n".join(lines) + ("\n" if text.endswith("\n") else "")
+            else:
+                # no history table: append one after the auto block
+                text = (text.rstrip() + "\n\n## Measurement history\n\n"
+                        "| when (UTC-ish) | pages | t_8 (s) | t_32 (s) "
+                        "| docs/s @32 | efficiency | engine |\n"
+                        "|---|---|---|---|---|---|---|\n" + hist + "\n")
         else:
             pre = text.split(_MARK_BEGIN)[0]
             post = text.split(_MARK_END)[-1]

@@ -475,21 +475,36 @@ def minhash_dedup_keep(
     column: str = "text",
     key: str = "doc_id",
     threshold: float = 0.8,
+    distributed_cc_pair_limit: int = 2_000_000,
     **minhash_kwargs,
 ) -> rd.Dataset:
     """End-to-end near-dup dedup decision: every input row annotated with
     ``keep`` (cluster representative = min id) and ``dup_of`` (cluster
     root; equals own id for kept rows).
 
-    pairs (MinHash-LSH, skew-aware) → union-find on the verified pair
-    set (orders of magnitude smaller than the corpus) → broadcast the
-    root map → one vectorized annotation pass.  The corpus itself is
-    never collected.
+    pairs (MinHash-LSH, skew-aware) → connected components → one
+    vectorized annotation pass.  The corpus itself is never collected.
+
+    The component step routes by pair count: the verified pair set is
+    usually orders of magnitude smaller than the corpus, so at or below
+    ``distributed_cc_pair_limit`` pairs it is collected and resolved
+    with a driver-side union-find and the root map broadcast via
+    ``ray.put``.  Above the limit (mirror farms / template storms at
+    crawl scale can emit pair sets that fit no single machine) the
+    labels are computed in-cluster by min-label propagation
+    (:func:`pmocr_ray.ops.graph.connected_components_distributed`) and
+    hash-joined back onto the corpus — nothing pair-shaped ever
+    reaches the driver on that route.  Both routes produce identical
+    (dup_of, keep) columns; set the limit to 0 to force the
+    distributed path.
     """
-    pairs = [(r["a"], r["b"]) for r in
-             minhash_dedup_pairs(ds, column=column, key=key,
-                                 threshold=threshold, **minhash_kwargs)
-             .select_columns(["a", "b"]).take_all()]
+    pairs_ds = (minhash_dedup_pairs(ds, column=column, key=key,
+                                    threshold=threshold, **minhash_kwargs)
+                .select_columns(["a", "b"])).materialize()
+    if pairs_ds.count() > distributed_cc_pair_limit:
+        return _annotate_keep_distributed(ds, pairs_ds, key=key)
+
+    pairs = [(r["a"], r["b"]) for r in pairs_ds.take_all()]
     roots = connected_components(pairs)
     roots_ref = ray.put(roots)
 
@@ -502,6 +517,34 @@ def minhash_dedup_keep(
                  .append_column("keep", pa.array(keep, pa.bool_())))
 
     return ds.map_batches(annotate, batch_format="pyarrow")
+
+
+def _annotate_keep_distributed(ds: rd.Dataset, pairs: rd.Dataset,
+                               *, key: str) -> rd.Dataset:
+    """Scale route of :func:`minhash_dedup_keep`: component labels via
+    distributed min-label propagation, joined back onto the corpus.
+
+    ``pairs`` is a materialized (a, b) int64 edge list.  The label
+    table is one row per edge endpoint — still far smaller than the
+    corpus — so join partitions are sized from it (an undersized
+    partition count only makes partitions bigger, never wrong)."""
+    from pmocr_ray.ops.graph import connected_components_distributed
+
+    labels = connected_components_distributed(pairs).materialize()
+    parts = max(1, min(16, labels.count() // 40_000 + 1))
+    joined = ds.join(labels, join_type="left_outer", num_partitions=parts,
+                     on=(key,), right_on=("node",))
+
+    def annotate(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t[key], pa.int64())
+        dup_of = pc.coalesce(pc.cast(t["label"], pa.int64()), ids)
+        keep = pc.equal(dup_of, ids)
+        t = t.drop_columns([c for c in ("node", "label")
+                            if c in t.column_names])
+        return (t.append_column("dup_of", dup_of.combine_chunks())
+                 .append_column("keep", keep.combine_chunks()))
+
+    return joined.map_batches(annotate, batch_format="pyarrow")
 
 
 def connected_components(pairs: list[tuple[int, int]]) -> dict[int, int]:
@@ -800,8 +843,10 @@ def explode_lines(ds: rd.Dataset, *, key: str = "doc_id",
 
     Vectorized: one regex split + ``list_flatten``; within-row token
     positions and chunk ids come from numpy offset arithmetic, and the
-    per-line string join is a single C-level pandas groupby — no
-    Python loop over tokens.  Emits (key, line_no, line).
+    per-line string join is one C-level ``binary_join`` over a rebuilt
+    ListArray (tokens of a line are contiguous in the flat array by
+    construction) — no per-group Python join.  Emits
+    (key, line_no, line).
     """
     def explode(batch: pa.Table) -> pa.Table:
         toks = pc.split_pattern_regex(batch[column], r"\s+")
@@ -821,14 +866,20 @@ def explode_lines(ds: rd.Dataset, *, key: str = "doc_id",
         np.maximum.accumulate(starts, out=starts)
         pos = np.arange(len(pn), dtype=np.int64) - starts
         chunk = pos // width
-        keys = batch[key].to_numpy(zero_copy_only=False)[pn]
-        df = pd.DataFrame({"k": keys, "c": chunk,
-                           "w": flat.to_pandas()})
-        lines = (df.groupby(["k", "c"], sort=False)["w"]
-                   .agg(" ".join).reset_index())
-        return pa.table({key: pa.array(lines["k"], batch[key].type),
-                         "line_no": pa.array(lines["c"], pa.int64()),
-                         "line": pa.array(lines["w"], pa.string())})
+        # each (row, chunk) group is a contiguous slice of the flat
+        # token array, so lines are just a ListArray over it: find
+        # the slice boundaries, rebuild, and join at C level
+        brk = np.nonzero((np.diff(pn) != 0) | (np.diff(chunk) != 0))[0] + 1
+        offsets = np.concatenate([[0], brk, [len(pn)]]).astype(np.int64)
+        line_list = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()), flat)
+        text = pc.binary_join(line_list, " ")
+        line_start = offsets[:-1]
+        return pa.table({
+            key: batch[key].take(pa.array(pn[line_start], pa.int64())),
+            "line_no": pa.array(chunk[line_start], pa.int64()),
+            "line": pc.cast(text, pa.string()),
+        })
 
     return ds.map_batches(explode, batch_format="pyarrow")
 
@@ -855,7 +906,16 @@ def line_dedup(ds: rd.Dataset, *, key: str = "doc_id",
         if len(ln) and ln.max() >= LINE_STRIDE:
             raise ValueError(
                 f"document has >= {LINE_STRIDE} lines; raise LINE_STRIDE")
-        pos = batch[key].to_numpy(zero_copy_only=False) * LINE_STRIDE + ln
+        ks = batch[key].to_numpy(zero_copy_only=False)
+        # same loud guard for the key half of the packing: a hashed /
+        # synthetic id >= 2**63 // LINE_STRIDE (or negative) would
+        # silently overflow int64 and corrupt winner selection
+        if len(ks) and (ks.min() < 0 or ks.max() >= (1 << 63) // LINE_STRIDE):
+            raise ValueError(
+                f"{key} outside [0, 2**63 // LINE_STRIDE): packed "
+                "position would overflow int64; remap ids (dense "
+                "int64) before line_dedup")
+        pos = ks * LINE_STRIDE + ln
         return pa.table({"line": batch["line"],
                          "pos": pa.array(pos, pa.int64())})
 

@@ -49,15 +49,26 @@ def broadcast_anti_join(ds: rd.Dataset, key: str, keys: Iterable) -> rd.Dataset:
 
 
 def broadcast_lookup(ds: rd.Dataset, key: str, mapping: dict,
-                     out_column: str, default=None) -> rd.Dataset:
+                     out_column: str, default=None,
+                     value_type: pa.DataType | None = None) -> rd.Dataset:
     """Map-side dimension lookup: append ``out_column`` =
-    ``mapping[key]`` per row (broadcast dict, no shuffle)."""
+    ``mapping[key]`` per row (broadcast dict, no shuffle).
+
+    The output column type is pinned once from the mapping's values
+    (or ``value_type``), not inferred per batch — an all-miss batch
+    would otherwise infer ``null`` and yield inconsistent schemas
+    across batches, breaking downstream union/write."""
     ref = ray.put(mapping)
+    if value_type is None:
+        probe = [v for v in mapping.values() if v is not None]
+        if default is not None:
+            probe.append(default)
+        value_type = pa.array(probe[:1]).type if probe else pa.null()
 
     def fn(t: pa.Table) -> pa.Table:
         m = ray.get(ref)
         vals = [m.get(k, default) for k in t[key].to_pylist()]
-        return t.append_column(out_column, pa.array(vals))
+        return t.append_column(out_column, pa.array(vals, type=value_type))
 
     return ds.map_batches(fn, batch_format="pyarrow")
 

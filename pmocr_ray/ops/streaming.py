@@ -137,8 +137,15 @@ class WindowBucket:
             win = ts // self.window_us * self.window_us
             late = arr > win + self.window_us + self.lateness_us
             for w in np.unique(win):
-                assert int(w) not in self.done, \
-                    "arrival for an emitted window violates max_delay"
+                if int(w) in self.done:
+                    # not an assert: must hold under python -O and on
+                    # real data, else an already-emitted 'final' window
+                    # would silently re-accumulate and emit twice
+                    raise ValueError(
+                        f"window {int(w)} already emitted: an arrival "
+                        f"violated the max_delay={self.max_delay_us}us "
+                        "contract; raise max_delay or route late rows "
+                        "to a side output")
                 m = win == w
                 a = self.acc.setdefault(int(w), [0, 0])
                 a[0] += int(m.sum())

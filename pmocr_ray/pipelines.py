@@ -32,6 +32,7 @@ def curate(
     keep_langs: tuple[str, ...] | None = None,
     dedup_threshold: float = 0.8,
     concurrency: int = 2,
+    distributed_cc_pair_limit: int = 2_000_000,
 ) -> rd.Dataset:
     """Curated corpus: quality-scored, language-tagged, near-dup-free.
 
@@ -41,9 +42,10 @@ def curate(
     ds = docs.map_batches(LangIdStage, batch_format="pyarrow",
                           concurrency=(1, concurrency))
     ds = ds.map_batches(quality_score, batch_format="pyarrow")
-    ds = minhash_dedup_keep(ds, column=column, key=key,
-                            threshold=dedup_threshold,
-                            concurrency=concurrency)
+    ds = minhash_dedup_keep(
+        ds, column=column, key=key, threshold=dedup_threshold,
+        concurrency=concurrency,
+        distributed_cc_pair_limit=distributed_cc_pair_limit)
 
     lang_set = pa.array(list(keep_langs)) if keep_langs else None
 

@@ -42,3 +42,29 @@ def test_curate_pipeline(ray_session):
     for r in out.values():
         assert {"lang_pred", "quality", "dup_of", "keep"} <= set(r)
         assert r["keep"] and r["quality"] >= 0.1
+
+
+def test_minhash_dedup_keep_distributed_cc_matches(ray_session):
+    """Forcing the distributed connected-components route (pair limit 0)
+    must produce byte-identical (dup_of, keep) decisions to the default
+    driver-side union-find route."""
+    driver = {r["doc_id"]: (r["dup_of"], r["keep"]) for r in
+              minhash_dedup_keep(_corpus(ray_session),
+                                 threshold=0.5).take_all()}
+    dist = {r["doc_id"]: (r["dup_of"], r["keep"]) for r in
+            minhash_dedup_keep(_corpus(ray_session), threshold=0.5,
+                               distributed_cc_pair_limit=0).take_all()}
+    assert driver == dist
+    assert dist[0] == (0, True) and dist[1] == (0, False)
+
+
+def test_curate_distributed_cc(ray_session):
+    """curate survives (and matches) with the distributed CC route."""
+    base = {r["doc_id"] for r in
+            curate(_corpus(ray_session), min_quality=0.1,
+                   dedup_threshold=0.5).take_all()}
+    dist = {r["doc_id"] for r in
+            curate(_corpus(ray_session), min_quality=0.1,
+                   dedup_threshold=0.5,
+                   distributed_cc_pair_limit=0).take_all()}
+    assert base == dist == {0, 4}
