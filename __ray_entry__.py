@@ -277,6 +277,12 @@ def _q_len_histogram(sf_dir: str):
 
 
 def _q_knn_ivf(sf_dir: str):
+    """IVF kNN pinned to its EXACT regime for the oracle gate:
+    ``n_probe = n_cells`` probes every cell, so the candidate set is
+    the whole corpus and the result equals the brute-force top-k —
+    recall 1 by construction, same SQL twin as ``knn_cosine``.  The
+    approximate production regime (n_probe=4) is benchmarked
+    separately in bench.py (``knn_ivf_probe``)."""
     import ray.data as rd
 
     from pmocr_ray.ops.knn import knn_cosine_ivf
@@ -286,13 +292,17 @@ def _q_knn_ivf(sf_dir: str):
     q0 = np.asarray(
         q.filter(pc.equal(q["vec_id"], 0))["embedding"].to_pylist(), dtype=np.float64
     )
-    out = knn_cosine_ivf(rd.read_parquet(emb_path), q0, k=10)
+    out = knn_cosine_ivf(rd.read_parquet(emb_path), q0, k=10,
+                         n_cells=16, n_probe=16)
     return out.select(["vec_id", "rank"])
 
 
 def _q_knn_ivf_indexed(sf_dir: str):
-    """ANN over the persisted cell-partitioned IVF index (only probed
-    cell directories are read).  Approximate — rows-only."""
+    """kNN over the persisted cell-partitioned IVF index, pinned to
+    the exact regime (``n_probe = n_cells`` → every cell directory is
+    read → identical to brute force, oracle-checkable).  The
+    partition-pruning value of the index is exercised by the
+    approximate bench regime, not the correctness gate."""
     import shutil
 
     import ray.data as rd
@@ -309,7 +319,7 @@ def _q_knn_ivf_indexed(sf_dir: str):
     q0 = np.asarray(
         q.filter(pc.equal(q["vec_id"], 0))["embedding"].to_pylist(),
         dtype=np.float64)
-    out = knn_cosine_ivf_indexed(idx, q0, k=10, n_probe=4)
+    out = knn_cosine_ivf_indexed(idx, q0, k=10, n_probe=16)
     return out.select(["vec_id", "rank"])
 
 
@@ -1250,9 +1260,19 @@ def _q_dedup_ngram(sf_dir: str):
 
 
 def _q_dedup_simhash(sf_dir: str):
+    """SimHash near-dup pinned to its EXACT regime: the 4×16-bit
+    pigeonhole banding is complete for Hamming ≤ 3, and
+    ``word_hash="md5"`` (little-endian first 8 digest bytes =
+    DuckDB's ``md5_number_upper``) makes the 64-bit signatures — and
+    therefore the full pair set — recomputable by the SQL oracle's
+    brute-force ``bit_count(xor(sig_a, sig_b)) <= 3`` self-join.
+    ``max_bucket`` is raised past the corpus size so the hot-bucket
+    cap (a scale guard, exercised in pytest) cannot truncate the
+    oracle-checked set."""
     from pmocr_ray.ops.dedup import simhash_dedup_pairs
 
-    return simhash_dedup_pairs(_docs(sf_dir), max_distance=3)
+    return simhash_dedup_pairs(_docs(sf_dir), max_distance=3,
+                               word_hash="md5", max_bucket=1 << 20)
 
 
 def _q_dedup_embedding(sf_dir: str):
@@ -1267,13 +1287,25 @@ def _q_dedup_embedding(sf_dir: str):
 
 
 def _q_dedup_embedding_lsh(sf_dir: str):
+    """SRP-LSH near-dup pinned to a DENSE regime (5 planes × 64
+    tables) that is candidate-complete on the fixture corpus, so the
+    exact-cosine verify emits exactly the brute-force threshold pairs
+    and the brute-force SQL twin applies.  The math: at cosine 0.45
+    (these fixtures' pairs sit right at the threshold) a plane agrees
+    w.p. 1-acos(0.45)/π ≈ 0.649, so a 5-plane table catches a pair
+    w.p. 0.649⁵ ≈ 0.115 and 64 tables miss it w.p. (1-0.115)⁶⁴ ≈
+    4e-4 — and the planes are seeded, so the observed complete
+    candidate set is reproducible bit-for-bit.  The sparse production
+    regime (16 planes × 8 tables, for thresholds ≥0.9 where the
+    plane-agreement contrast is strong) is benchmarked separately in
+    bench.py (``dedup_embedding_lsh_fast``)."""
     import ray.data as rd
 
     from pmocr_ray.ops.dedup import embedding_dedup_pairs_lsh
 
     return embedding_dedup_pairs_lsh(
         rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet")),
-        threshold=0.45, n_planes=8, n_tables=16,
+        threshold=0.45, n_planes=5, n_tables=64,
     ).select_columns(["a", "b"])
 
 
@@ -8768,7 +8800,65 @@ def oracle_sql() -> dict[str, str]:
             JOIN qual USING (doc_id)
             JOIN roots USING (doc_id)
             WHERE roots.root = d.doc_id AND qual.quality >= 0.0""",
-        # Still rows-only (genuinely approximate / not SQL-expressible):
-        # dedup_simhash (blake2b signatures), dedup_embedding_lsh (SRP
-        # recall < 1), knn_ivf (probe recall < 1).
+        # SimHash pinned to its exact regime: md5 word hashes
+        # (md5_number_upper = little-endian first 8 digest bytes,
+        # matching the engine's word_hash="md5") reconstruct the
+        # 64-bit signatures in SQL; pigeonhole banding is complete for
+        # Hamming <= 3, so the engine's banded pair set equals this
+        # brute-force signature self-join
+        "dedup_simhash": r"""
+            WITH words AS (
+              SELECT doc_id, w FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(text, '\s+')) AS w
+                FROM documents
+              ) WHERE w <> ''
+            ), wh AS (
+              SELECT doc_id, md5_number_upper(w) AS h FROM words
+            ), bits AS (
+              SELECT doc_id, r.range AS bit,
+                     SUM(CASE WHEN (h >> CAST(r.range AS INTEGER)) & 1 = 1
+                              THEN 1 ELSE -1 END) AS acc
+              FROM wh, range(64) r GROUP BY doc_id, r.range
+            ), sigs AS (
+              SELECT doc_id,
+                     bit_or(CASE WHEN acc > 0
+                                 THEN CAST((CAST(1 AS HUGEINT)
+                                            << CAST(bit AS INTEGER))
+                                           AS UBIGINT)
+                                 ELSE CAST(0 AS UBIGINT) END) AS sig
+              FROM bits GROUP BY doc_id
+            )
+            SELECT x.doc_id AS a, y.doc_id AS b,
+                   CAST(bit_count(xor(x.sig, y.sig)) AS BIGINT) AS distance
+            FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id
+            WHERE bit_count(xor(x.sig, y.sig)) <= 3""",
+        # IVF knn pinned to its exact regime (n_probe = n_cells →
+        # candidate set = whole corpus): the brute-force twin applies
+        "knn_ivf": """
+            SELECT vec_id, CAST(rank AS INTEGER) AS rank FROM (
+              SELECT vec_id,
+                     row_number() OVER (
+                       ORDER BY list_cosine_similarity(
+                         embedding,
+                         (SELECT embedding FROM embeddings WHERE vec_id = 0)
+                       ) DESC, vec_id ASC) AS rank
+              FROM embeddings)
+            WHERE rank <= 10""",
+        "knn_ivf_indexed": """
+            SELECT vec_id, CAST(rank AS INTEGER) AS rank FROM (
+              SELECT vec_id,
+                     row_number() OVER (
+                       ORDER BY list_cosine_similarity(
+                         embedding,
+                         (SELECT embedding FROM embeddings WHERE vec_id = 0)
+                       ) DESC, vec_id ASC) AS rank
+              FROM embeddings)
+            WHERE rank <= 10""",
+        # SRP-LSH pinned to a candidate-complete dense regime (see the
+        # query docstring): verified pairs = exact threshold pairs
+        "dedup_embedding_lsh": """
+            SELECT a.vec_id AS a, b.vec_id AS b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45""",
     }

@@ -578,18 +578,34 @@ class SimHashStage:
 
     Near-dup = Hamming distance ≤ k.  Pairing uses the pigeonhole
     banding of the 64 bits into 4×16-bit chunks: any pair with
-    distance ≤ 3 shares at least one exact chunk.
+    distance ≤ 3 shares at least one exact chunk — COMPLETE, not
+    probabilistic, for that distance bound.
+
+    ``word_hash`` selects the per-word 64-bit hash: ``"blake2b"``
+    (default, fastest well-mixed option) or ``"md5"`` (little-endian
+    first 8 bytes of the md5 digest — exactly DuckDB's
+    ``md5_number_upper``), which makes the whole signature, and
+    therefore the pair set, recomputable by a SQL oracle.
     """
 
-    def __init__(self, key: str = "doc_id", column: str = "text") -> None:
+    def __init__(self, key: str = "doc_id", column: str = "text",
+                 word_hash: str = "blake2b") -> None:
+        if word_hash not in ("blake2b", "md5"):
+            raise ValueError(f"unknown word_hash {word_hash!r}")
         self.key = key
         self.column = column
+        self.word_hash = word_hash
         self.bit_cols = np.arange(64, dtype=np.uint64)
+
+    def _whash(self, word: bytes) -> int:
+        if self.word_hash == "md5":
+            return int.from_bytes(hashlib.md5(word).digest()[:8], "little")
+        return _hash64(word)
 
     def simhash(self, text: str) -> int:
         acc = np.zeros(64, dtype=np.int64)
         for w in text.split():
-            h = _hash64(w.encode())
+            h = self._whash(w.encode())
             bits = (h >> self.bit_cols) & 1
             acc += np.where(bits == 1, 1, -1)
         out = 0
@@ -618,12 +634,20 @@ class SimHashStage:
 
 def simhash_dedup_pairs(ds: rd.Dataset, *, key: str = "doc_id",
                         column: str = "text", max_distance: int = 3,
-                        max_bucket: int = 64, concurrency: int = 2) -> rd.Dataset:
+                        max_bucket: int = 64, concurrency: int = 2,
+                        word_hash: str = "blake2b") -> rd.Dataset:
     """SimHash near-dup pairs: signature → chunk-bucket groupby →
-    in-bucket Hamming verification.  Returns (a, b, distance)."""
+    in-bucket Hamming verification.  Returns (a, b, distance).
+
+    With ``max_distance ≤ 3`` the 4×16-bit pigeonhole banding is
+    complete (any pair within distance 3 shares an exact chunk), so —
+    bucket cap aside — the output is EXACTLY the brute-force Hamming
+    self-join over the signatures; ``word_hash="md5"`` makes those
+    signatures SQL-recomputable (see :class:`SimHashStage`)."""
     chunks = ds.map_batches(
         SimHashStage,
-        fn_constructor_kwargs={"key": key, "column": column},
+        fn_constructor_kwargs={"key": key, "column": column,
+                               "word_hash": word_hash},
         batch_format="pyarrow",
         concurrency=(1, concurrency),
     )

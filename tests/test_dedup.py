@@ -109,6 +109,48 @@ def test_simhash_finds_exact_and_near(corpus):
                for a, b in pairs)
 
 
+def test_simhash_md5_word_hash_oracle_regime(corpus):
+    """The md5 word-hash regime (the SQL-oracle twin): signatures are
+    little-endian md5 first-8-bytes — DuckDB's md5_number_upper —
+    and the banded pair set must equal the brute-force Hamming
+    self-join over locally recomputed signatures."""
+    import duckdb
+
+    rows = simhash_dedup_pairs(corpus, max_distance=3, word_hash="md5",
+                               max_bucket=1 << 20).take_all()
+    engine = {(r["a"], r["b"]): r["distance"] for r in rows}
+
+    docs = [(r["doc_id"], r["text"]) for r in corpus.take_all()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?,?)", docs)
+    sql = con.execute(r"""
+        WITH words AS (
+          SELECT doc_id, w FROM (
+            SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS w
+            FROM documents) WHERE w <> ''
+        ), wh AS (SELECT doc_id, md5_number_upper(w) AS h FROM words),
+        bits AS (
+          SELECT doc_id, r.range AS bit,
+                 SUM(CASE WHEN (h >> CAST(r.range AS INTEGER)) & 1 = 1
+                          THEN 1 ELSE -1 END) AS acc
+          FROM wh, range(64) r GROUP BY doc_id, r.range
+        ), sigs AS (
+          SELECT doc_id,
+                 bit_or(CASE WHEN acc > 0
+                             THEN CAST((CAST(1 AS HUGEINT)
+                                        << CAST(bit AS INTEGER)) AS UBIGINT)
+                             ELSE CAST(0 AS UBIGINT) END) AS sig
+          FROM bits GROUP BY doc_id)
+        SELECT x.doc_id, y.doc_id,
+               CAST(bit_count(xor(x.sig, y.sig)) AS BIGINT)
+        FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id
+        WHERE bit_count(xor(x.sig, y.sig)) <= 3""").fetchall()
+    oracle = {(a, b): d for a, b, d in sql}
+    assert engine == oracle
+    assert engine.get((0, 1)) == 0
+
+
 def test_embedding_dedup_lsh_matches_bruteforce(ray_session):
     """SRP-LSH path finds the planted near-dup pairs the brute-force
     baseline finds (exact dups always collide in every table)."""
