@@ -23,6 +23,8 @@ import numpy as np
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
+from pmocr_ray.ops.joins import parts_for_rows, sized_for_join
+
 REPS = 8  # pages per document row; must match the SQL below
 
 
@@ -72,6 +74,15 @@ def _docs(sf_dir: str):
     import ray.data as rd
 
     return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _pq_parts(sf_dir: str, table: str, cap: int = 8) -> int:
+    """Join-partition count for a BASE-table operand, sized from the
+    parquet file's metadata row count — no execution, no pinning of
+    the table in the object store (unlike ``sized_for_join``, which is
+    for derived rollups)."""
+    n = pq.ParquetFile(os.path.join(sf_dir, f"{table}.parquet")).metadata.num_rows
+    return parts_for_rows(n, cap)
 
 
 def _sel(ds, cols, flt=None):
@@ -565,8 +576,7 @@ def _q_lang_label_mix(sf_dir: str):
                            columns=["doc_id", "lang", "n_chars"])
     emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
                           columns=["vec_id", "label"])
-    n = docs.count()
-    parts = max(1, min(8, n // 40_000 + 1))
+    parts = _pq_parts(sf_dir, "documents", cap=8)
     j = docs.join(emb, join_type="inner", num_partitions=parts,
                   on=("doc_id",), right_on=("vec_id",))
 
@@ -2527,8 +2537,7 @@ def _q_basket_pairs(sf_dir: str):
     items = (li.groupby(["l_orderkey", "l_partkey"])
              .aggregate(Count(alias_name="_n"))
              .select_columns(["l_orderkey", "l_partkey"]))
-    n_items = items.count()
-    parts = max(1, min(16, n_items // 40_000 + 1))
+    items, parts = sized_for_join(items, cap=16)
 
     j = items.join(items, join_type="inner", num_partitions=parts,
                    on=("l_orderkey",), right_suffix="_r")
@@ -2759,8 +2768,7 @@ def _q_keep_best_dedup(sf_dir: str):
     g = (docs.groupby(["lang", "source"])
          .aggregate(Max("n_chars", alias_name="best_len"),
                     Count(alias_name="n_docs")))
-    n = docs.count()
-    parts = max(1, min(8, n // 40_000 + 1))
+    parts = _pq_parts(sf_dir, "documents", cap=8)
     j = docs.join(g, join_type="inner", num_partitions=parts,
                   on=("lang", "source"))
     hits = j.map_batches(
@@ -2965,8 +2973,7 @@ def _q_user_top_type(sf_dir: str):
               .aggregate(Sum("n", alias_name="n")))
     best = counts.groupby("user_id").aggregate(
         Max("n", alias_name="best"))
-    n = counts.count()
-    parts = max(1, min(8, n // 40_000 + 1))
+    counts, parts = sized_for_join(counts, cap=8)
     j = counts.join(best, join_type="inner", num_partitions=parts,
                     on=("user_id",))
     hits = j.map_batches(
@@ -3274,8 +3281,7 @@ def _q_repeat_orders_7d(sf_dir: str):
                          "day": pa.array(day, pa.int64())})
 
     base = orders.map_batches(prep, batch_format="pyarrow")
-    n = base.count()
-    parts = max(1, min(16, n // 40_000 + 1))
+    parts = _pq_parts(sf_dir, "orders", cap=16)
     j = base.join(base, join_type="inner", num_partitions=parts,
                   on=("o_custkey",), right_suffix="_r")
 
@@ -3524,8 +3530,7 @@ def _q_user_value_norm(sf_dir: str):
     stats = (base.groupby("user_id")
              .aggregate(Sum("v", alias_name="s"),
                         Count(alias_name="nu")))
-    n = base.count()
-    parts = max(1, min(16, n // 40_000 + 1))
+    parts = _pq_parts(sf_dir, "events", cap=16)
     j = base.join(stats, join_type="inner", num_partitions=parts,
                   on=("user_id",))
 
@@ -3570,10 +3575,9 @@ def _q_join_card_est(sf_dir: str):
 
     li_ok = key_counts("lineitem.parquet", "l_orderkey")
     o_ok = key_counts("orders.parquet", "o_orderkey")
-    n = li_ok.count()
     # one partition per ~40k rollup rows (each join partition costs an
     # aggregator actor spin-up; see ops/dedup.py partition-sizing note)
-    parts = max(1, min(8, n // 40_000 + 1))
+    li_ok, parts = sized_for_join(li_ok, cap=8)
     j = li_ok.join(o_ok, join_type="inner", num_partitions=parts,
                    on=("k",), right_suffix="_r")
     two_est = int(j.map_batches(
@@ -3746,8 +3750,7 @@ def _q_orders_above_cust_avg(sf_dir: str):
     stats = (base.groupby("o_custkey")
              .aggregate(Sum("price", alias_name="s"),
                         Count(alias_name="cn")))
-    n = base.count()
-    parts = max(1, min(8, n // 40_000 + 1))
+    parts = _pq_parts(sf_dir, "orders", cap=8)
     j = base.join(stats, join_type="inner", num_partitions=parts,
                   on=("o_custkey",))
 
@@ -3919,8 +3922,7 @@ def _q_region_revenue(sf_dir: str):
     per_cust = (orders.map_batches(cents, batch_format="pyarrow")
                 .groupby("o_custkey").aggregate(
                     Sum("rev", alias_name="rev")))
-    n = per_cust.count()
-    parts = max(1, min(8, n // 40_000 + 1))
+    per_cust, parts = sized_for_join(per_cust, cap=8)
     j = per_cust.join(cust, join_type="inner", num_partitions=parts,
                       on=("o_custkey",), right_on=("c_custkey",))
 
@@ -4054,8 +4056,7 @@ def _q_type_cooccur_lift(sf_dir: str):
     n_users = pairs.groupby("user_id").aggregate(Count()).count()
     tc_ref = _ray.put(type_counts)
 
-    n = pairs.count()
-    parts = max(1, min(8, n // 40_000 + 1))
+    pairs, parts = sized_for_join(pairs, cap=8)
     j = pairs.join(pairs, join_type="inner", num_partitions=parts,
                    on=("user_id",), right_suffix="_r")
 
@@ -4122,8 +4123,7 @@ def _q_nation_region_share(sf_dir: str):
     per_cust = (orders.map_batches(cents, batch_format="pyarrow")
                 .groupby("o_custkey")
                 .aggregate(Sum("rev", alias_name="rev")))
-    n = per_cust.count()
-    parts = max(1, min(8, n // 40_000 + 1))
+    per_cust, parts = sized_for_join(per_cust, cap=8)
     j = per_cust.join(cust, join_type="inner", num_partitions=parts,
                       on=("o_custkey",), right_on=("c_custkey",))
     per_nation = (j.groupby("c_nationkey")
@@ -4248,8 +4248,7 @@ def _q_nation_pair_flows(sf_dir: str):
                  .aggregate(Sum("rev", alias_name="rev")))
     orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
                              columns=["o_orderkey", "o_custkey"])
-    n = per_order.count()
-    parts = max(1, min(8, n // 40_000 + 1))
+    per_order, parts = sized_for_join(per_order, cap=8)
     j1 = per_order.join(orders, join_type="inner", num_partitions=parts,
                         on=("l_orderkey",), right_on=("o_orderkey",))
     customer = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
@@ -4364,8 +4363,7 @@ def _q_sole_returner_suppliers(sf_dir: str):
             ["o_orderkey"])
 
     f_orders = orders.map_batches(f_only, batch_format="pyarrow")
-    n = cand.count()
-    parts = max(1, min(8, n // 40_000 + 1))
+    cand, parts = sized_for_join(cand, cap=8)
     j = cand.join(f_orders, join_type="inner", num_partitions=parts,
                   on=("l_orderkey",), right_on=("o_orderkey",))
     from ray.data.aggregate import Count
@@ -4459,8 +4457,7 @@ def _q_order_backlog(sf_dir: str):
             .groupby("l_orderkey").aggregate(Max("ed", alias_name="ed")))
     orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
                              columns=["o_orderkey", "o_orderdate"])
-    n = ends.count()
-    parts = max(1, min(8, n // 40_000 + 1))
+    ends, parts = sized_for_join(ends, cap=8)
     j = ends.join(orders, join_type="inner", num_partitions=parts,
                   on=("l_orderkey",), right_on=("o_orderkey",))
 
@@ -4794,8 +4791,7 @@ def _q_cohort_retention(sf_dir: str):
                 .groupby(["ck", "q"]).count()
                 .drop_columns(["count()"]))
     first_q = (activity.groupby("ck").aggregate(Min("q", alias_name="cohort")))
-    n = first_q.count()
-    parts = max(1, min(8, n // 40_000 + 1))
+    first_q, parts = sized_for_join(first_q, cap=8)
     j = activity.join(first_q, join_type="inner", num_partitions=parts,
                       on=("ck",), right_on=("ck",))
 
@@ -4962,8 +4958,7 @@ def _q_small_order_revenue(sf_dir: str):
                 .groupby("pk")
                 .aggregate(Sum("sq", alias_name="sq"),
                            Sum("n", alias_name="n")))
-    n = per_part.count()
-    parts = max(1, min(8, n // 40_000 + 1))
+    per_part, parts = sized_for_join(per_part, cap=8)
     j = li.join(per_part, join_type="inner", num_partitions=parts,
                 on=("l_partkey",), right_on=("pk",))
 
@@ -5019,8 +5014,7 @@ def _q_large_orders(sf_dir: str):
         return t.filter(pc.greater(t["total_qty"], THRESH))
 
     big = per_order.map_batches(having, batch_format="pyarrow")
-    n = max(1, big.count())
-    parts = max(1, min(8, n // 40_000 + 1))
+    big, parts = sized_for_join(big, cap=8)
     orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
                              columns=["o_orderkey", "o_custkey",
                                       "o_orderdate", "o_totalprice"])
@@ -5367,8 +5361,7 @@ def _q_nation_market_share(sf_dir: str):
 
     cust_r = cust.map_batches(cust_in_region, batch_format="pyarrow")
 
-    n = per_order.count()
-    parts = max(1, min(8, n // 40_000 + 1))
+    per_order, parts = sized_for_join(per_order, cap=8)
     j1 = per_order.join(orders_w, join_type="inner",
                         num_partitions=parts,
                         on=("l_orderkey",), right_on=("o_orderkey",))

@@ -239,7 +239,8 @@ def lsh_candidate_pairs(band_rows: rd.Dataset, max_bucket: int = 64,
     # (callers at cluster scale raise ``num_partitions``; the fixed
     # per-partition cost amortizes there).
     n_rows = band_rows.count()
-    num_partitions = max(1, min(num_partitions, n_rows // 40_000 + 1))
+    from pmocr_ray.ops.joins import parts_for_rows
+    num_partitions = parts_for_rows(n_rows, cap=num_partitions)
     counts = band_rows.groupby(["band", "bucket"]).count()
     hot = counts.map_batches(
         lambda t: t.filter(pa.compute.greater(t["count()"], max_bucket)),
@@ -530,8 +531,10 @@ def _annotate_keep_distributed(ds: rd.Dataset, pairs: rd.Dataset,
     partition count only makes partitions bigger, never wrong)."""
     from pmocr_ray.ops.graph import connected_components_distributed
 
+    from pmocr_ray.ops.joins import parts_for_rows
+
     labels = connected_components_distributed(pairs).materialize()
-    parts = max(1, min(16, labels.count() // 40_000 + 1))
+    parts = parts_for_rows(labels.count(), cap=16)
     joined = ds.join(labels, join_type="left_outer", num_partitions=parts,
                      on=(key,), right_on=("node",))
 

@@ -48,6 +48,42 @@ def broadcast_anti_join(ds: rd.Dataset, key: str, keys: Iterable) -> rd.Dataset:
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+#: one hash-join partition per this many rows of the smaller join
+#: operand; each partition costs a HashShuffleAggregator actor
+#: (~0.3 s spin-up measured), so partitions scale WITH the data
+#: instead of a fixed constant
+ROWS_PER_JOIN_PARTITION = 40_000
+
+
+def parts_for_rows(n_rows: int, cap: int = 8) -> int:
+    """Hash-join partition count for an operand of ``n_rows`` rows —
+    the one shared sizing rule (see :data:`ROWS_PER_JOIN_PARTITION`).
+    Use directly when the row count is already known cheaply (parquet
+    file metadata, a prior count); use :func:`sized_for_join` when the
+    operand is a lazy pipeline."""
+    return max(1, min(cap, n_rows // ROWS_PER_JOIN_PARTITION + 1))
+
+
+def sized_for_join(ds: rd.Dataset, cap: int = 8) -> tuple["rd.MaterializedDataset", int]:
+    """Materialize a join operand and size its hash partitions from
+    the actual row count: one per ~:data:`ROWS_PER_JOIN_PARTITION`
+    rows, at least 1 (an all-empty partition reaches acero as a
+    zero-column table and fails FieldRef resolution), at most ``cap``
+    (raise it at cluster scale where the per-partition actor cost
+    amortizes).
+
+    Materializing matters as much as the sizing: a bare
+    ``ds.count()`` on a lazy pipeline executes the whole upstream once
+    for the count and AGAIN for the join — on a pre-aggregated rollup
+    (the usual operand here) pinning the small result is strictly
+    cheaper.  Do NOT hand this a raw base-table read (that would pin
+    the corpus): size those from parquet metadata via
+    :func:`parts_for_rows` and keep the read lazy.
+    Returns ``(materialized_ds, num_partitions)``."""
+    m = ds.materialize()
+    return m, parts_for_rows(m.count(), cap)
+
+
 def broadcast_lookup(ds: rd.Dataset, key: str, mapping: dict,
                      out_column: str, default=None,
                      value_type: pa.DataType | None = None) -> rd.Dataset:
