@@ -5958,6 +5958,40 @@ def _q_pdf_target_roundtrip(sf_dir: str):
     return ds.map_batches(roundtrip, batch_format="pyarrow")
 
 
+def _q_docx_target_roundtrip(sf_dir: str):
+    """The reference's WORD output target closed under this engine:
+    extracted text → minimal real docx (targets.docx_transform, a ZIP
+    of WordprocessingML built from the stdlib) → docx parser →
+    byte-compare.  Writer and parser are exact inverses; every
+    extracted document roundtrips.  Same gate shape as
+    ``pdf_target_roundtrip`` — the Ray side EARNS each ok=1 by
+    building and re-parsing a real docx payload."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(_extraction_output_dir(sf_dir),
+                         columns=["url", "extracted_text"])
+
+    def roundtrip(t: pa.Table) -> pa.Table:
+        from pmocr_ray.extract.docx_extractor import extract_docx
+        from pmocr_ray.targets import docx_transform
+
+        t2 = docx_transform(t)
+        urls, oks = [], []
+        for url, txt, doc in zip(t2["url"].to_pylist(),
+                                 t2["extracted_text"].to_pylist(),
+                                 t2["docx"].to_pylist()):
+            if txt is None:
+                continue
+            urls.append(url)
+            oks.append(int(extract_docx(doc) == txt))
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "roundtrip_ok": pa.array(oks, pa.int64())})
+
+    return ds.map_batches(roundtrip, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction pipeline family (pages fixture derived from documents)
@@ -6106,6 +6140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_type_mask_agg": _q_user_type_mask_agg,
         "federated_union": _q_federated_union,
         "pdf_target_roundtrip": _q_pdf_target_roundtrip,
+        "docx_target_roundtrip": _q_docx_target_roundtrip,
         "cust_order_dist": _q_cust_order_dist,
         "sentence_stats": _q_sentence_stats,
         "basket_pairs": _q_basket_pairs,
@@ -6429,6 +6464,9 @@ def oracle_sql() -> dict[str, str]:
                        AS n_hits
             FROM s""",
         "pdf_target_roundtrip": _PAGE_CTE + """
+            SELECT url, CAST(1 AS BIGINT) AS roundtrip_ok
+            FROM c WHERE cls <= 15 OR cls = 19""",
+        "docx_target_roundtrip": _PAGE_CTE + """
             SELECT url, CAST(1 AS BIGINT) AS roundtrip_ok
             FROM c WHERE cls <= 15 OR cls = 19""",
         "page_meta": _PAGE_CTE + """

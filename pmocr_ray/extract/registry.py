@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+from pmocr_ray.extract.docx_extractor import extract_docx
 from pmocr_ray.extract.html_extractor import extract_html
 from pmocr_ray.extract.pdf_extractor import extract_pdf
 from pmocr_ray.schema import CT_HTML, CT_PDF
@@ -20,6 +21,10 @@ from pmocr_ray.schema import CT_HTML, CT_PDF
 EXTRACTORS: dict[str, Callable[[bytes], str]] = {
     CT_HTML: extract_html,
     CT_PDF: extract_pdf,
+    # structured-document route (the WORD-target inverse); the default
+    # sniff never emits this type — route it via a registered sniff
+    # extension or an explicit content_type column
+    "docx": extract_docx,
 }
 
 

@@ -74,6 +74,20 @@ def pdf_transform(t: pa.Table) -> pa.Table:
     return t.append_column("pdf", pa.array(pdfs, pa.binary()))
 
 
+def docx_transform(t: pa.Table) -> pa.Table:
+    """Append ``docx`` — a minimal real WordprocessingML container
+    (the reference's WORD target analogue, default.conf:56 / dispatch
+    pmocr.sh:2546-2593).  Writer is the parser's exact inverse:
+    ``extract_docx(docx_transform(text)) == text`` byte-for-byte,
+    proved by the roundtrip test and the ``docx_target_roundtrip``
+    gate query.  Rows with no extracted text get a null docx."""
+    from pmocr_ray.extract.docx_extractor import build_docx
+
+    texts = t["extracted_text"].to_pylist()
+    docs = [build_docx(x) if x is not None else None for x in texts]
+    return t.append_column("docx", pa.array(docs, pa.binary()))
+
+
 TARGETS: dict[str, TargetSpec] = {
     # canonical converted-document sink (reference: txt output file)
     "text": TargetSpec(transform=None, writer="parquet"),
@@ -87,6 +101,10 @@ TARGETS: dict[str, TargetSpec] = {
     # JSONL — one object per line (write_json emits exactly that)
     "jsonl": TargetSpec(transform=None, writer="json",
                         columns=("url", "status", "extracted_text")),
+    # the reference's WORD target analogue (structured document:
+    # real minimal docx ZIP, one paragraph per line)
+    "docx": TargetSpec(transform=docx_transform, writer="parquet",
+                       columns=("url", "status", "docx")),
 }
 
 

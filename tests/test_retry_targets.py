@@ -260,3 +260,45 @@ def test_pdf_target_roundtrips_byte_identical(tmp_path, pages_fixture):
         assert extract_pdf(payload) == expected
         n_checked += 1
     assert n_checked > 0
+
+
+def test_docx_target_roundtrips_byte_identical(tmp_path, pages_fixture):
+    """The docx target (WORD-analogue: real minimal docx ZIP) is the
+    exact inverse of the docx parser: for every row with extracted
+    text, extract_docx(docx) == extracted_text."""
+    import io
+    import zipfile
+
+    from pmocr_ray.extract.docx_extractor import extract_docx
+    from pmocr_ray.targets import write_targets
+
+    src, done = _one_shard(pages_fixture, tmp_path)
+    out = str(tmp_path / "docxtgt")
+    ds = run_extraction(src, done, run_id="docxt")
+    paths = write_targets(ds, out, ["text", "docx"])
+    text = _read(paths["text"]).to_pandas().set_index("url")
+    docx = _read(paths["docx"]).to_pandas().set_index("url")
+    assert len(docx) == len(text)
+    n_checked = 0
+    for url, row in docx.iterrows():
+        expected = text.loc[url, "extracted_text"]
+        if expected is None:
+            assert row["docx"] is None
+            continue
+        payload = bytes(row["docx"])
+        # it is a real OPC container: zip with the three required parts
+        names = zipfile.ZipFile(io.BytesIO(payload)).namelist()
+        assert "word/document.xml" in names and "_rels/.rels" in names
+        assert extract_docx(payload) == expected
+        n_checked += 1
+    assert n_checked > 0
+
+
+def test_docx_registry_route(tmp_path):
+    """extract_docx is registered as an extractor: a docx payload
+    routed under the 'docx' content type extracts its own text."""
+    from pmocr_ray.extract.docx_extractor import build_docx
+    from pmocr_ray.extract.registry import get_extractor
+
+    fn = get_extractor("docx")
+    assert fn(build_docx("alpha\nbeta & <gamma>")) == "alpha\nbeta & <gamma>"
