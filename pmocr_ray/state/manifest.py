@@ -97,6 +97,7 @@ def run_incremental(
     concurrency: int | None = None,
     on_complete=None,
     update_row_manifest: bool = False,
+    extract_kwargs: dict | None = None,
 ) -> dict:
     """Process every input partition lacking a committed lineage entry.
 
@@ -110,6 +111,14 @@ def run_incremental(
     ``_OCR`` the moment its conversion lands, pmocr.sh:2088-2096), so a
     url appearing in a *later* partition of the same run is skipped.
     Requires ``done_manifest_path``.
+
+    ``extract_kwargs`` forwards engine configuration (preprocessors,
+    retry policy, batch sizing overrides …) to ``run_extraction`` —
+    the reference re-reads its engine config each service round
+    (SetOCREngineOptions at startup of each dispatch), so a config
+    change (or a broken engine) takes effect at the next poll, never
+    mid-partition.  A failing engine quarantines rows; the partition
+    still commits with its failure counts (fault isolation, SURVEY §4).
     """
     from pmocr_ray.pipeline import run_extraction  # local import: no ray at module load
 
@@ -138,6 +147,7 @@ def run_incremental(
             run_id=run_id,
             batch_size=batch_size,
             concurrency=concurrency,
+            **(extract_kwargs or {}),
         )
         ds.write_parquet(tmp_out)
         os.replace(tmp_out, part_out)
@@ -342,12 +352,15 @@ def update_done_manifest(output_path: str, done_manifest_path: str,
 
 
 def poll_once(pages_dir: str, out_dir: str, manifest_dir: str,
-              done_manifest_path: str | None = None) -> dict:
+              done_manifest_path: str | None = None,
+              extract_kwargs: dict | None = None) -> dict:
     """One service-mode round: diff listing vs manifest, process the new.
 
     Equivalent of one wake of the reference's watcher → DispatchRunner
-    chain (pmocr.sh:2268-2277 → 2195-2224)."""
-    return run_incremental(pages_dir, out_dir, manifest_dir, done_manifest_path)
+    chain (pmocr.sh:2268-2277 → 2195-2224).  ``extract_kwargs`` is the
+    per-round engine configuration (see :func:`run_incremental`)."""
+    return run_incremental(pages_dir, out_dir, manifest_dir,
+                           done_manifest_path, extract_kwargs=extract_kwargs)
 
 
 def serve(pages_dir: str, out_dir: str, manifest_dir: str,

@@ -225,3 +225,62 @@ def test_bloom_skip_matches_broadcast_path(ray_session, tmp_path):
     for u, v in bloom.items():
         assert broadcast[u] == v
     assert set(bloom) == set(broadcast) - done_urls
+
+
+def test_service_mode_engine_failure_drill(tmp_env, tmp_path):
+    """The reference's service-mode failure drill
+    (/root/reference/dev/tests/run_tests.sh:409-427: break the engine
+    mid-service, assert exactly 3 quarantined originals): round 1 is
+    healthy; the engine is then poisoned (a raising preprocessor — the
+    per-round engine config, like the reference's OCR_PREPROCESSOR) and
+    a 3-page partition arrives; that round must quarantine EXACTLY
+    those 3 rows, commit the partition with its failure counts, and
+    leave every prior manifest entry untouched.  After the engine is
+    fixed, the next round processes new arrivals normally and never
+    reprocesses the quarantined partition."""
+    # nested (not module-level) so Ray pickles it by value — worker
+    # processes cannot import the tests module
+    def _boom_preprocessor(payload):
+        raise RuntimeError("engine broken mid-service (drill)")
+
+    # round 1: healthy service round over the initial partitions
+    s1 = poll_once(tmp_env["monitored"], tmp_env["out"], tmp_env["manifest"],
+                   tmp_env["done"])
+    assert len(s1["processed"]) == 2
+    manifest = LineageManifest(tmp_env["manifest"])
+    committed_before = manifest.committed()
+
+    # a 3-page partition arrives while the engine is broken
+    src = pq.read_table(tmp_env["remaining"][0])
+    drill = src.slice(0, 3)
+    drill_path = os.path.join(tmp_env["monitored"], "part-drill.parquet")
+    pq.write_table(drill, drill_path)
+
+    s2 = poll_once(tmp_env["monitored"], tmp_env["out"], tmp_env["manifest"],
+                   tmp_env["done"],
+                   extract_kwargs={"preprocessors": [_boom_preprocessor]})
+    # exactly the 3 originals quarantined, nothing else touched
+    assert s2["counts"] == {"failed": 3}
+    assert len(s2["processed"]) == 1 and len(s2["skipped"]) == 2
+    key = _partition_key(drill_path)
+    entry = manifest.committed()[key]
+    assert entry["counts"] == {"failed": 3} and entry["num_rows"] == 3
+    for k, v in committed_before.items():  # prior entries byte-identical
+        assert manifest.committed()[k] == v
+    # the quarantined rows are real output rows with the engine error
+    out_part = os.path.join(tmp_env["out"], f"part-{key}")
+    rows = pq.read_table(glob.glob(os.path.join(out_part, "*.parquet"))[0])
+    assert rows.num_rows == 3
+    assert set(rows["status"].to_pylist()) == {"failed"}
+    assert all("engine broken mid-service" in e
+               for e in rows["error"].to_pylist())
+
+    # engine fixed: the next round processes new arrivals normally and
+    # does NOT reprocess the quarantined partition
+    new = tmp_env["remaining"][1]
+    shutil.copy(new, os.path.join(tmp_env["monitored"], os.path.basename(new)))
+    s3 = poll_once(tmp_env["monitored"], tmp_env["out"], tmp_env["manifest"],
+                   tmp_env["done"])
+    assert len(s3["processed"]) == 1 and len(s3["skipped"]) == 3
+    assert s3["counts"].get("done", 0) > 0
+    assert manifest.committed()[key] == entry  # drill entry untouched
