@@ -41,6 +41,14 @@ SCALING_LEVELS = (8, 32)
 def run_bench() -> dict:
     import ray
 
+    # Bracket the whole bench with the host-capacity probe (see
+    # _host_capacity_probe): this sandbox's granted CPU/membw drifts
+    # 2-3x across hours, and the probe records what the host could
+    # deliver in THIS window so a slow sample is attributable.  The
+    # scaling legs (SKIP_OPS) are probed by run_scaling instead.
+    probe_pre = None if SKIP_OPS else _host_capacity_probe(
+        max(1, NUM_CPUS // 4), NUM_CPUS)
+
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
              logging_level="ERROR")
     from ray.data import DataContext
@@ -219,6 +227,9 @@ def run_bench() -> dict:
         "extract_runs": extract_runs,
     }
     ray.shutdown()
+    result["host_probe_pre"] = probe_pre
+    result["host_probe_post"] = _host_capacity_probe(
+        max(1, NUM_CPUS // 4), NUM_CPUS)
     return result
 
 
