@@ -64,13 +64,17 @@ def exact_dedup(ds: rd.Dataset, column: str = "text", key: str = "doc_id") -> rd
             "n_dups": g["count_all"],
         })
 
-    from ray.data.aggregate import Min, Sum
+    from pmocr_ray.ops.vecagg import grouped_aggregate
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    out = partials.groupby("fp").aggregate(
-        Min("keep_id", alias_name="keep_id"), Sum("n_dups", alias_name="n_dups")
-    )
-    return out
+    # fp groups are CORPUS-scale — the Arrow-bucketed aggregate merges
+    # the per-batch partials without Ray's per-group Python reduce cost
+    return grouped_aggregate(
+        partials, ["fp"],
+        [("keep_id", "min", "keep_id"), ("n_dups", "sum", "n_dups")],
+        seed_schema=pa.schema([("fp", pa.string()),
+                               ("keep_id", pa.int64()),
+                               ("n_dups", pa.int64())]))
 
 
 def exact_dup_pairs(ds: rd.Dataset, column: str = "text", key: str = "doc_id",
@@ -981,7 +985,7 @@ def line_dedup(ds: rd.Dataset, *, key: str = "doc_id",
     → ``groupby(key)`` re-assembly.  Both shuffles move line-level
     rows only; nothing is collected on the driver.
     """
-    from ray.data.aggregate import Min
+    from pmocr_ray.ops.vecagg import grouped_aggregate
 
     lines = explode_lines(ds, key=key, column=column, width=width)
 
@@ -1003,8 +1007,13 @@ def line_dedup(ds: rd.Dataset, *, key: str = "doc_id",
         return pa.table({"line": batch["line"],
                          "pos": pa.array(pos, pa.int64())})
 
-    winners = (lines.map_batches(pack, batch_format="pyarrow")
-                    .groupby("line").aggregate(Min("pos", alias_name="pos")))
+    # line groups are LINE-scale (far beyond corpus-scale) — Arrow-
+    # bucketed min keeps the winner selection vectorized end to end
+    winners = grouped_aggregate(
+        lines.map_batches(pack, batch_format="pyarrow"),
+        ["line"], [("pos", "min", "pos")],
+        seed_schema=pa.schema([("line", pa.string()),
+                               ("pos", pa.int64())]))
 
     def unpack(batch: pa.Table) -> pa.Table:
         pos = batch["pos"].to_numpy(zero_copy_only=False)
@@ -1239,13 +1248,15 @@ def dup_span_stats(ds, *, key: str = "doc_id", column: str = "text",
                          "n_grams": pa.array(dis, pa.int64()),
                          "n_uniq": pa.array([0] * len(dis), pa.int64())})
 
-    from ray.data.aggregate import Count, Min, Sum
+    from pmocr_ray.ops.vecagg import grouped_aggregate
 
     src = ds.select_columns([key, column])
-    g_counts = (src.map_batches(gram_pairs, batch_format="pyarrow")
-                .groupby("g")
-                .aggregate(Count(alias_name="nd"),
-                           Min(key, alias_name="only_doc")))
+    # gram groups are GRAM-scale (>> corpus) — Arrow-bucketed aggregate
+    g_counts = grouped_aggregate(
+        src.map_batches(gram_pairs, batch_format="pyarrow"),
+        ["g"], [(None, "count", "nd"), (key, "min", "only_doc")],
+        seed_schema=pa.schema([("g", pa.string()), ("nd", pa.int64()),
+                               ("only_doc", pa.int64())]))
 
     def singleton_rows(t: pa.Table) -> pa.Table:
         s = t.filter(pc.equal(t["nd"], 1))
@@ -1254,11 +1265,12 @@ def dup_span_stats(ds, *, key: str = "doc_id", column: str = "text",
                          "n_uniq": pa.array([1] * s.num_rows, pa.int64())})
 
     uniq = g_counts.map_batches(singleton_rows, batch_format="pyarrow")
-    per_doc = (src.map_batches(totals, batch_format="pyarrow")
-               .union(uniq)
-               .groupby(key)
-               .aggregate(Sum("n_grams", alias_name="n_grams"),
-                          Sum("n_uniq", alias_name="n_uniq")))
+    per_doc = grouped_aggregate(
+        src.map_batches(totals, batch_format="pyarrow").union(uniq),
+        [key],
+        [("n_grams", "sum", "n_grams"), ("n_uniq", "sum", "n_uniq")],
+        seed_schema=pa.schema([(key, pa.int64()), ("n_grams", pa.int64()),
+                               ("n_uniq", pa.int64())]))
 
     def finish(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -1371,7 +1383,8 @@ def host_mirror_pairs(ds: rd.Dataset, *, url_column: str = "url",
 
     import pandas as pd
 
-    from ray.data.aggregate import Count, Sum
+    from pmocr_ray.ops.vecagg import distinct as _vec_distinct
+    from pmocr_ray.ops.vecagg import grouped_aggregate
 
     def incidence(t: pa.Table) -> pa.Table:
         host = pc.struct_field(
@@ -1384,9 +1397,11 @@ def host_mirror_pairs(ds: rd.Dataset, *, url_column: str = "url",
         tab = tab.filter(pc.is_valid(tab["fp"]))
         return tab.group_by(["host", "fp"]).aggregate([])  # local distinct
 
-    distinct = (ds.map_batches(incidence, batch_format="pyarrow")
-                .groupby(["host", "fp"]).aggregate(Count(alias_name="_n"))
-                .select_columns(["host", "fp"]))
+    distinct = _vec_distinct(
+        ds.map_batches(incidence, batch_format="pyarrow"),
+        ["host", "fp"],
+        seed_schema=pa.schema([("host", pa.string()),
+                               ("fp", pa.string())]))
 
     cap = max_hosts_per_content
 
@@ -1403,6 +1418,8 @@ def host_mirror_pairs(ds: rd.Dataset, *, url_column: str = "url",
 
     pairs = distinct.groupby("fp").map_groups(emit_pairs,
                                               batch_format="pandas")
-    out = pairs.groupby(["host_a", "host_b"]).aggregate(
-        Sum("n", alias_name="n_shared"))
-    return out
+    return grouped_aggregate(
+        pairs, ["host_a", "host_b"], [("n", "sum", "n_shared")],
+        seed_schema=pa.schema([("host_a", pa.string()),
+                               ("host_b", pa.string()),
+                               ("n_shared", pa.int64())]))

@@ -161,8 +161,12 @@ def window_distinct_users(events: rd.Dataset) -> rd.Dataset:
              .aggregate([])
         return g
 
-    pairs = (events.map_batches(pair_dedup, batch_format="pyarrow")
-             .groupby(["hour", "user_id"]).aggregate(Count(alias_name="_n")))
+    from pmocr_ray.ops.vecagg import distinct as _vec_distinct
+
+    # (hour, user) groups are USER-scale — Arrow-bucketed distinct
+    pairs = _vec_distinct(
+        events.map_batches(pair_dedup, batch_format="pyarrow"),
+        ["hour", "user_id"])
     return (pairs.select_columns(["hour"])
             .groupby("hour").aggregate(Count(alias_name="n_users")))
 
@@ -378,8 +382,11 @@ def hourly_retention(events: rd.Dataset) -> rd.Dataset:
         return b.select(["user_id", "hour"]).group_by(
             ["user_id", "hour"]).aggregate([])
 
-    pairs = (events.map_batches(pair_dedup, batch_format="pyarrow")
-             .groupby(["user_id", "hour"]).aggregate(Count(alias_name="_n")))
+    from pmocr_ray.ops.vecagg import distinct as _vec_distinct
+
+    pairs = _vec_distinct(
+        events.map_batches(pair_dedup, batch_format="pyarrow"),
+        ["user_id", "hour"])
 
     def per_user(g: pd.DataFrame) -> pd.DataFrame:
         hs = np.sort(g["hour"].to_numpy())

@@ -30,7 +30,16 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data as rd
-from ray.data.aggregate import Min, Sum
+from ray.data.aggregate import Sum
+
+from pmocr_ray.ops.vecagg import distinct as _vec_distinct
+from pmocr_ray.ops.vecagg import grouped_aggregate as _vec_agg
+
+# every groupby below runs over NODE- or EDGE-scale group counts — the
+# exact regime where Ray's per-group Python reduce dominates (see
+# ops/vecagg.py); all of them route through the Arrow-bucketed
+# aggregate, several of them once PER ITERATION
+_NODE_LABEL = pa.schema([("node", pa.int64()), ("label", pa.int64())])
 
 
 def _sym_edges(edges: rd.Dataset) -> rd.Dataset:
@@ -61,9 +70,10 @@ def connected_components_distributed(edges: rd.Dataset,
         g = t.select(["u"]).group_by("u").aggregate([])
         return pa.table({"node": g["u"], "label": g["u"]})
 
-    labels = (sym.map_batches(self_label, batch_format="pyarrow")
-              .groupby("node").aggregate(Min("label", alias_name="label"))
-              ).materialize()
+    labels = _vec_agg(
+        sym.map_batches(self_label, batch_format="pyarrow"),
+        ["node"], [("label", "min", "label")],
+        seed_schema=_NODE_LABEL).materialize()
 
     prev_sum = None
     for _ in range(max_iters):
@@ -75,9 +85,9 @@ def connected_components_distributed(edges: rd.Dataset,
             lambda t: pa.table({"node": t["v"], "label": t["label"]}),
             batch_format="pyarrow")
         own = labels
-        labels = (proposals.union(own)
-                  .groupby("node").aggregate(Min("label", alias_name="label"))
-                  ).materialize()
+        labels = _vec_agg(
+            proposals.union(own), ["node"], [("label", "min", "label")],
+            seed_schema=_NODE_LABEL).materialize()
         # pointer jumping: label'(u) = label(label(u)) — one extra join
         # halves the remaining chain length each round, so convergence
         # is O(log diameter) joins instead of O(diameter)
@@ -128,8 +138,9 @@ def pagerank(edges: rd.Dataset, *, iters: int = 3, scale: int = 1_000_000,
         return pa.table({"dnode": g["src"],
                          "deg": pc.cast(g["count_all"], pa.int64())})
 
-    degrees = (edges.map_batches(with_deg, batch_format="pyarrow")
-               .groupby("dnode").aggregate(Sum("deg", alias_name="deg")))
+    degrees = _vec_agg(
+        edges.map_batches(with_deg, batch_format="pyarrow"),
+        ["dnode"], [("deg", "sum", "deg")])
     # edges with their source out-degree attached — loop-invariant
     edeg = edges.join(degrees, join_type="inner", num_partitions=parts,
                       on=("src",), right_on=("dnode",)).materialize()
@@ -140,10 +151,9 @@ def pagerank(edges: rd.Dataset, *, iters: int = 3, scale: int = 1_000_000,
         g = pa.table({"node": u}).group_by("node").aggregate([])
         return g
 
-    from ray.data.aggregate import Count
-    nodes = (edges.map_batches(endpoints, batch_format="pyarrow")
-             .groupby("node").aggregate(Count(alias_name="_n"))
-             .select_columns(["node"])).materialize()
+    nodes = _vec_distinct(
+        edges.map_batches(endpoints, batch_format="pyarrow"),
+        ["node"]).materialize()
 
     ranks = nodes.map_batches(
         lambda t: pa.table({"rnode": t["node"],
@@ -160,7 +170,7 @@ def pagerank(edges: rd.Dataset, *, iters: int = 3, scale: int = 1_000_000,
                 "c": pc.divide(pc.cast(t["rank"], pa.int64()),
                                pc.cast(t["deg"], pa.int64()))}),
             batch_format="pyarrow")
-        sums = contrib.groupby("dst").aggregate(Sum("c", alias_name="c"))
+        sums = _vec_agg(contrib, ["dst"], [("c", "sum", "c")])
         j2 = nodes.join(sums, join_type="left_outer",
                         num_partitions=parts, on=("node",),
                         right_on=("dst",))
@@ -196,8 +206,6 @@ def triangle_count(edges: rd.Dataset, *, num_partitions: int = 8) -> int:
     driver.  Every triangle is counted exactly once (its unique
     orientation a→b→c with a→c, ordered by (deg, id)).
     """
-    from ray.data.aggregate import Count, Sum
-
     def canon(t: pa.Table) -> pa.Table:
         lo = pc.min_element_wise(t["src"], t["dst"])
         hi = pc.max_element_wise(t["src"], t["dst"])
@@ -206,20 +214,21 @@ def triangle_count(edges: rd.Dataset, *, num_partitions: int = 8) -> int:
         tab = tab.filter(pc.not_equal(tab["u"], tab["v"]))
         return tab.group_by(["u", "v"]).aggregate([])
 
-    und = (edges.map_batches(canon, batch_format="pyarrow")
-           .groupby(["u", "v"]).aggregate(Count(alias_name="_n"))
-           .select_columns(["u", "v"])).materialize()
+    und = _vec_distinct(
+        edges.map_batches(canon, batch_format="pyarrow"),
+        ["u", "v"]).materialize()
     n_edges = und.count()
     parts = max(1, min(num_partitions, n_edges // 2048 + 1))
 
     sym = _sym_edges(und.map_batches(
         lambda t: pa.table({"a": t["u"], "b": t["v"]}),
         batch_format="pyarrow"))
-    deg = (sym.map_batches(
-        lambda t: pa.table({"node": t["u"],
-                            "d": pa.array([1] * len(t), pa.int64())}),
-        batch_format="pyarrow")
-        .groupby("node").aggregate(Sum("d", alias_name="d")))
+    deg = _vec_agg(
+        sym.map_batches(
+            lambda t: pa.table({"node": t["u"],
+                                "d": pa.array([1] * len(t), pa.int64())}),
+            batch_format="pyarrow"),
+        ["node"], [("d", "sum", "d")])
 
     # attach both endpoint degrees, then orient (deg, id)-ascending
     j = und.join(deg, join_type="inner", num_partitions=parts,

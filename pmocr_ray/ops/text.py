@@ -215,7 +215,7 @@ def doc_frequency(ds, column: str = "text", k: int | None = None):
     global shuffle then moves only ``(term, partial_df)`` rows.
     ``k`` adds a distributed ``sort().limit(k)`` (ties term-ascending).
     """
-    from ray.data.aggregate import Sum
+    from pmocr_ray.ops.vecagg import grouped_aggregate
 
     def partial(batch: pa.Table) -> pa.Table:
         toks = pc.split_pattern_regex(batch[column], r"\s+")
@@ -227,8 +227,11 @@ def doc_frequency(ds, column: str = "text", k: int | None = None):
         g = distinct.group_by("term").aggregate([([], "count_all")])
         return pa.table({"term": g["term"], "df": g["count_all"]})
 
-    per_term = ds.map_batches(partial, batch_format="pyarrow").groupby(
-        "term").aggregate(Sum("df", alias_name="df"))
+    # term groups are VOCAB-scale — Arrow-bucketed merge (see vecagg)
+    per_term = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["term"], [("df", "sum", "df")],
+        seed_schema=pa.schema([("term", pa.string()), ("df", pa.int64())]))
     if k is not None:
         per_term = per_term.sort(["df", "term"],
                                  descending=[True, False]).limit(k)
@@ -422,15 +425,16 @@ def length_quantiles(ds, column: str = "n_chars",
     """
     import math
 
-    from ray.data.aggregate import Sum
+    from pmocr_ray.ops.vecagg import grouped_aggregate
 
     def partial(batch: pa.Table) -> pa.Table:
         g = batch.select([column]).group_by(column).aggregate(
             [([], "count_all")])
         return pa.table({"value": g[column], "n": g["count_all"]})
 
-    rollup = (ds.map_batches(partial, batch_format="pyarrow")
-                .groupby("value").aggregate(Sum("n", alias_name="n"))
+    rollup = (grouped_aggregate(
+                  ds.map_batches(partial, batch_format="pyarrow"),
+                  ["value"], [("n", "sum", "n")])
                 .sort("value").take_all())
     values = np.array([r["value"] for r in rollup], np.int64)
     cum = np.cumsum(np.array([r["n"] for r in rollup], np.int64))
@@ -590,11 +594,11 @@ def kmv_sketch(ds, column: str = "text", k: int = 64):
               for t in batch[column].to_pylist() if t is not None}
         return pa.table({"h": pa.array(sorted(hs)[:k], pa.string())})
 
-    from ray.data.aggregate import Count
+    from pmocr_ray.ops.vecagg import distinct as _vec_distinct
 
-    return (ds.map_batches(partial, batch_format="pyarrow")
-            .groupby("h").aggregate(Count(alias_name="_n"))
-            .select_columns(["h"])
+    return (_vec_distinct(
+                ds.map_batches(partial, batch_format="pyarrow"), ["h"],
+                seed_schema=pa.schema([("h", pa.string())]))
             .sort("h").limit(k))
 
 
@@ -995,8 +999,12 @@ def bpe_pair_counts(ds, column: str = "text", k: int = 50):
         return pa.table({"pair": pa.array(list(counts), pa.string()),
                          "n": pa.array(list(counts.values()), pa.int64())})
 
-    agg = (ds.map_batches(partial, batch_format="pyarrow")
-           .groupby("pair").aggregate(Sum("n", alias_name="n")))
+    from pmocr_ray.ops.vecagg import grouped_aggregate
+
+    agg = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["pair"], [("n", "sum", "n")],
+        seed_schema=pa.schema([("pair", pa.string()), ("n", pa.int64())]))
     return (agg.map_batches(
                 lambda t: pa.table({"pair": t["pair"],
                                     "n": pc.cast(t["n"], pa.int64())}),
@@ -1246,9 +1254,11 @@ def typo_pairs(ds, column: str = "text", max_bucket: int = 64):
         g = pa.table({"term": flat}).group_by("term").aggregate([])
         return g
 
-    vocab = (ds.map_batches(toks, batch_format="pyarrow")
-             .groupby("term").aggregate(Count(alias_name="_n"))
-             .select_columns(["term"]))
+    from pmocr_ray.ops.vecagg import distinct as _vec_distinct
+
+    vocab = _vec_distinct(
+        ds.map_batches(toks, batch_format="pyarrow"), ["term"],
+        seed_schema=pa.schema([("term", pa.string())]))
 
     def block_keys(batch: pa.Table) -> pa.Table:
         keys, terms = [], []
@@ -1276,8 +1286,9 @@ def typo_pairs(ds, column: str = "text", max_bucket: int = 64):
 
     pairs = blocked.groupby("bkey").map_groups(bucket_pairs,
                                                batch_format="pandas")
-    out = (pairs.groupby(["w1", "w2"]).aggregate(Count(alias_name="_n"))
-           .select_columns(["w1", "w2"]))
+    out = _vec_distinct(
+        pairs, ["w1", "w2"],
+        seed_schema=pa.schema([("w1", pa.string()), ("w2", pa.string())]))
     return out.map_batches(
         lambda t: t.append_column(
             "dist", pa.array(np.ones(len(t), np.int64))),
@@ -1320,9 +1331,13 @@ def canonical_url_counts(ds, url_column: str = "url"):
         return pa.table({"url": g["url"],
                          "n_variants": pc.cast(g["count_all"], pa.int64())})
 
-    return (ds.map_batches(partial, batch_format="pyarrow")
-            .groupby("url").aggregate(Sum("n_variants",
-                                          alias_name="n_variants")))
+    from pmocr_ray.ops.vecagg import grouped_aggregate
+
+    return grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["url"], [("n_variants", "sum", "n_variants")],
+        seed_schema=pa.schema([("url", pa.string()),
+                               ("n_variants", pa.int64())]))
 
 
 def rare_term_pairs(ds, column: str = "text", key: str = "doc_id",
@@ -1381,5 +1396,9 @@ def rare_term_pairs(ds, column: str = "text", key: str = "doc_id",
 
     pairs = inc.groupby("term").map_groups(bucket_pairs,
                                            batch_format="pandas")
-    return pairs.groupby(["a", "b"]).aggregate(
-        Sum("n", alias_name="n_shared_terms"))
+    from pmocr_ray.ops.vecagg import grouped_aggregate
+
+    return grouped_aggregate(
+        pairs, ["a", "b"], [("n", "sum", "n_shared_terms")],
+        seed_schema=pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                               ("n_shared_terms", pa.int64())]))
