@@ -4,8 +4,8 @@ A corpus re-crawl or changelog stream carries many versions of a key;
 training-data builds want exactly the newest.  Shape: per-batch LOCAL
 argmax per key (the global latest for a key is the latest among
 per-batch latests — same subset argument as top-n-per-group), then the
-exact argmax inside ``groupby(key).map_groups``.  The shuffle moves at
-most one row per (key, batch) — collapse happens before the exchange,
+exact argmax inside one vectorized sort per key-hash bucket.  The
+shuffle moves at most one row per (key, batch) — collapse happens before the exchange,
 so a hot key re-crawled 10⁶ times still ships O(n_batches) rows, not
 10⁶.
 
@@ -38,12 +38,26 @@ def compact_latest(ds: rd.Dataset, key: str, order_cols: list[str],
         return pa.Table.from_pandas(df.groupby(key, sort=False).head(1),
                                     preserve_index=False)
 
-    def exact(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(order_cols, ascending=ascending).head(1)
+    # exact winner per key WITHOUT a per-key Python call: keys hash to
+    # buckets (same deterministic bucketing as ops/vecagg.py), and each
+    # bucket resolves ALL its keys in one vectorized sort + head(1) —
+    # Ray's groupby(key).map_groups would pay ~180 µs of reduce
+    # overhead per KEY at corpus-scale key counts
+    from pmocr_ray.ops.vecagg import _bucket_of
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column("_bkt", _bucket_of(batch, [key], 32))
+
+    def exact_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["_bkt"])
+        df = df.sort_values([key, *order_cols],
+                            ascending=[True, *ascending], kind="mergesort")
+        return df.groupby(key, sort=False).head(1)
 
     return (ds.map_batches(local_cap, batch_format="pyarrow")
-            .groupby(key)
-            .map_groups(exact, batch_format="pandas"))
+            .map_batches(bucket, batch_format="pyarrow")
+            .groupby("_bkt")
+            .map_groups(exact_bucket, batch_format="pandas"))
 
 
 def snapshot_diff(ds_a: rd.Dataset, ds_b: rd.Dataset, *,
@@ -54,7 +68,7 @@ def snapshot_diff(ds_a: rd.Dataset, ds_b: rd.Dataset, *,
 
     Scale shape: full-outer-join semantics WITHOUT a join.  Each side
     maps to tiny (key, in_a, in_b, fp_a, fp_b) rows — the content
-    fingerprint is a vectorized md5→int48 (survives a float64 pandas round-trip exactly), so the text column never
+    fingerprint is a vectorized md5→int48, so the text column never
     leaves the map stage — then a union and ONE groupby(key) with
     Sum/Max aggregates reconstructs both sides per key (Max ignores the
     null fp of the absent side).  Classification is a vectorized
@@ -69,7 +83,7 @@ def snapshot_diff(ds_a: rd.Dataset, ds_b: rd.Dataset, *,
     import numpy as np
     import pyarrow.compute as pc
 
-    from ray.data.aggregate import Max, Sum
+    from pmocr_ray.ops.vecagg import grouped_aggregate
 
     def tag(side: str):
         def fn(batch: pa.Table) -> pa.Table:
@@ -93,14 +107,15 @@ def snapshot_diff(ds_a: rd.Dataset, ds_b: rd.Dataset, *,
 
     tagged = (ds_a.map_batches(tag("a"), batch_format="pyarrow")
               .union(ds_b.map_batches(tag("b"), batch_format="pyarrow")))
-    agg = tagged.groupby(key).aggregate(
-        Sum("in_a", alias_name="n_a"), Sum("in_b", alias_name="n_b"),
-        Max("fp_a", alias_name="fp_a"), Max("fp_b", alias_name="fp_b"),
-    )
+    # key groups are CORPUS-scale — Arrow-bucketed aggregate (vecagg);
+    # max skips the absent side's null fp exactly like Ray's Max did,
+    # and the fp stays int64 (no pandas float round-trip anymore)
+    agg = grouped_aggregate(
+        tagged, [key],
+        [("in_a", "sum", "n_a"), ("in_b", "sum", "n_b"),
+         ("fp_a", "max", "fp_a"), ("fp_b", "max", "fp_b")])
 
     def classify(t: pa.Table) -> pa.Table:
-        # The groupby lands on pandas blocks: null fps round-trip as NaN
-        # and the fp columns come back float64 (48-bit fp => exact).
         # Kleene logic so the one-sided null fp can't poison the mask.
         in_a = pc.greater(t["n_a"], 0)
         in_b = pc.greater(t["n_b"], 0)

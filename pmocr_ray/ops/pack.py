@@ -601,9 +601,12 @@ def range_partition_write(ds: rd.Dataset, out_dir: str, *, key: str,
         return pa.table({"k": pc.cast(g[key], pa.int64()),
                          "n": pc.cast(g["count_all"], pa.int64())})
 
+    from pmocr_ray.ops.vecagg import grouped_aggregate
+
     rows = sorted((r["k"], r["n"]) for r in
-                  ds.map_batches(vc, batch_format="pyarrow")
-                  .groupby("k").aggregate(Sum("n", alias_name="n"))
+                  grouped_aggregate(
+                      ds.map_batches(vc, batch_format="pyarrow"),
+                      ["k"], [("n", "sum", "n")])
                   .take_all())
     ks = np.array([k for k, _ in rows], np.int64)
     cum = np.cumsum([n for _, n in rows])
