@@ -25,6 +25,25 @@ import pyarrow.parquet as pq
 
 from pmocr_ray.ops.joins import parts_for_rows, sized_for_join
 
+
+def _dense_i64_lut(mapping: dict, default: int = -1) -> "np.ndarray":
+    """Dense int64 lookup array for a small dict with dense int keys
+    (suppkey→nationkey etc.) — broadcast ONCE via ray.put and gathered
+    with one numpy index per batch, replacing a per-row Python dict
+    lookup in fact-table scans.  ``default`` marks absent keys."""
+    hi = max(mapping) + 1
+    arr = np.full(hi, default, np.int64)
+    arr[np.fromiter(mapping.keys(), np.int64, len(mapping))] = \
+        np.fromiter(mapping.values(), np.int64, len(mapping))
+    return arr
+
+
+def _i64(col) -> "np.ndarray":
+    import pyarrow as pa
+
+    return col.combine_chunks().cast(pa.int64()).to_numpy(
+        zero_copy_only=False)
+
 REPS = 8  # pages per document row; must match the SQL below
 
 
@@ -1833,17 +1852,17 @@ def _q_local_supplier_revenue(sf_dir: str):
              if v in n_map}  # region pruning pushed into the broadcast
 
     import ray
-    s_ref = ray.put(s_map)
+    s_ref = ray.put(_dense_i64_lut(s_map))  # region-pruned: absent = -1
 
     li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
                          columns=["l_orderkey", "l_suppkey",
                                   "l_extendedprice", "l_discount"])
 
     def rev_by_order_nat(t: pa.Table) -> pa.Table:
-        smap = ray.get(s_ref)
-        nat = pa.array([smap.get(k) for k in t["l_suppkey"].to_pylist()],
-                       pa.int64())
-        t = t.append_column("s_nat", nat).filter(pc.is_valid(nat))
+        lut = ray.get(s_ref)
+        nat = lut[_i64(t["l_suppkey"])]  # one vectorized gather per batch
+        t = (t.append_column("s_nat", pa.array(nat, pa.int64()))
+             .filter(pa.array(nat >= 0)))
         ext = np.rint(np.asarray(
             t["l_extendedprice"].to_numpy(zero_copy_only=False)) * 100
         ).astype(np.int64)
@@ -1856,9 +1875,12 @@ def _q_local_supplier_revenue(sf_dir: str):
         return pa.table({"l_orderkey": g["l_orderkey"],
                          "s_nat": g["s_nat"], "rev": g["rev_sum"]})
 
-    per_order = (li.map_batches(rev_by_order_nat, batch_format="pyarrow")
-                 .groupby(["l_orderkey", "s_nat"])
-                 .aggregate(Sum("rev", alias_name="rev")))
+    from pmocr_ray.ops.vecagg import grouped_aggregate
+
+    # order-scale groups — Arrow-bucketed merge (see ops/vecagg.py)
+    per_order = grouped_aggregate(
+        li.map_batches(rev_by_order_nat, batch_format="pyarrow"),
+        ["l_orderkey", "s_nat"], [("rev", "sum", "rev")])
     orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
                              columns=["o_orderkey", "o_custkey"])
     j1 = per_order.join(orders, join_type="inner", num_partitions=8,
@@ -4217,16 +4239,15 @@ def _q_nation_pair_flows(sf_dir: str):
                              columns=["s_suppkey", "s_nationkey"])
     s_map = dict(zip(supplier["s_suppkey"].to_pylist(),
                      supplier["s_nationkey"].to_pylist()))
-    s_ref = ray.put(s_map)
+    s_ref = ray.put(_dense_i64_lut(s_map))
 
     li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
                          columns=["l_orderkey", "l_suppkey", "l_shipdate",
                                   "l_extendedprice", "l_discount"])
 
     def partial(t: pa.Table) -> pa.Table:
-        smap = ray.get(s_ref)
-        nat = pa.array([smap[k] for k in t["l_suppkey"].to_pylist()],
-                       pa.int64())
+        lut = ray.get(s_ref)
+        nat = pa.array(lut[_i64(t["l_suppkey"])], pa.int64())
         year = pc.cast(pc.year(t["l_shipdate"]), pa.int64())
         ext = np.rint(np.asarray(
             t["l_extendedprice"].to_numpy(zero_copy_only=False)) * 100
@@ -4243,9 +4264,12 @@ def _q_nation_pair_flows(sf_dir: str):
                          "s_nat": g["s_nat"], "l_year": g["l_year"],
                          "rev": g["rev_sum"]})
 
-    per_order = (li.map_batches(partial, batch_format="pyarrow")
-                 .groupby(["l_orderkey", "s_nat", "l_year"])
-                 .aggregate(Sum("rev", alias_name="rev")))
+    from pmocr_ray.ops.vecagg import grouped_aggregate
+
+    # order-scale groups — Arrow-bucketed merge (see ops/vecagg.py)
+    per_order = grouped_aggregate(
+        li.map_batches(partial, batch_format="pyarrow"),
+        ["l_orderkey", "s_nat", "l_year"], [("rev", "sum", "rev")])
     orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
                              columns=["o_orderkey", "o_custkey"])
     per_order, parts = sized_for_join(per_order, cap=8)
@@ -4259,14 +4283,14 @@ def _q_nation_pair_flows(sf_dir: str):
 
     def cross_pairs(t: pa.Table) -> pa.Table:
         nmap = ray.get(n_ref)
+        names = np.array([nmap.get(i, "") for i in
+                          range(max(nmap) + 1)], dtype=object)
         c_nat = pc.cast(t["c_nationkey"], pa.int64())
         keep = pc.invert(pc.equal(c_nat, t["s_nat"]))
         t = t.append_column("c_nat", c_nat).filter(
             pc.fill_null(keep, False))
-        supp = pa.array([nmap[k] for k in t["s_nat"].to_pylist()],
-                        pa.string())
-        cust = pa.array([nmap[k] for k in t["c_nat"].to_pylist()],
-                        pa.string())
+        supp = pa.array(names[_i64(t["s_nat"])], pa.string())
+        cust = pa.array(names[_i64(t["c_nat"])], pa.string())
         tt = pa.table({"supp_nation": supp, "cust_nation": cust,
                        "l_year": t["l_year"], "rev": t["rev"]})
         g = tt.group_by(["supp_nation", "cust_nation", "l_year"]).aggregate(
