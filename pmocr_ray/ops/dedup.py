@@ -89,18 +89,48 @@ def exact_dup_pairs(ds: rd.Dataset, column: str = "text", key: str = "doc_id",
     bucket path uses (the cap there protects the candidate join the
     same way).
     """
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g[key].tolist())
-        if len(ids) > max_group:
-            out = [(ids[0], b) for b in ids[1:]]  # star emit — O(n)
+    # pair emission WITHOUT a per-fingerprint Python call (fp groups
+    # are corpus-scale and overwhelmingly singleton): fingerprints hash
+    # to ~32 coarse partitions; each partition emits ALL its groups'
+    # pairs with one vectorized self-merge (small groups) + one
+    # transform-min star emit (hot groups) — identical pair set.
+    from pmocr_ray.ops.vecagg import _bucket_of
+
+    def coarse(t: pa.Table) -> pa.Table:
+        # project BEFORE the shuffle: only (fp, key) cross the exchange,
+        # never the text (the former groupby(fp) shipped whole rows)
+        t = t.select(["fp", key])
+        return t.append_column("_bkt", _bucket_of(t, ["fp"], 32))
+
+    def pairs_partition(t: pa.Table) -> pa.Table:
+        df = t.select(["fp", key]).to_pandas()
+        # null fp (null content) is a group of its own, like Ray's
+        # groupby treated it; pandas merge/groupby would DROP NaN keys
+        df["fp"] = df["fp"].fillna("\x00__null__")
+        df = df.sort_values(["fp", key]).drop_duplicates(["fp", key])
+        sizes = df.groupby("fp", sort=False)["fp"].transform("size")
+        big = sizes.to_numpy() > max_group
+        bs = df[big]
+        if len(bs):
+            firsts = bs.groupby("fp", sort=False)[key].transform("min")
+            sm_mask = bs[key].to_numpy() != firsts.to_numpy()
+            star_a = firsts.to_numpy()[sm_mask]
+            star_b = bs[key].to_numpy()[sm_mask]
         else:
-            out = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]]
-        return pd.DataFrame({"a": pd.Series([p[0] for p in out], dtype="int64"),
-                             "b": pd.Series([p[1] for p in out], dtype="int64")})
+            star_a = star_b = np.zeros(0, np.int64)
+        small = df[~big]
+        m = small.merge(small, on="fp")
+        keep = m[f"{key}_x"].to_numpy() < m[f"{key}_y"].to_numpy()
+        a = np.concatenate([m[f"{key}_x"].to_numpy()[keep], star_a])
+        b = np.concatenate([m[f"{key}_y"].to_numpy()[keep], star_b])
+        return pa.table({"a": pa.array(a.astype(np.int64), pa.int64()),
+                         "b": pa.array(b.astype(np.int64), pa.int64())})
 
     fps = ds.map_batches(lambda t: fingerprint(t, column=column),
                          batch_format="pyarrow")
-    return fps.groupby("fp").map_groups(pairs, batch_format="pandas")
+    return (fps.map_batches(coarse, batch_format="pyarrow")
+            .groupby("_bkt")
+            .map_groups(pairs_partition, batch_format="pyarrow"))
 
 
 # ------------------------------------------------------- MinHash + LSH
@@ -671,23 +701,42 @@ def simhash_dedup_pairs(ds: rd.Dataset, *, key: str = "doc_id",
         concurrency=(1, concurrency),
     )
 
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id").drop_duplicates("doc_id").head(max_bucket)
-        ids = g["doc_id"].tolist()
-        sigs = g["sig"].tolist()
-        out_a, out_b, out_d = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                d = (int(sigs[i]) ^ int(sigs[j])).bit_count()
-                if d <= max_distance:
-                    out_a.append(ids[i]); out_b.append(ids[j]); out_d.append(d)
-        return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"),
-                             "b": pd.Series(out_b, dtype="int64"),
-                             "distance": pd.Series(out_d, dtype="int64")})
+    # pair emission WITHOUT a per-bucket Python call: band rows are
+    # overwhelmingly SINGLETON buckets (≈4×n_docs groups), so
+    # groupby(chunk, chunk_val).map_groups pays the per-group reduce
+    # cost for nothing.  Buckets hash to ~32 coarse partitions instead;
+    # each partition resolves ALL its buckets with one vectorized
+    # self-merge (size-capped per bucket) + one numpy XOR-popcount.
+    from pmocr_ray.ops.vecagg import _bucket_of
 
-    pairs = chunks.groupby(["chunk", "chunk_val"]).map_groups(
-        pairs_in_bucket, batch_format="pandas"
-    )
+    def coarse(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_bkt", _bucket_of(t, ["chunk", "chunk_val"], 32))
+
+    def pairs_in_partition(t: pa.Table) -> pa.Table:
+        df = t.select(["chunk", "chunk_val", "doc_id", "sig"]).to_pandas()
+        df = (df.drop_duplicates(["chunk", "chunk_val", "doc_id"])
+                .sort_values(["chunk", "chunk_val", "doc_id"]))
+        # per-bucket cap, same semantics as the former head(max_bucket)
+        rank = df.groupby(["chunk", "chunk_val"], sort=False).cumcount()
+        df = df[rank.to_numpy() < max_bucket]
+        m = df.merge(df, on=["chunk", "chunk_val"])
+        m = m[m["doc_id_x"].to_numpy() < m["doc_id_y"].to_numpy()]
+        x = m["sig_x"].to_numpy().astype(np.uint64, copy=False)
+        y = m["sig_y"].to_numpy().astype(np.uint64, copy=False)
+        d = np.unpackbits((x ^ y).view(np.uint8)).reshape(
+            len(m), 8 * x.dtype.itemsize).sum(axis=1).astype(np.int64) \
+            if len(m) else np.zeros(0, np.int64)
+        keep = d <= max_distance
+        return pa.table({
+            "a": pa.array(m["doc_id_x"].to_numpy()[keep], pa.int64()),
+            "b": pa.array(m["doc_id_y"].to_numpy()[keep], pa.int64()),
+            "distance": pa.array(d[keep], pa.int64()),
+        })
+
+    pairs = (chunks.map_batches(coarse, batch_format="pyarrow")
+             .groupby("_bkt")
+             .map_groups(pairs_in_partition, batch_format="pyarrow"))
     from pmocr_ray.ops.vecagg import grouped_aggregate
 
     # a pair can collide in several chunk bands — min-merge the distance
@@ -1021,13 +1070,34 @@ def line_dedup(ds: rd.Dataset, *, key: str = "doc_id",
                          "line_no": pa.array(pos % LINE_STRIDE, pa.int64()),
                          "line": batch["line"]})
 
-    def reassemble(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values("line_no")
-        return pd.DataFrame({key: [df[key].iloc[0]],
-                             "text_dedup": ["\n".join(df["line"])]})
+    # reassembly WITHOUT a per-document Python call: documents hash to
+    # buckets (vecagg's deterministic bucketing), each bucket sorts
+    # once by (key, line_no) and rebuilds ALL its documents with one
+    # ListArray + binary_join — same vectorized rebuild as
+    # line_self_dedup, applied across the bucket
+    from pmocr_ray.ops.vecagg import _bucket_of
+
+    def bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("_bkt", _bucket_of(t, [key], 32))
+
+    def reassemble_bucket(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            t, sort_keys=[(key, "ascending"), ("line_no", "ascending")])
+        t = t.take(order)
+        kn = t[key].combine_chunks().to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, kn[1:] != kn[:-1]])
+        offsets = np.concatenate([starts, [len(kn)]]).astype(np.int64)
+        la = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()), t["line"].combine_chunks())
+        return pa.table({
+            key: pa.array(kn[starts], pa.int64()),
+            "text_dedup": pc.binary_join(la, "\n"),
+        })
 
     return (winners.map_batches(unpack, batch_format="pyarrow")
-                   .groupby(key).map_groups(reassemble, batch_format="pandas"))
+                   .map_batches(bucket, batch_format="pyarrow")
+                   .groupby("_bkt")
+                   .map_groups(reassemble_bucket, batch_format="pyarrow"))
 
 
 # ----------------------------------------------------- decontamination

@@ -73,16 +73,42 @@ def top_users_by_value(events: rd.Dataset, k: int = 10) -> pa.Table:
     return pa.Table.from_pylist(top).select(["user_id", "total_cents"])
 
 
+def _user_bucketed(ds: rd.Dataset, fn, *, keys: list[str] | None = None,
+                   num_buckets: int = 32) -> rd.Dataset:
+    """Per-user logic WITHOUT a per-user Python call: users hash to
+    ``num_buckets`` coarse partitions (ops/vecagg.py's deterministic
+    bucketing keeps every user whole), and ``fn`` — written VECTORIZED
+    over a multi-user frame — runs once per bucket.  Replaces
+    ``groupby(user).map_groups`` whose per-group reduce cost
+    (~180 µs/group) dominates at user-scale group counts; the
+    partitioning assumption (one user fits a worker) is unchanged,
+    coarsened to one bucket per worker."""
+    from pmocr_ray.ops.vecagg import _bucket_of
+
+    keys = keys or ["user_id"]
+
+    def bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("_bkt", _bucket_of(t, keys, num_buckets))
+
+    def run(df: pd.DataFrame) -> pd.DataFrame:
+        return fn(df.drop(columns=["_bkt"]))
+
+    return (ds.map_batches(bucket, batch_format="pyarrow")
+            .groupby("_bkt").map_groups(run, batch_format="pandas"))
+
+
 def sessionize(events: rd.Dataset, gap_minutes: int = 30) -> rd.Dataset:
     """Session windows per user: a new session starts after a gap of
     ``gap_minutes`` of inactivity.  Per-user ordered scan inside
     ``map_groups`` (rows ts-sorted within the group before use)."""
     gap = pd.Timedelta(minutes=gap_minutes)
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        new_session = (g["ts"].diff() > gap).cumsum()
-        out = g.groupby(new_session).agg(
+    def sessions_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # all users of the bucket in ONE ordered scan: a session break
+        # is a user change OR an inactivity gap
+        df = df.sort_values(["user_id", "ts"], kind="mergesort")
+        brk = df["user_id"].ne(df["user_id"].shift()) | (df["ts"].diff() > gap)
+        out = df.groupby(brk.cumsum()).agg(
             user_id=("user_id", "first"),
             session_start=("ts", "min"),
             session_end=("ts", "max"),
@@ -90,7 +116,7 @@ def sessionize(events: rd.Dataset, gap_minutes: int = 30) -> rd.Dataset:
         )
         return out.reset_index(drop=True)
 
-    return events.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return _user_bucketed(events, sessions_bucket)
 
 
 def props_value_agg(events: rd.Dataset) -> rd.Dataset:
@@ -136,15 +162,18 @@ def top_events_per_user(events: rd.Dataset, n: int = 3) -> rd.Dataset:
         return pa.Table.from_pandas(df.groupby("user_id", sort=False).head(n),
                                     preserve_index=False)
 
-    def exact_top(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["value", "event_id"],
-                          ascending=[False, True]).head(n).copy()
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
+    def exact_top_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "value", "event_id"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        df = df.groupby("user_id", sort=False).head(n).copy()
+        df["rank"] = (df.groupby("user_id", sort=False).cumcount()
+                      + 1).astype(np.int64)
+        return df
 
-    return (events.map_batches(local_cap, batch_format="pyarrow")
-            .groupby("user_id")
-            .map_groups(exact_top, batch_format="pandas"))
+    return _user_bucketed(
+        events.map_batches(local_cap, batch_format="pyarrow"),
+        exact_top_bucket)
 
 
 def window_distinct_users(events: rd.Dataset) -> rd.Dataset:
@@ -243,16 +272,18 @@ def asof_join(events: rd.Dataset, left_type: str = "click",
     a worker (same as :func:`sessionize`); a pathological single-user
     stream would need ts-bucket salting with boundary stitching.
     """
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        right_ts = g["ts"].where(g["event_type"].eq(right_type))
-        prev = right_ts.shift(1).ffill()
-        out = g.loc[g["event_type"].eq(left_type),
-                    ["event_id", "user_id", "ts"]].copy()
+    def asof_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort")
+        right_ts = df["ts"].where(df["event_type"].eq(right_type))
+        grp = right_ts.groupby(df["user_id"], sort=False)
+        prev = grp.shift(1).groupby(df["user_id"], sort=False).ffill()
+        out = df.loc[df["event_type"].eq(left_type),
+                     ["event_id", "user_id", "ts"]].copy()
         out["prev_ts"] = prev[out.index]
         return out
 
-    return events.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return _user_bucketed(events, asof_bucket)
 
 
 def orders_running_total(orders: rd.Dataset) -> rd.Dataset:
@@ -264,20 +295,23 @@ def orders_running_total(orders: rd.Dataset) -> rd.Dataset:
     monetary aggregates here).  Partitioning assumption: one
     customer's orders fit in a worker (same as :func:`sessionize`).
     """
-    def per_customer(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["o_orderdate", "o_orderkey"])
-        cents = np.rint(g["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    def ledger_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_custkey", "o_orderdate", "o_orderkey"],
+                            kind="mergesort")
+        cents = pd.Series(
+            np.rint(df["o_totalprice"].to_numpy() * 100).astype(np.int64))
+        cum = cents.groupby(df["o_custkey"].to_numpy()).cumsum()
         return pd.DataFrame({
-            "o_orderkey": g["o_orderkey"].to_numpy(),
-            "o_custkey": g["o_custkey"].to_numpy(),
-            "o_orderdate": g["o_orderdate"].to_numpy(),
-            "cum_cents": np.cumsum(cents),
+            "o_orderkey": df["o_orderkey"].to_numpy(),
+            "o_custkey": df["o_custkey"].to_numpy(),
+            "o_orderdate": df["o_orderdate"].to_numpy(),
+            "cum_cents": cum.to_numpy(),
         })
 
-    return (orders.select_columns(
-                ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
-            .groupby("o_custkey")
-            .map_groups(per_customer, batch_format="pandas"))
+    return _user_bucketed(
+        orders.select_columns(
+            ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]),
+        ledger_bucket, keys=["o_custkey"])
 
 
 def events_value_stats(events: rd.Dataset) -> rd.Dataset:
@@ -320,20 +354,22 @@ def events_with_session(events: rd.Dataset,
     """
     gap = pd.Timedelta(minutes=gap_minutes)
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        sess = (g["ts"].diff() > gap).cumsum()
-        start = g.groupby(sess)["ts"].transform("min")
+    def assign_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort")
+        brk = (df["user_id"].ne(df["user_id"].shift())
+               | (df["ts"].diff() > gap))
+        start = df.groupby(brk.cumsum())["ts"].transform("min")
         return pd.DataFrame({
-            "event_id": g["event_id"].to_numpy(),
-            "user_id": g["user_id"].to_numpy(),
-            "ts": g["ts"].to_numpy(),
+            "event_id": df["event_id"].to_numpy(),
+            "user_id": df["user_id"].to_numpy(),
+            "ts": df["ts"].to_numpy(),
             "session_start": start.to_numpy(),
         })
 
-    return (events.select_columns(["event_id", "user_id", "ts"])
-            .groupby("user_id")
-            .map_groups(per_user, batch_format="pandas"))
+    return _user_bucketed(
+        events.select_columns(["event_id", "user_id", "ts"]),
+        assign_bucket)
 
 
 FUNNEL_STEPS = ("view", "click", "purchase")
@@ -388,14 +424,15 @@ def hourly_retention(events: rd.Dataset) -> rd.Dataset:
         events.map_batches(pair_dedup, batch_format="pyarrow"),
         ["user_id", "hour"])
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        hs = np.sort(g["hour"].to_numpy())
-        nxt = hs + np.timedelta64(1, "h")
-        retained = hs[np.isin(nxt, hs)]
-        return pd.DataFrame({"hour": retained})
+    def retained_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # (user, h) retained iff (user, h+1h) exists: ONE vectorized
+        # self-merge per bucket over the already-distinct pairs
+        nxt = df.copy()
+        nxt["hour"] = nxt["hour"] - pd.Timedelta(hours=1)
+        m = df.merge(nxt, on=["user_id", "hour"])
+        return m[["hour"]]
 
-    ret = pairs.groupby("user_id").map_groups(per_user,
-                                              batch_format="pandas")
+    ret = _user_bucketed(pairs, retained_bucket)
     return ret.groupby("hour").aggregate(Count(alias_name="retained_users"))
 
 
@@ -411,19 +448,23 @@ def event_transitions(events: rd.Dataset) -> rd.Dataset:
     moves (from, to, n) triples bounded by |event types|² per group,
     never the event stream itself.
     """
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        et = g["event_type"].to_numpy()
+    def trans_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort")
+        et = df["event_type"].to_numpy()
+        usr = df["user_id"].to_numpy()
         if len(et) < 2:
             return pd.DataFrame({"from_type": [], "to_type": [], "n": []})
-        local = (pd.DataFrame({"from_type": et[:-1], "to_type": et[1:]})
+        mask = usr[:-1] == usr[1:]  # successor pairs within one user
+        local = (pd.DataFrame({"from_type": et[:-1][mask],
+                               "to_type": et[1:][mask]})
                  .groupby(["from_type", "to_type"], as_index=False)
                  .size().rename(columns={"size": "n"}))
         return local
 
-    per = (events.select_columns(["user_id", "ts", "event_id", "event_type"])
-           .groupby("user_id")
-           .map_groups(per_user, batch_format="pandas"))
+    per = _user_bucketed(
+        events.select_columns(["user_id", "ts", "event_id", "event_type"]),
+        trans_bucket)
     out = per.groupby(["from_type", "to_type"]).aggregate(
         Sum("n", alias_name="n"))
     return out.map_batches(
@@ -441,21 +482,22 @@ def inter_arrival_stats(events: rd.Dataset) -> rd.Dataset:
     ``max_gap_us`` is the longest silence.  Per-user ordered scan in
     ``map_groups``, one tiny output row per user.
     """
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        ts = np.sort(g["ts"].to_numpy().astype("datetime64[us]")
-                     .astype(np.int64))
-        gaps = np.diff(ts)
-        return pd.DataFrame({
-            "user_id": [g["user_id"].iloc[0]],
-            "n_events": [len(ts)],
-            "n_gaps": [len(gaps)],
-            "sum_gap_us": [int(gaps.sum()) if len(gaps) else 0],
-            "max_gap_us": [int(gaps.max()) if len(gaps) else 0],
-        })
+    def gaps_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts"], kind="mergesort")
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        usr = df["user_id"].to_numpy()
+        same = np.concatenate([[False], usr[1:] == usr[:-1]])
+        gaps = np.concatenate([[0], np.diff(ts)])
+        gaps = np.where(same, gaps, 0)  # zero across user boundaries
+        tmp = pd.DataFrame({"user_id": usr, "g": gaps,
+                            "v": same.astype(np.int64)})
+        agg = tmp.groupby("user_id", sort=False).agg(
+            n_events=("g", "size"), n_gaps=("v", "sum"),
+            sum_gap_us=("g", "sum"), max_gap_us=("g", "max"))
+        return agg.reset_index()
 
-    return (events.select_columns(["user_id", "ts"])
-            .groupby("user_id")
-            .map_groups(per_user, batch_format="pandas"))
+    return _user_bucketed(events.select_columns(["user_id", "ts"]),
+                          gaps_bucket)
 
 
 def attribution_window(events: rd.Dataset, *,
@@ -481,21 +523,41 @@ def attribution_window(events: rd.Dataset, *,
 
     win_us = np.int64(window_minutes) * 60_000_000
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        ts = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
-        touch_ts = ts[g["event_type"].to_numpy() == touch_type]
-        conv = g["event_type"].to_numpy() == conv_type
-        conv_ts = ts[conv]
-        # touches in [conv_ts - window, conv_ts): two searchsorted scans
-        lo = np.searchsorted(touch_ts, conv_ts - win_us, side="left")
-        hi = np.searchsorted(touch_ts, conv_ts, side="left")
-        out = g.loc[conv, ["event_id", "user_id", "ts"]].copy()
-        out["n_touches"] = (hi - lo).astype("int64")
-        return out
+    def window_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # cumulative-count formulation of the two-pointer: touches
+        # before time t = rank of the last touch strictly < t.  TWO
+        # compiled merge_asof passes (on t and on t-window) resolve
+        # every conversion of every user in the bucket at once — no
+        # per-user Python call.  All frames stay t-sorted throughout
+        # (df is ts-sorted; subtracting a constant preserves order),
+        # which is merge_asof's precondition.
+        df = df.sort_values(["ts", "event_id"], kind="mergesort")
+        ts_us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        is_touch = df["event_type"].eq(touch_type).to_numpy()
+        is_conv = df["event_type"].eq(conv_type).to_numpy()
+        touches = pd.DataFrame({
+            "user_id": df["user_id"].to_numpy()[is_touch],
+            "t": ts_us[is_touch],
+        })
+        touches["c"] = (touches.groupby("user_id", sort=False).cumcount()
+                        + 1).astype("int64")
+        conv = df.loc[is_conv, ["event_id", "user_id", "ts"]] \
+                 .reset_index(drop=True)
+        conv_t = ts_us[is_conv]
 
-    return events.groupby("user_id").map_groups(per_user,
-                                                batch_format="pandas")
+        def rank_before(targets: "np.ndarray") -> "np.ndarray":
+            left = pd.DataFrame({"user_id": conv["user_id"].to_numpy(),
+                                 "t": targets})
+            m = pd.merge_asof(left, touches, on="t", by="user_id",
+                              allow_exact_matches=False)
+            return m["c"].fillna(0).to_numpy()
+
+        hi = rank_before(conv_t)
+        lo = rank_before(conv_t - int(win_us))
+        conv["n_touches"] = (hi - lo).astype("int64")
+        return conv
+
+    return _user_bucketed(events, window_bucket)
 
 
 def event_debounce(events: rd.Dataset, *,
@@ -513,14 +575,17 @@ def event_debounce(events: rd.Dataset, *,
     """
     gap = pd.Timedelta(seconds=gap_seconds)
 
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        prev = g["ts"].shift(1)
-        keep = prev.isna() | ((g["ts"] - prev) > gap)
-        return g.loc[keep, ["event_id", "user_id", "event_type", "ts"]]
+    def debounce_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "event_type", "ts", "event_id"],
+                            kind="mergesort")
+        same = (df["user_id"].eq(df["user_id"].shift())
+                & df["event_type"].eq(df["event_type"].shift()))
+        keep = ~same | ((df["ts"] - df["ts"].shift()) > gap)
+        return df.loc[keep.to_numpy(),
+                      ["event_id", "user_id", "event_type", "ts"]]
 
-    return (events.groupby(["user_id", "event_type"])
-            .map_groups(per_group, batch_format="pandas"))
+    return _user_bucketed(events, debounce_bucket,
+                          keys=["user_id", "event_type"])
 
 
 def moving_window_sum(events: rd.Dataset, *,
@@ -555,9 +620,11 @@ def moving_window_sum(events: rd.Dataset, *,
         return pa.table({"event_type": g["event_type"],
                          "hour": g["hour"], "cents": g["cents_sum"]})
 
-    rollup = (events.map_batches(partial, batch_format="pyarrow")
-              .groupby(["event_type", "hour"])
-              .aggregate(Sum("cents", alias_name="cents")))
+    from pmocr_ray.ops.vecagg import grouped_aggregate
+
+    rollup = grouped_aggregate(
+        events.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "hour"], [("cents", "sum", "cents")])
 
     win_us = np.int64(trailing_hours - 1) * US_HOUR
 

@@ -264,3 +264,37 @@ def test_incremental_minhash_dedup_drops_near_dup_of_history(ray_session):
     # 1 dropped (near-dup of history 100); 2 and 3 BOTH kept — the
     # within-new duplicate pair is not this operator's decision
     assert kept == [2, 3]
+
+
+def test_exact_dup_pairs_hot_star_and_null_groups(ray_session):
+    """Pair emission must match the per-group reference semantics:
+    all-pairs for small clusters, star emit above max_group, and null
+    content forming its own cluster (pandas would silently drop NaN
+    groupby keys — this pins the sentinel handling)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pmocr_ray.ops.dedup import exact_dup_pairs
+
+    texts, ids = [], []
+    for i in range(5):
+        ids.append(100 + i); texts.append("dup-a content")
+    for i in range(70):  # > max_group=64 → star
+        ids.append(200 + i); texts.append("dup-b content")
+    for i in range(3):
+        ids.append(300 + i); texts.append(None)
+    for i in range(10):
+        ids.append(400 + i); texts.append(f"unique {i}")
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string())})).repartition(5)
+    out = exact_dup_pairs(ds).to_pandas()
+    got = set(zip(out["a"], out["b"]))
+    exp = set()
+    a_ids = list(range(100, 105))
+    exp |= {(a, b) for i, a in enumerate(a_ids) for b in a_ids[i + 1:]}
+    b_ids = list(range(200, 270))
+    exp |= {(b_ids[0], b) for b in b_ids[1:]}
+    n_ids = list(range(300, 303))
+    exp |= {(a, b) for i, a in enumerate(n_ids) for b in n_ids[i + 1:]}
+    assert got == exp
