@@ -1475,19 +1475,27 @@ def host_mirror_pairs(ds: rd.Dataset, *, url_column: str = "url",
 
     cap = max_hosts_per_content
 
-    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        hosts = sorted(g["host"].unique())[:cap]
-        if len(hosts) < 2:
-            return pd.DataFrame({"host_a": pd.Series(dtype="object"),
-                                 "host_b": pd.Series(dtype="object"),
-                                 "n": pd.Series(dtype="int64")})
-        a, b = zip(*[(x, y) for i, x in enumerate(hosts)
-                     for y in hosts[i + 1:]])
-        return pd.DataFrame({"host_a": a, "host_b": b,
-                             "n": [1] * len(a)})
+    from pmocr_ray.ops.vecagg import _bucket_of
 
-    pairs = distinct.groupby("fp").map_groups(emit_pairs,
-                                              batch_format="pandas")
+    def coarse(t: pa.Table) -> pa.Table:
+        return t.append_column("_bkt", _bucket_of(t, ["fp"], 32))
+
+    def pairs_partition(df: pd.DataFrame) -> pd.DataFrame:
+        # every content of the bucket pairs its (capped, lexicographic
+        # prefix) hosts in ONE vectorized self-merge — no per-content
+        # Python call; the cap bounds the merge at C(cap, 2) rows/fp
+        df = (df[["fp", "host"]].drop_duplicates()
+              .sort_values(["fp", "host"], kind="mergesort"))
+        df = df[df.groupby("fp", sort=False).cumcount() < cap]
+        m = df.merge(df, on="fp")
+        m = m[m["host_x"].to_numpy() < m["host_y"].to_numpy()]
+        return pd.DataFrame({"host_a": m["host_x"].to_numpy(),
+                             "host_b": m["host_y"].to_numpy(),
+                             "n": np.ones(len(m), np.int64)})
+
+    pairs = (distinct.map_batches(coarse, batch_format="pyarrow")
+             .groupby("_bkt")
+             .map_groups(pairs_partition, batch_format="pandas"))
     return grouped_aggregate(
         pairs, ["host_a", "host_b"], [("n", "sum", "n_shared")],
         seed_schema=pa.schema([("host_a", pa.string()),

@@ -385,23 +385,30 @@ def funnel_stages(events: rd.Dataset,
     no per-step self-joins.  Returns (user_id, stage) with stage in
     [0, len(steps)].
     """
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        stage, after = 0, None
-        types = g["event_type"].to_numpy()
-        ts = g["ts"].to_numpy()
-        for i in range(len(g)):
-            if stage >= len(steps):
-                break
-            if types[i] == steps[stage] and (after is None or ts[i] > after):
-                after = ts[i]
-                stage += 1
-        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
-                             "stage": pd.Series([stage], dtype="int64")})
+    def funnel_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # the greedy earliest-match scan IS "min ts of step-k events
+        # strictly after the step-(k-1) match": one vectorized
+        # min-after pass PER STEP over all users of the bucket (a
+        # |steps|-round loop, never a per-user or per-event one)
+        users = pd.Index(df["user_id"].unique())
+        after = pd.Series(pd.NaT, index=users)
+        stage = pd.Series(0, index=users, dtype="int64")
+        for si, st in enumerate(steps):
+            sub = df[df["event_type"].eq(st)]
+            prev = after.reindex(sub["user_id"]).to_numpy()
+            ok = sub[pd.isna(prev) | (sub["ts"].to_numpy() > prev)]
+            t_st = ok.groupby("user_id")["ts"].min()
+            # only users still AT stage si may advance
+            t_st = t_st[stage.reindex(t_st.index).to_numpy() == si]
+            after.loc[t_st.index] = t_st
+            stage.loc[t_st.index] = si + 1
+        return pd.DataFrame({"user_id": users.to_numpy(),
+                             "stage": stage.to_numpy()})
 
-    return (events.select_columns(["user_id", "ts", "event_id", "event_type"])
-            .groupby("user_id")
-            .map_groups(per_user, batch_format="pandas"))
+    return _user_bucketed(
+        events.select_columns(["user_id", "ts", "event_id",
+                               "event_type"]),
+        funnel_bucket)
 
 
 def hourly_retention(events: rd.Dataset) -> rd.Dataset:
@@ -762,20 +769,36 @@ def session_event_sets(events: rd.Dataset, *,
     """
     gap = pd.Timedelta(minutes=gap_minutes)
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        sess = (g["ts"].diff() > gap).cumsum()
-        agg = g.groupby(sess).agg(
+    def sets_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort")
+        brk = (df["user_id"].ne(df["user_id"].shift())
+               | (df["ts"].diff() > gap))
+        df = df.assign(_sid=brk.cumsum())
+        agg = df.groupby("_sid").agg(
+            user_id=("user_id", "first"),
             session_start=("ts", "min"),
-            type_set=("event_type",
-                      lambda s: ",".join(sorted(set(s)))),
-            n_events=("event_id", "count"),
-        )
-        agg["user_id"] = g["user_id"].iloc[0]
+            n_events=("event_id", "count"))
+        # the ','-joined sorted distinct type set per session: distinct
+        # (sid, type), one sort, ListArray + binary_join — no per-
+        # session Python join
+        dt = (df[["_sid", "event_type"]].drop_duplicates()
+              .sort_values(["_sid", "event_type"], kind="mergesort"))
+        sid = dt["_sid"].to_numpy()
+        starts = np.flatnonzero(
+            np.concatenate([[True], sid[1:] != sid[:-1]]))
+        offsets = np.concatenate([starts, [len(sid)]]).astype(np.int64)
+        la = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()),
+            pa.array(dt["event_type"].to_numpy(), pa.string()))
+        joined = pd.Series(pc.binary_join(la, ",").to_pandas().to_numpy(),
+                           index=sid[starts])
+        agg["type_set"] = joined.reindex(agg.index).to_numpy()
         agg["n_events"] = agg["n_events"].astype("int64")
-        return agg[["user_id", "session_start", "type_set", "n_events"]]
+        return agg[["user_id", "session_start", "type_set",
+                    "n_events"]].reset_index(drop=True)
 
-    return (events.select_columns(["event_id", "user_id", "ts",
-                                   "event_type"])
-            .groupby("user_id").map_groups(per_user,
-                                           batch_format="pandas"))
+    return _user_bucketed(
+        events.select_columns(["event_id", "user_id", "ts",
+                               "event_type"]),
+        sets_bucket)

@@ -273,12 +273,22 @@ def quota_by_key(ds, key_column: str, n_per_key: int,
         return (df.sort_values(order_column)
                   .groupby(key_column, sort=False).head(n_per_key))
 
-    def group_cap(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(order_column).head(n_per_key)
+    from pmocr_ray.ops.vecagg import _bucket_of
+
+    def bucket(t):
+        return t.append_column("_bkt", _bucket_of(t, [key_column], 32))
+
+    def group_cap_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # all keys of the bucket capped in ONE vectorized sort+head —
+        # no per-key Python call (see ops/vecagg.py)
+        df = df.drop(columns=["_bkt"]).sort_values(
+            [key_column, order_column], kind="mergesort")
+        return df.groupby(key_column, sort=False).head(n_per_key)
 
     return (ds.map_batches(local_cap, batch_format="pandas")
-              .groupby(key_column)
-              .map_groups(group_cap, batch_format="pandas"))
+              .map_batches(bucket, batch_format="pyarrow")
+              .groupby("_bkt")
+              .map_groups(group_cap_bucket, batch_format="pandas"))
 
 
 def hash_sample(ds, column: str = "url", prefix_lt: str = "1a"):
@@ -652,9 +662,11 @@ def top_terms_by_group(ds, group_col: str = "lang", k: int = 5,
         return pa.table({group_col: g[group_col], "term": g["term"],
                          "n": g["count_all"]})
 
-    rollup = (ds.map_batches(partial, batch_format="pyarrow")
-              .groupby([group_col, "term"])
-              .aggregate(Sum("n", alias_name="n")))
+    from pmocr_ray.ops.vecagg import grouped_aggregate
+
+    rollup = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [group_col, "term"], [("n", "sum", "n")])
 
     def local_cap(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
@@ -912,19 +924,44 @@ def posting_lists(ds, column: str = "text", key: str = "doc_id",
                              pa.list_(pa.int64())),
         })
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
+    from pmocr_ray.ops.vecagg import _bucket_of
 
-        ids = np.sort(np.concatenate([np.asarray(c, dtype=np.int64)
-                                      for c in g["cand"]]))[:cap]
-        return pd.DataFrame({
-            "term": [g["term"].iloc[0]],
-            "df": np.asarray([g["pdf"].sum()], dtype=np.int64),
-            "postings": [",".join(str(i) for i in ids)],
+    def bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("_bkt", _bucket_of(t, ["term"], 32))
+
+    def merge_bucket(t: pa.Table) -> pa.Table:
+        # vectorized merge for ALL terms of the bucket: explode the
+        # candidate lists, one sort, per-term head(cap) by cumcount,
+        # then ListArray + binary_join for the posting strings and an
+        # arrow sum for df — no per-term Python call
+        cand = t["cand"].combine_chunks()
+        parent = pc.list_parent_indices(cand)
+        flat = pc.list_flatten(cand)
+        terms = t["term"].combine_chunks().take(parent)
+        df = pd.DataFrame({"term": terms.to_pandas(),
+                           "d": flat.to_numpy(zero_copy_only=False)})
+        df = df.sort_values(["term", "d"], kind="mergesort")
+        df = df[df.groupby("term", sort=False).cumcount() < cap]
+        tn = df["term"].to_numpy()
+        starts = np.flatnonzero(np.concatenate([[True], tn[1:] != tn[:-1]]))
+        offsets = np.concatenate([starts, [len(tn)]]).astype(np.int64)
+        ids_str = pa.array(df["d"].astype(str).to_numpy(), pa.string())
+        la = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()), ids_str)
+        dfs = (t.select(["term", "pdf"]).to_pandas()
+               .groupby("term", sort=False, as_index=False)["pdf"].sum())
+        return pa.table({
+            "term": pa.array(tn[starts], pa.string()),
+            "df": pa.array(dfs.set_index("term")["pdf"]
+                           .reindex(tn[starts]).to_numpy(np.int64),
+                           pa.int64()),
+            "postings": pc.binary_join(la, ","),
         })
 
     return (ds.map_batches(partial, batch_format="pyarrow")
-            .groupby("term").map_groups(merge, batch_format="pandas"))
+            .map_batches(bucket, batch_format="pyarrow")
+            .groupby("_bkt").map_groups(merge_bucket,
+                                        batch_format="pyarrow"))
 
 
 def split_assign(ds, key_column: str = "doc_id",
@@ -1130,19 +1167,37 @@ def group_distinct_kmv(ds, group_col: str, value_col: str, k: int = 256):
                          "h": pa.array(df["h"].to_numpy(np.uint64),
                                        pa.uint64())})
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        hs = np.unique(g["h"].to_numpy())[:k]
-        if len(hs) < k:
-            est = len(hs)
-        else:
-            frac = hs[k - 1] / float(1 << 64)
-            est = int(round((k - 1) / frac))
-        return pd.DataFrame({group_col: [g["g"].iloc[0]],
-                             "n_distinct": np.array([est], np.int64)})
+    from pmocr_ray.ops.vecagg import _bucket_of
+
+    def bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("_bkt", _bucket_of(t, ["g"], 32))
+
+    def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # ALL groups of the bucket in one sorted scan: distinct
+        # (g, h), per-group rank, then the k-th smallest hash (exact
+        # count below k) — no per-group Python call
+        df = (df[["g", "h"]].drop_duplicates()
+              .sort_values(["g", "h"], kind="mergesort"))
+        rank = df.groupby("g", sort=False).cumcount()
+        sizes = df.groupby("g", sort=False)["h"].transform("size")
+        kth = df[rank == k - 1].set_index("g")["h"]
+        firsts = df[rank == 0]
+        n = firsts["g"].map(
+            df.groupby("g", sort=False)["h"].size()).to_numpy()
+        kth_v = firsts["g"].map(kth).to_numpy(dtype="float64",
+                                              na_value=np.nan)
+        frac = kth_v / float(1 << 64)
+        est = np.where(n < k, n,
+                       np.round((k - 1) / np.where(np.isnan(frac), 1.0,
+                                                   frac))).astype(np.int64)
+        return pd.DataFrame({group_col: firsts["g"].to_numpy(),
+                             "n_distinct": est})
 
     return (ds.select_columns([group_col, value_col])
             .map_batches(partial, batch_format="pyarrow")
-            .groupby("g").map_groups(merge, batch_format="pandas"))
+            .map_batches(bucket, batch_format="pyarrow")
+            .groupby("_bkt").map_groups(merge_bucket,
+                                        batch_format="pandas"))
 
 
 def collocation_pairs(ds, column: str = "text", vocab_k: int = 200,
@@ -1382,20 +1437,26 @@ def rare_term_pairs(ds, column: str = "text", key: str = "doc_id",
     # of the same incidence can't double-count
     inc = ds.map_batches(incidence, batch_format="pyarrow")
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        docs = sorted(set(int(x) for x in g[key]))
-        a, b = [], []
-        for i, x in enumerate(docs):
-            for y in docs[i + 1:]:
-                a.append(x)
-                b.append(y)
-        return pd.DataFrame({"a": pd.Series(a, dtype="int64"),
-                             "b": pd.Series(b, dtype="int64"),
-                             "n": pd.Series([1] * len(a),
-                                            dtype="int64")})
+    from pmocr_ray.ops.vecagg import _bucket_of
 
-    pairs = inc.groupby("term").map_groups(bucket_pairs,
-                                           batch_format="pandas")
+    def coarse(t: pa.Table) -> pa.Table:
+        return t.append_column("_bkt", _bucket_of(t, ["term"], 32))
+
+    def pairs_partition(df: pd.DataFrame) -> pd.DataFrame:
+        # every rare term of the bucket pairs its (≤ max_df) docs in
+        # ONE vectorized self-merge — no per-term Python call; the
+        # rare-df bound keeps the merge output ≤ C(max_df, 2)/term
+        df = df[["term", key]].drop_duplicates()
+        m = df.merge(df, on="term")
+        m = m[m[f"{key}_x"].to_numpy() < m[f"{key}_y"].to_numpy()]
+        return pd.DataFrame({
+            "a": m[f"{key}_x"].to_numpy(np.int64),
+            "b": m[f"{key}_y"].to_numpy(np.int64),
+            "n": np.ones(len(m), np.int64)})
+
+    pairs = (inc.map_batches(coarse, batch_format="pyarrow")
+             .groupby("_bkt")
+             .map_groups(pairs_partition, batch_format="pandas"))
     from pmocr_ray.ops.vecagg import grouped_aggregate
 
     return grouped_aggregate(
