@@ -77,20 +77,28 @@ _RAW_END = {
 class _Accumulator:
     """Per-subtree density statistics over a stream of tag/text events.
 
-    Stack-based: each open element accumulates (words, text_len,
-    link_len); on close, a candidate container is scored and its stats
-    fold into the parent.  Misnested markup is tolerated by folding
+    Stack-based with GLOBAL counters: words accumulate into one
+    document-order list and each open element records only its start
+    offsets (word index, chars, link chars) — a subtree's totals on
+    close are the global counters minus the recorded starts, and its
+    word list is one slice (taken only when it becomes the new best).
+    The naive per-element formulation re-extends every word list into
+    its parent at every close, O(depth × words) per document; this is
+    O(words + elements) with identical outputs (same integer sums in
+    the same order, so identical float scores; same slices, so
+    identical word lists).  Misnested markup is tolerated by folding
     skipped nodes into their ancestors (same policy a lenient HTML
     parser applies)."""
 
-    __slots__ = ("tags", "words", "text_lens", "link_lens",
+    __slots__ = ("stack", "words", "chars", "link_chars",
                  "link_depth", "best", "_order")
 
     def __init__(self) -> None:
-        self.tags: list[str] = ["#root"]
-        self.words: list[list[str]] = [[]]
-        self.text_lens: list[int] = [0]
-        self.link_lens: list[int] = [0]
+        # (tag, word start index, chars start, link-chars start)
+        self.stack: list[tuple[str, int, int, int]] = [("#root", 0, 0, 0)]
+        self.words: list[str] = []
+        self.chars = 0
+        self.link_chars = 0
         self.link_depth = 0
         # (score, order, words) of the best closed candidate container
         self.best: tuple[float, int, list[str]] | None = None
@@ -99,54 +107,49 @@ class _Accumulator:
     def start(self, tag: str) -> None:
         if tag == "a":
             self.link_depth += 1
-        self.tags.append(tag)
-        self.words.append([])
-        self.text_lens.append(0)
-        self.link_lens.append(0)
+        self.stack.append((tag, len(self.words), self.chars,
+                           self.link_chars))
 
     def end(self, tag: str) -> None:
         if tag == "a" and self.link_depth > 0:
             self.link_depth -= 1
-        tags = self.tags
-        idx = None
-        for i in range(len(tags) - 1, 0, -1):
-            if tags[i] == tag:
-                idx = i
-                break
-        if idx is None:
-            return
-        while len(tags) > idx:
+        stack = self.stack
+        if stack[-1][0] == tag:  # fast path: well-nested markup
             self._pop()
+            return
+        for i in range(len(stack) - 1, 0, -1):
+            if stack[i][0] == tag:
+                while len(stack) > i:
+                    self._pop()
+                return
+        # no matching open tag: stray close, ignored
 
     def text(self, data: str) -> None:
         ws = data.split()
         if not ws:
             return
-        self.words[-1].extend(ws)
+        self.words.extend(ws)
         n = sum(map(len, ws))
-        self.text_lens[-1] += n
+        self.chars += n
         if self.link_depth:
-            self.link_lens[-1] += n
+            self.link_chars += n
 
     def _pop(self) -> None:
-        tag = self.tags.pop()
-        w = self.words.pop()
-        tl = self.text_lens.pop()
-        ll = self.link_lens.pop()
-        if tag in _CANDIDATES and tl > 0:
-            density = 1.0 - ll / tl
-            score = (tl - ll) * density
-            self._order += 1
-            # Strictly-greater wins; ties keep the earliest-closed
-            # candidate (innermost / first in document order).
-            if self.best is None or score > self.best[0]:
-                self.best = (score, self._order, list(w))
-        self.words[-1].extend(w)
-        self.text_lens[-1] += tl
-        self.link_lens[-1] += ll
+        tag, w0, c0, l0 = self.stack.pop()
+        if tag in _CANDIDATES:
+            tl = self.chars - c0
+            if tl > 0:
+                ll = self.link_chars - l0
+                density = 1.0 - ll / tl
+                score = (tl - ll) * density
+                self._order += 1
+                # Strictly-greater wins; ties keep the earliest-closed
+                # candidate (innermost / first in document order).
+                if self.best is None or score > self.best[0]:
+                    self.best = (score, self._order, self.words[w0:])
 
     def finish(self) -> None:
-        while len(self.tags) > 1:
+        while len(self.stack) > 1:
             self._pop()
 
 
