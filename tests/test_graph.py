@@ -145,3 +145,21 @@ def test_triangle_count_known_graphs(ray_session):
     # star + one closing edge = exactly 1
     star = pd.DataFrame({"src": [0, 0, 0, 1], "dst": [1, 2, 3, 2]})
     assert triangle_count(rd.from_pandas(star)) == 1
+
+
+def test_cc_chain_across_many_blocks(ray_session):
+    """A long path split across many blocks exercises the
+    filter-contract step: each block contracts its segment to a star
+    and the global loop only stitches the boundaries.  Labels must be
+    the exact path minimum regardless of the block layout."""
+    n = 400
+    edges = pd.DataFrame({"a": list(range(n - 1)),
+                          "b": list(range(1, n))})
+    # shuffle rows so blocks hold non-contiguous segments, then split
+    edges = edges.sample(frac=1.0, random_state=7).reset_index(drop=True)
+    out = (connected_components_distributed(
+               rd.from_pandas(edges).repartition(13))
+           .to_pandas())
+    assert len(out) == n
+    assert set(out["node"]) == set(range(n))
+    assert (out["label"] == 0).all()
