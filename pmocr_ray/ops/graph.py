@@ -207,6 +207,15 @@ def pagerank(edges: rd.Dataset, *, iters: int = 3, scale: int = 1_000_000,
                             "rank": pa.array([scale] * len(t), pa.int64())}),
         batch_format="pyarrow")
 
+    # zero contribution per node — unioned into every iteration's sum so
+    # dangling-in targets keep a row WITHOUT a left-outer join back to
+    # the node universe (a hash join per iteration traded for rows in
+    # the existing vecagg exchange; loop-invariant, materialized once)
+    zeros = nodes.map_batches(
+        lambda t: pa.table({"dst": t["node"],
+                            "c": pa.array([0] * len(t), pa.int64())}),
+        batch_format="pyarrow").materialize()
+
     base = scale * 15 // 100
     for _ in range(iters):
         j = edeg.join(ranks, join_type="inner", num_partitions=parts,
@@ -217,18 +226,14 @@ def pagerank(edges: rd.Dataset, *, iters: int = 3, scale: int = 1_000_000,
                 "c": pc.divide(pc.cast(t["rank"], pa.int64()),
                                pc.cast(t["deg"], pa.int64()))}),
             batch_format="pyarrow")
-        sums = _vec_agg(contrib, ["dst"], [("c", "sum", "c")])
-        j2 = nodes.join(sums, join_type="left_outer",
-                        num_partitions=parts, on=("node",),
-                        right_on=("dst",))
-        ranks = j2.map_batches(
+        sums = _vec_agg(contrib.union(zeros), ["dst"], [("c", "sum", "c")])
+        ranks = sums.map_batches(
             lambda t: pa.table({
-                "rnode": t["node"],
+                "rnode": t["dst"],
                 "rank": pc.add(
                     base,
                     pc.divide(
-                        pc.multiply(
-                            pc.cast(pc.coalesce(t["c"], 0), pa.int64()), 85),
+                        pc.multiply(pc.cast(t["c"], pa.int64()), 85),
                         100))}),
             batch_format="pyarrow").materialize()
 
