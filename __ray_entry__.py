@@ -4571,29 +4571,30 @@ def _q_vocab_overlap(sf_dir: str):
         .groupby("lang").count().to_pandas()["lang"])
     bit = {l: 1 << i for i, l in enumerate(langs)}
 
-    import re
-
-    tok = re.compile(r"\S+")
-
     def explode(t: pa.Table) -> pa.Table:
-        seen = set()
-        for lang, text in zip(t["lang"].to_pylist(),
-                              t["text"].to_pylist()):
-            b = bit[lang]
-            for term in tok.findall(text or ""):
-                seen.add((term, b))
-        if not seen:
-            return pa.table({"term": pa.array([], pa.string()),
-                             "b": pa.array([], pa.int64())})
-        terms, bits = zip(*seen)
-        return pa.table({"term": pa.array(terms, pa.string()),
-                         "b": pa.array(bits, pa.int64())})
+        # vectorized: arrow split (\s+ split == \S+ findall minus the
+        # empties) + parent-index lang-bit gather + local arrow distinct
+        toks = pc.split_pattern_regex(pc.fill_null(t["text"], ""), r"\s+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        mask = pc.not_equal(flat, "")
+        flat, parent = flat.filter(mask), parent.filter(mask)
+        lang_bits = np.array([bit[l] for l in t["lang"].to_pylist()],
+                             np.int64)
+        b = lang_bits[parent.to_numpy(zero_copy_only=False)]
+        tab = pa.table({"term": flat, "b": pa.array(b, pa.int64())})
+        return tab.group_by(["term", "b"]).aggregate([])
+
+    from pmocr_ray.ops.vecagg import distinct as _vec_distinct
+    from pmocr_ray.ops.vecagg import grouped_aggregate
 
     # distinct (term, lang-bit) globally, then OR bits per term: after
-    # the distinct, each (term, bit) is unique, so Sum == bitwise OR
-    distinct = (docs.map_batches(explode, batch_format="pyarrow")
-                .groupby(["term", "b"]).aggregate(Count(alias_name="_n")))
-    masks = (distinct.groupby("term").aggregate(Sum("b", alias_name="mask")))
+    # the distinct, each (term, bit) is unique, so Sum == bitwise OR;
+    # term groups are VOCAB-scale — Arrow-bucketed merge
+    distinct = _vec_distinct(
+        docs.map_batches(explode, batch_format="pyarrow"), ["term", "b"])
+    masks = grouped_aggregate(distinct, ["term"],
+                              [("b", "sum", "mask")])
 
     def hist(t: pa.Table) -> pa.Table:
         tt = pa.table({"mask": t["mask"],
