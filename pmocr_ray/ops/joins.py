@@ -121,11 +121,12 @@ def hash_anti_join(left: rd.Dataset, right: rd.Dataset, on: str,
     the right table's payload — the same shrink-before-shuffle
     discipline as the aggregate-before-join star queries.
     """
-    from ray.data.aggregate import Count
+    from pmocr_ray.ops.vecagg import grouped_aggregate
 
     r_on = right_on or on
-    marker = (right.select_columns([r_on])
-              .groupby(r_on).aggregate(Count(alias_name="__m")))
+    # key groups are RIGHT-TABLE-scale — Arrow-bucketed rollup
+    marker = grouped_aggregate(right.select_columns([r_on]),
+                               [r_on], [(None, "count", "__m")])
     joined = left.join(marker, join_type="left_outer",
                        num_partitions=num_partitions,
                        on=(on,), right_on=(r_on,))
@@ -148,11 +149,11 @@ def native_anti_join(left: rd.Dataset, right: rd.Dataset, on: str,
     variant reuses); the right side is still pre-aggregated to one row
     per key before the exchange so the shuffle moves distinct keys,
     never payload."""
-    from ray.data.aggregate import Count
+    from pmocr_ray.ops.vecagg import grouped_aggregate
 
     r_on = right_on or on
-    marker = (right.select_columns([r_on])
-              .groupby(r_on).aggregate(Count(alias_name="__m")))
+    marker = grouped_aggregate(right.select_columns([r_on]),
+                               [r_on], [(None, "count", "__m")])
     return left.join(marker, join_type="left_anti",
                      num_partitions=num_partitions,
                      on=(on,), right_on=(r_on,))
@@ -281,9 +282,11 @@ def skew_hash_join(left: rd.Dataset, right: rd.Dataset, *, on: str,
         return pa.table({on: g[on],
                          "n": pc.cast(g["count_all"], pa.int64())})
 
-    counts = (left.map_batches(key_counts, batch_format="pyarrow")
-              .groupby(on).aggregate(Sum("n", alias_name="n"))
-              ).materialize()
+    from pmocr_ray.ops.vecagg import grouped_aggregate
+
+    counts = grouped_aggregate(
+        left.map_batches(key_counts, batch_format="pyarrow"),
+        [on], [("n", "sum", "n")]).materialize()
     hot_rows = counts.map_batches(
         lambda t: t.filter(pc.greater(t["n"], hot_threshold)),
         batch_format="pyarrow").take_all()
