@@ -44,6 +44,17 @@ def _i64(col) -> "np.ndarray":
     return col.combine_chunks().cast(pa.int64()).to_numpy(
         zero_copy_only=False)
 
+
+def _lut_gather(lut: "np.ndarray", idx: "np.ndarray",
+                default: int = -1) -> "np.ndarray":
+    """Bounds-safe dense-LUT gather: keys outside the LUT (a FILTERED
+    mapping's array only spans its own max key) map to ``default``
+    instead of raising/garbage."""
+    safe = (idx >= 0) & (idx < len(lut))
+    out = np.full(len(idx), default, np.int64)
+    out[safe] = lut[idx[safe]]
+    return out
+
 REPS = 8  # pages per document row; must match the SQL below
 
 
@@ -1860,7 +1871,7 @@ def _q_local_supplier_revenue(sf_dir: str):
 
     def rev_by_order_nat(t: pa.Table) -> pa.Table:
         lut = ray.get(s_ref)
-        nat = lut[_i64(t["l_suppkey"])]  # one vectorized gather per batch
+        nat = _lut_gather(lut, _i64(t["l_suppkey"]))  # vectorized, bounds-safe
         t = (t.append_column("s_nat", pa.array(nat, pa.int64()))
              .filter(pa.array(nat >= 0)))
         ext = np.rint(np.asarray(
@@ -4247,7 +4258,7 @@ def _q_nation_pair_flows(sf_dir: str):
 
     def partial(t: pa.Table) -> pa.Table:
         lut = ray.get(s_ref)
-        nat = pa.array(lut[_i64(t["l_suppkey"])], pa.int64())
+        nat = pa.array(_lut_gather(lut, _i64(t["l_suppkey"])), pa.int64())
         year = pc.cast(pc.year(t["l_shipdate"]), pa.int64())
         ext = np.rint(np.asarray(
             t["l_extendedprice"].to_numpy(zero_copy_only=False)) * 100
