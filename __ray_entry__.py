@@ -2565,11 +2565,12 @@ def _q_basket_pairs(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
 
+    from pmocr_ray.ops.vecagg import distinct as _vec_distinct
+
     li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
                          columns=["l_orderkey", "l_partkey"])
-    items = (li.groupby(["l_orderkey", "l_partkey"])
-             .aggregate(Count(alias_name="_n"))
-             .select_columns(["l_orderkey", "l_partkey"]))
+    # order-item-scale distinct — Arrow-bucketed (see ops/vecagg.py)
+    items = _vec_distinct(li, ["l_orderkey", "l_partkey"])
     items, parts = sized_for_join(items, cap=16)
 
     j = items.join(items, join_type="inner", num_partitions=parts,
@@ -2581,8 +2582,11 @@ def _q_basket_pairs(sf_dir: str):
         return pa.table({"p1": t["l_partkey"], "p2": t["l_partkey_r"],
                          "n": pa.array([1] * len(t), pa.int64())})
 
-    sup = (j.map_batches(to_pairs, batch_format="pyarrow")
-           .groupby(["p1", "p2"]).aggregate(Sum("n", alias_name="support")))
+    from pmocr_ray.ops.vecagg import grouped_aggregate
+
+    sup = grouped_aggregate(
+        j.map_batches(to_pairs, batch_format="pyarrow"),
+        ["p1", "p2"], [("n", "sum", "support")])
     return sup.map_batches(
         lambda t: t.filter(pc.greater_equal(t["support"], 3)),
         batch_format="pyarrow")
@@ -5722,8 +5726,9 @@ def _q_fk_audit(sf_dir: str):
                               columns=[dim_col])
         orphans = bloom_anti_join(keys, dim, on=fact_col,
                                   right_on=dim_col)
-        return (orphans.groupby(fact_col)
-                .aggregate(Count(alias_name="_n")).count())
+        from pmocr_ray.ops.vecagg import distinct as _vec_distinct
+
+        return _vec_distinct(orphans, [fact_col]).count()
 
     EDGES = [
         ("lineitem.l_orderkey->orders", "lineitem.parquet", "l_orderkey",
