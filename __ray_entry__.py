@@ -38,6 +38,16 @@ def _dense_i64_lut(mapping: dict, default: int = -1) -> "np.ndarray":
     return arr
 
 
+def _vgb(ds, keys, *aggs):
+    """groupby().aggregate() for KEY-SCALE group counts — routed through
+    the Arrow-bucketed aggregate (pmocr_ray.ops.vecagg.ray_aggregate),
+    which avoids Ray's per-group Python reduce cost.  Bounded rollups
+    (langs, days, status classes) stay on Ray's native groupby."""
+    from pmocr_ray.ops.vecagg import ray_aggregate
+
+    return ray_aggregate(ds, keys, *aggs)
+
+
 def _i64(col) -> "np.ndarray":
     import pyarrow as pa
 
@@ -1002,8 +1012,7 @@ def _q_revenue_by_nation(sf_dir: str):
         g = tt.group_by("l_orderkey").aggregate([("rev", "sum")])
         return pa.table({"l_orderkey": g["l_orderkey"], "rev": g["rev_sum"]})
 
-    per_order = (li.map_batches(rev_per_order, batch_format="pyarrow")
-                 .groupby("l_orderkey").aggregate(Sum("rev", alias_name="rev")))
+    per_order = (_vgb(li.map_batches(rev_per_order, batch_format="pyarrow"), "l_orderkey", Sum("rev", alias_name="rev")))
     orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
                              columns=["o_orderkey", "o_custkey"])
     j1 = per_order.join(orders, join_type="inner", num_partitions=8,
@@ -1059,9 +1068,7 @@ def _q_shipping_priority(sf_dir: str):
         return pa.table({"l_orderkey": g["l_orderkey"],
                          "rev": g["rev_sum"]})
 
-    per_order = (li.map_batches(rev_per_order, batch_format="pyarrow")
-                 .groupby("l_orderkey")
-                 .aggregate(Sum("rev", alias_name="revenue_e4")))
+    per_order = (_vgb(li.map_batches(rev_per_order, batch_format="pyarrow"), "l_orderkey", Sum("rev", alias_name="revenue_e4")))
     orders = rd.read_parquet(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderkey", "o_custkey", "o_orderdate",
@@ -1623,10 +1630,7 @@ def _q_rollup_orders(sf_dir: str):
                          "cents": g["cents_sum"],
                          "n": g["count_all"]})
 
-    per_cust = (orders.map_batches(per_cust_partial, batch_format="pyarrow")
-                .groupby("o_custkey")
-                .aggregate(Sum("cents", alias_name="cents"),
-                           Sum("n", alias_name="n")))
+    per_cust = (_vgb(orders.map_batches(per_cust_partial, batch_format="pyarrow"), "o_custkey", Sum("cents", alias_name="cents"), Sum("n", alias_name="n")))
     customer = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
                                columns=["c_custkey", "c_mktsegment",
                                         "c_nationkey"])
@@ -1739,9 +1743,8 @@ def _pagerank_edges(sf_dir: str):
         return tab.group_by(["src", "dst"]).aggregate([])  # local distinct
 
     from ray.data.aggregate import Count
-    return (_docs(sf_dir).select_columns(["doc_id"])
-            .map_batches(edges_fn, batch_format="pyarrow")
-            .groupby(["src", "dst"]).aggregate(Count(alias_name="_n"))
+    return (_vgb(_docs(sf_dir).select_columns(["doc_id"])
+            .map_batches(edges_fn, batch_format="pyarrow"), ["src", "dst"], Count(alias_name="_n"))
             .select_columns(["src", "dst"]))
 
 
@@ -1825,9 +1828,7 @@ def _q_cheapest_supplier(sf_dir: str):
                          "s_suppkey": g["s_suppkey"],
                          "total_cents": g["total_cents_sum"]})
 
-    rollup = (li.map_batches(partial, batch_format="pyarrow")
-              .groupby(["p_partkey", "s_suppkey"])
-              .aggregate(Sum("total_cents", alias_name="total_cents")))
+    rollup = (_vgb(li.map_batches(partial, batch_format="pyarrow"), ["p_partkey", "s_suppkey"], Sum("total_cents", alias_name="total_cents")))
     best = compact_latest(rollup, key="p_partkey",
                           order_cols=["total_cents", "s_suppkey"],
                           descending=[False, False])
@@ -2008,9 +2009,7 @@ def _q_host_lang(sf_dir: str):
         return pa.table({"host": g["host"], "lang": g["lang"],
                          "n_pages": pc.cast(g["count_all"], pa.int64())})
 
-    rollup = (pages.map_batches(partial, batch_format="pyarrow")
-              .groupby(["host", "lang"])
-              .aggregate(Sum("n_pages", alias_name="n_pages")))
+    rollup = (_vgb(pages.map_batches(partial, batch_format="pyarrow"), ["host", "lang"], Sum("n_pages", alias_name="n_pages")))
     best = compact_latest(rollup, key="host",
                           order_cols=["n_pages", "lang"],
                           descending=[True, False])
@@ -2109,8 +2108,7 @@ def _q_promo_revenue(sf_dir: str):
         g = tt.group_by("l_partkey").aggregate([("rev", "sum")])
         return pa.table({"l_partkey": g["l_partkey"], "rev": g["rev_sum"]})
 
-    per_part = (li.map_batches(rev_per_part, batch_format="pyarrow")
-                .groupby("l_partkey").aggregate(Sum("rev",
+    per_part = (_vgb(li.map_batches(rev_per_part, batch_format="pyarrow"), "l_partkey", Sum("rev",
                                                     alias_name="rev")))
     part = rd.read_parquet(os.path.join(sf_dir, "part.parquet"),
                            columns=["p_partkey", "p_type"])
@@ -2270,9 +2268,7 @@ def _q_skew_join(sf_dir: str):
         return pa.table({"p_user": g["p_user"],
                          "user_cents": g["user_cents_sum"]})
 
-    profile = (ev.map_batches(cents_partial, batch_format="pyarrow")
-               .groupby("p_user")
-               .aggregate(Sum("user_cents", alias_name="user_cents")))
+    profile = (_vgb(ev.map_batches(cents_partial, batch_format="pyarrow"), "p_user", Sum("user_cents", alias_name="user_cents")))
     left = ev.select_columns(["user_id", "event_type"])
     joined = skew_hash_join(left, profile, on="user_id",
                             right_on="p_user", hot_threshold=5)
@@ -2449,8 +2445,7 @@ def _q_priority_semi(sf_dir: str):
         g = t.select(["l_orderkey"]).group_by("l_orderkey").aggregate([])
         return g
 
-    keys = (li.map_batches(big_qty_keys, batch_format="pyarrow")
-            .groupby("l_orderkey").aggregate(Count(alias_name="_n"))
+    keys = (_vgb(li.map_batches(big_qty_keys, batch_format="pyarrow"), "l_orderkey", Count(alias_name="_n"))
             .select_columns(["l_orderkey"]))
     orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
                              columns=["o_orderkey", "o_orderpriority"])
@@ -2478,8 +2473,7 @@ def _q_priority_semi_native(sf_dir: str):
         t = t.filter(pc.greater(t["l_quantity"], 45.0))
         return t.select(["l_orderkey"]).group_by("l_orderkey").aggregate([])
 
-    keys = (li.map_batches(big_qty_keys, batch_format="pyarrow")
-            .groupby("l_orderkey").aggregate(Count(alias_name="_n"))
+    keys = (_vgb(li.map_batches(big_qty_keys, batch_format="pyarrow"), "l_orderkey", Count(alias_name="_n"))
             .select_columns(["l_orderkey"]))
     orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
                              columns=["o_orderkey", "o_orderpriority"])
@@ -2507,9 +2501,7 @@ def _q_cust_order_dist(sf_dir: str):
         return pa.table({"o_custkey": g["o_custkey"],
                          "n_orders": pc.cast(g["count_all"], pa.int64())})
 
-    per_cust = (orders.map_batches(partial, batch_format="pyarrow")
-                .groupby("o_custkey")
-                .aggregate(Sum("n_orders", alias_name="n_orders")))
+    per_cust = (_vgb(orders.map_batches(partial, batch_format="pyarrow"), "o_custkey", Sum("n_orders", alias_name="n_orders")))
     customer = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
                                columns=["c_custkey"])
     j = customer.join(per_cust, join_type="left_outer", num_partitions=4,
@@ -2677,16 +2669,12 @@ def _q_returned_top_customers(sf_dir: str):
         g = tt.group_by("l_orderkey").aggregate([("rev", "sum")])
         return pa.table({"l_orderkey": g["l_orderkey"], "rev": g["rev_sum"]})
 
-    per_order = (li.map_batches(rev_per_order, batch_format="pyarrow")
-                 .groupby("l_orderkey")
-                 .aggregate(Sum("rev", alias_name="rev")))
+    per_order = (_vgb(li.map_batches(rev_per_order, batch_format="pyarrow"), "l_orderkey", Sum("rev", alias_name="rev")))
     orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
                              columns=["o_orderkey", "o_custkey"])
     j = per_order.join(orders, join_type="inner", num_partitions=8,
                        on=("l_orderkey",), right_on=("o_orderkey",))
-    rollup = (j.groupby("o_custkey")
-              .aggregate(Sum("rev", alias_name="revenue"),
-                         Count(alias_name="n_orders")))
+    rollup = (_vgb(j, "o_custkey", Sum("rev", alias_name="revenue"), Count(alias_name="n_orders")))
     top = (rollup.sort(["revenue", "o_custkey"],
                        descending=[True, False])
            .limit(20).to_pandas())
@@ -2874,8 +2862,7 @@ def _q_supplier_variety(sf_dir: str):
         return (pa.table({"p_type": types, "l_suppkey": g["l_suppkey"]})
                 .group_by(["p_type", "l_suppkey"]).aggregate([]))
 
-    pairs = (li.map_batches(local_distinct, batch_format="pyarrow")
-             .groupby(["p_type", "l_suppkey"]).aggregate(Count()))
+    pairs = (_vgb(li.map_batches(local_distinct, batch_format="pyarrow"), ["p_type", "l_suppkey"], Count()))
     return (pairs.groupby("p_type")
             .aggregate(Count(alias_name="n_suppliers")))
 
@@ -2899,8 +2886,7 @@ def _q_new_users_curve(sf_dir: str):
         g = tt.group_by("user_id").aggregate([("day", "min")])
         return pa.table({"user_id": g["user_id"], "day": g["day_min"]})
 
-    first = (ev.map_batches(per_batch_min, batch_format="pyarrow")
-             .groupby("user_id").aggregate(Min("day", alias_name="day")))
+    first = (_vgb(ev.map_batches(per_batch_min, batch_format="pyarrow"), "user_id", Min("day", alias_name="day")))
     daily = (first.groupby("day").aggregate(Count(alias_name="n_new"))
              .to_pandas().sort_values("day").reset_index(drop=True))
     n_new = daily["n_new"].astype("int64")
@@ -2937,9 +2923,7 @@ def _q_revenue_concentration(sf_dir: str):
         g = tt.group_by("l_orderkey").aggregate([("rev", "sum")])
         return pa.table({"l_orderkey": g["l_orderkey"], "rev": g["rev_sum"]})
 
-    per_order = (li.map_batches(rev_per_order, batch_format="pyarrow")
-                 .groupby("l_orderkey")
-                 .aggregate(Sum("rev", alias_name="rev")))
+    per_order = (_vgb(li.map_batches(rev_per_order, batch_format="pyarrow"), "l_orderkey", Sum("rev", alias_name="rev")))
     n = per_order.count()
     k = max(1, n // 100)
     top = per_order.sort(["rev", "l_orderkey"],
@@ -2975,10 +2959,8 @@ def _q_users_all_types(sf_dir: str):
         t = t.filter(pc.is_in(t["event_type"], value_set=want))
         return t.group_by(["user_id", "event_type"]).aggregate([])
 
-    pairs = (ev.map_batches(local_distinct, batch_format="pyarrow")
-             .groupby(["user_id", "event_type"]).aggregate(Count()))
-    per_user = pairs.groupby("user_id").aggregate(
-        Count(alias_name="n_types"))
+    pairs = (_vgb(ev.map_batches(local_distinct, batch_format="pyarrow"), ["user_id", "event_type"], Count()))
+    per_user = _vgb(pairs, "user_id", Count(alias_name="n_types"))
     return (per_user.map_batches(
         lambda t: t.filter(pc.equal(t["n_types"],
                                     len(_DIVISION_TYPES))),
@@ -3005,20 +2987,15 @@ def _q_user_top_type(sf_dir: str):
                          "event_type": g["event_type"],
                          "n": g["count_all"]})
 
-    counts = (ev.map_batches(local_counts, batch_format="pyarrow")
-              .groupby(["user_id", "event_type"])
-              .aggregate(Sum("n", alias_name="n")))
-    best = counts.groupby("user_id").aggregate(
-        Max("n", alias_name="best"))
+    counts = (_vgb(ev.map_batches(local_counts, batch_format="pyarrow"), ["user_id", "event_type"], Sum("n", alias_name="n")))
+    best = _vgb(counts, "user_id", Max("n", alias_name="best"))
     counts, parts = sized_for_join(counts, cap=8)
     j = counts.join(best, join_type="inner", num_partitions=parts,
                     on=("user_id",))
     hits = j.map_batches(
         lambda t: t.filter(pc.equal(t["n"], t["best"])),
         batch_format="pyarrow")
-    return (hits.groupby("user_id")
-            .aggregate(Min("event_type", alias_name="top_type"),
-                       Max("best", alias_name="n")))
+    return (_vgb(hits, "user_id", Min("event_type", alias_name="top_type"), Max("best", alias_name="n")))
 
 
 def _q_daily_fill_gaps(sf_dir: str):
@@ -3564,9 +3541,7 @@ def _q_user_value_norm(sf_dir: str):
                          "v": pa.array(v, pa.int64())})
 
     base = ev.map_batches(cents, batch_format="pyarrow")
-    stats = (base.groupby("user_id")
-             .aggregate(Sum("v", alias_name="s"),
-                        Count(alias_name="nu")))
+    stats = (_vgb(base, "user_id", Sum("v", alias_name="s"), Count(alias_name="nu")))
     parts = _pq_parts(sf_dir, "events", cap=16)
     j = base.join(stats, join_type="inner", num_partitions=parts,
                   on=("user_id",))
@@ -3784,9 +3759,7 @@ def _q_orders_above_cust_avg(sf_dir: str):
                          "price": pa.array(c, pa.int64())})
 
     base = orders.map_batches(cents, batch_format="pyarrow")
-    stats = (base.groupby("o_custkey")
-             .aggregate(Sum("price", alias_name="s"),
-                        Count(alias_name="cn")))
+    stats = (_vgb(base, "o_custkey", Sum("price", alias_name="s"), Count(alias_name="cn")))
     parts = _pq_parts(sf_dir, "orders", cap=8)
     j = base.join(stats, join_type="inner", num_partitions=parts,
                   on=("o_custkey",))
@@ -3798,9 +3771,7 @@ def _q_orders_above_cust_avg(sf_dir: str):
         return pa.table({"c_custkey": t["o_custkey"],
                          "one": pa.array(np.ones(len(t), np.int64))})
 
-    return (j.map_batches(above, batch_format="pyarrow")
-            .groupby("c_custkey")
-            .aggregate(Sum("one", alias_name="n_above")))
+    return (_vgb(j.map_batches(above, batch_format="pyarrow"), "c_custkey", Sum("one", alias_name="n_above")))
 
 
 def _q_time_multi_rollup(sf_dir: str):
@@ -3862,9 +3833,7 @@ def _q_user_type_mask(sf_dir: str):
                          "event_type": g["event_type"],
                          "bit": pa.array(bits, pa.int64())})
 
-    pairs = (ev.map_batches(local, batch_format="pyarrow")
-             .groupby(["user_id", "event_type"])
-             .aggregate(Sum("bit", alias_name="bit_sum")))
+    pairs = (_vgb(ev.map_batches(local, batch_format="pyarrow"), ["user_id", "event_type"], Sum("bit", alias_name="bit_sum")))
 
     def debit(t: pa.Table) -> pa.Table:
         # bit_sum is bit × multiplicity (pair seen in k batches); the
@@ -3874,8 +3843,7 @@ def _q_user_type_mask(sf_dir: str):
         return pa.table({"user_id": t["user_id"],
                          "bit": pa.array(bits, pa.int64())})
 
-    return (pairs.map_batches(debit, batch_format="pyarrow")
-            .groupby("user_id").aggregate(Sum("bit", alias_name="mask")))
+    return (_vgb(pairs.map_batches(debit, batch_format="pyarrow"), "user_id", Sum("bit", alias_name="mask")))
 
 
 def _q_median_interp(sf_dir: str):
@@ -3902,8 +3870,7 @@ def _q_median_interp(sf_dir: str):
         g = tt.group_by("price").aggregate([("n", "sum")])
         return pa.table({"price": g["price"], "n": g["n_sum"]})
 
-    rollup = (orders.map_batches(partial, batch_format="pyarrow")
-              .groupby("price").aggregate(Sum("n", alias_name="n"))
+    rollup = (_vgb(orders.map_batches(partial, batch_format="pyarrow"), "price", Sum("n", alias_name="n"))
               .to_pandas().sort_values("price").reset_index(drop=True))
     vals = rollup["price"].to_numpy(dtype=np.int64)
     cum = rollup["n"].to_numpy(dtype=np.int64).cumsum()
@@ -3956,9 +3923,7 @@ def _q_region_revenue(sf_dir: str):
         return pa.table({"o_custkey": g["o_custkey"],
                          "rev": g["rev_sum"]})
 
-    per_cust = (orders.map_batches(cents, batch_format="pyarrow")
-                .groupby("o_custkey").aggregate(
-                    Sum("rev", alias_name="rev")))
+    per_cust = (_vgb(orders.map_batches(cents, batch_format="pyarrow"), "o_custkey", Sum("rev", alias_name="rev")))
     per_cust, parts = sized_for_join(per_cust, cap=8)
     j = per_cust.join(cust, join_type="inner", num_partitions=parts,
                       on=("o_custkey",), right_on=("c_custkey",))
@@ -3993,8 +3958,7 @@ def _q_trailing_active_users(sf_dir: str):
                        "day": pa.array(day, pa.int64())})
         return tt.group_by(["user_id", "day"]).aggregate([])
 
-    distinct = (ev.map_batches(pairs, batch_format="pyarrow")
-                .groupby(["user_id", "day"]).aggregate(Count()))
+    distinct = (_vgb(ev.map_batches(pairs, batch_format="pyarrow"), ["user_id", "day"], Count()))
     # the window-day universe: only days that actually occur
     days = frozenset(
         r["day"] for r in
@@ -4016,8 +3980,7 @@ def _q_trailing_active_users(sf_dir: str):
                        "wday": pa.array(np.concatenate(ws), pa.int64())})
         return tt.group_by(["user_id", "wday"]).aggregate([])
 
-    win = (distinct.map_batches(expand, batch_format="pyarrow")
-           .groupby(["user_id", "wday"]).aggregate(Count()))
+    win = (_vgb(distinct.map_batches(expand, batch_format="pyarrow"), ["user_id", "wday"], Count()))
     out = (win.groupby("wday")
            .aggregate(Count(alias_name="active_3d")))
     return out.map_batches(
@@ -4046,8 +4009,7 @@ def _q_user_streaks(sf_dir: str):
                        "day": pa.array(day, pa.int64())})
         return tt.group_by(["user_id", "day"]).aggregate([])
 
-    distinct = (ev.map_batches(pairs, batch_format="pyarrow")
-                .groupby(["user_id", "day"]).aggregate(Count()))
+    distinct = (_vgb(ev.map_batches(pairs, batch_format="pyarrow"), ["user_id", "day"], Count()))
 
     def streak(g: pd.DataFrame) -> pd.DataFrame:
         d = np.sort(g["day"].to_numpy(dtype=np.int64))
@@ -4084,13 +4046,12 @@ def _q_type_cooccur_lift(sf_dir: str):
     def local(t: pa.Table) -> pa.Table:
         return t.group_by(["user_id", "event_type"]).aggregate([])
 
-    pairs = (ev.map_batches(local, batch_format="pyarrow")
-             .groupby(["user_id", "event_type"]).aggregate(Count())
+    pairs = (_vgb(ev.map_batches(local, batch_format="pyarrow"), ["user_id", "event_type"], Count())
              .select_columns(["user_id", "event_type"]))
     type_counts = {r["event_type"]: r["count()"] for r in
                    pairs.groupby("event_type").aggregate(
                        Count()).take_all()}
-    n_users = pairs.groupby("user_id").aggregate(Count()).count()
+    n_users = _vgb(pairs, "user_id", Count()).count()
     tc_ref = _ray.put(type_counts)
 
     pairs, parts = sized_for_join(pairs, cap=8)
@@ -4102,8 +4063,7 @@ def _q_type_cooccur_lift(sf_dir: str):
         t = t.filter(keep)
         return pa.table({"a": t["event_type"], "b": t["event_type_r"]})
 
-    co = (j.map_batches(ordered, batch_format="pyarrow")
-          .groupby(["a", "b"]).aggregate(Count(alias_name="n_ab")))
+    co = (_vgb(j.map_batches(ordered, batch_format="pyarrow"), ["a", "b"], Count(alias_name="n_ab")))
 
     def finish(t: pa.Table) -> pa.Table:
         tc = _ray.get(tc_ref)
@@ -4157,9 +4117,7 @@ def _q_nation_region_share(sf_dir: str):
         return pa.table({"o_custkey": g["o_custkey"],
                          "rev": g["rev_sum"]})
 
-    per_cust = (orders.map_batches(cents, batch_format="pyarrow")
-                .groupby("o_custkey")
-                .aggregate(Sum("rev", alias_name="rev")))
+    per_cust = (_vgb(orders.map_batches(cents, batch_format="pyarrow"), "o_custkey", Sum("rev", alias_name="rev")))
     per_cust, parts = sized_for_join(per_cust, cap=8)
     j = per_cust.join(cust, join_type="inner", num_partitions=parts,
                       on=("o_custkey",), right_on=("c_custkey",))
@@ -4202,8 +4160,7 @@ def _q_doc_len_pct_in_lang(sf_dir: str):
         return pa.table({"lang": g["lang"], "v": g["v"],
                          "n": g["n_sum"]})
 
-    rollup = (docs.map_batches(partial, batch_format="pyarrow")
-              .groupby(["lang", "v"]).aggregate(Sum("n", alias_name="n"))
+    rollup = (_vgb(docs.map_batches(partial, batch_format="pyarrow"), ["lang", "v"], Sum("n", alias_name="n"))
               .to_pandas())
     cdf = {}
     for lang, g in rollup.groupby("lang"):
@@ -4350,9 +4307,7 @@ def _q_sole_returner_suppliers(sf_dir: str):
                          "l_suppkey": g["l_suppkey"],
                          "ret_lines": g["ret_sum"]})
 
-    per_supp = (li.map_batches(per_supp_partial, batch_format="pyarrow")
-                .groupby(["l_orderkey", "l_suppkey"])
-                .aggregate(Sum("ret_lines", alias_name="ret_lines")))
+    per_supp = (_vgb(li.map_batches(per_supp_partial, batch_format="pyarrow"), ["l_orderkey", "l_suppkey"], Sum("ret_lines", alias_name="ret_lines")))
 
     def per_order_partial(t: pa.Table) -> pa.Table:
         # rows are unique per (order, supplier) here, so per-batch
@@ -4377,13 +4332,8 @@ def _q_sole_returner_suppliers(sf_dir: str):
                          "ret_total": g["ret_total_sum"],
                          "ret_supp": g["ret_supp_min"]})
 
-    per_order = (per_supp.map_batches(per_order_partial,
-                                      batch_format="pyarrow")
-                 .groupby("l_orderkey")
-                 .aggregate(Sum("n_supp", alias_name="n_supp"),
-                            Sum("n_ret_supp", alias_name="n_ret_supp"),
-                            Sum("ret_total", alias_name="ret_total"),
-                            Min("ret_supp", alias_name="ret_supp")))
+    per_order = (_vgb(per_supp.map_batches(per_order_partial,
+                                      batch_format="pyarrow"), "l_orderkey", Sum("n_supp", alias_name="n_supp"), Sum("n_ret_supp", alias_name="n_ret_supp"), Sum("ret_total", alias_name="ret_total"), Min("ret_supp", alias_name="ret_supp")))
 
     def sole(t: pa.Table) -> pa.Table:
         keep = pc.and_(pc.greater_equal(t["n_supp"], 2),
@@ -4451,10 +4401,7 @@ def _q_ks_lang_len(sf_dir: str):
         return pa.table({"v": g["v"], "ne": g["ne_sum"],
                          "no": g["no_sum"]})
 
-    rollup = (docs.map_batches(partial, batch_format="pyarrow")
-              .groupby("v")
-              .aggregate(Sum("ne", alias_name="ne"),
-                         Sum("no", alias_name="no"))
+    rollup = (_vgb(docs.map_batches(partial, batch_format="pyarrow"), "v", Sum("ne", alias_name="ne"), Sum("no", alias_name="no"))
               .to_pandas().sort_values("v"))
     cne = rollup["ne"].to_numpy(dtype=np.int64).cumsum()
     cno = rollup["no"].to_numpy(dtype=np.int64).cumsum()
@@ -4492,8 +4439,7 @@ def _q_order_backlog(sf_dir: str):
         return pa.table({"l_orderkey": g["l_orderkey"],
                          "ed": g["ed_max"]})
 
-    ends = (li.map_batches(end_partial, batch_format="pyarrow")
-            .groupby("l_orderkey").aggregate(Max("ed", alias_name="ed")))
+    ends = (_vgb(li.map_batches(end_partial, batch_format="pyarrow"), "l_orderkey", Max("ed", alias_name="ed")))
     orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
                              columns=["o_orderkey", "o_orderdate"])
     ends, parts = sized_for_join(ends, cap=8)
@@ -4549,8 +4495,7 @@ def _q_weighted_median_price(sf_dir: str):
         g = tt.group_by(["grp", "v"]).aggregate([("w", "sum")])
         return pa.table({"grp": g["grp"], "v": g["v"], "w": g["w_sum"]})
 
-    rollup = (li.map_batches(partial, batch_format="pyarrow")
-              .groupby(["grp", "v"]).aggregate(Sum("w", alias_name="w"))
+    rollup = (_vgb(li.map_batches(partial, batch_format="pyarrow"), ["grp", "v"], Sum("w", alias_name="w"))
               .to_pandas())
     out_g, out_v = [], []
     for grp, g in rollup.groupby("grp"):
@@ -4693,12 +4638,8 @@ def _q_rfm_scores(sf_dir: str):
         return pa.table({"ck": t["ck"], "rec": rec, "freq": t["freq"],
                          "mon": t["mon"]})
 
-    per_cust = (orders.map_batches(per_cust_partial,
-                                   batch_format="pyarrow")
-                .groupby("ck")
-                .aggregate(Max("last_day", alias_name="last_day"),
-                           Sum("freq", alias_name="freq"),
-                           Sum("mon", alias_name="mon"))
+    per_cust = (_vgb(orders.map_batches(per_cust_partial,
+                                   batch_format="pyarrow"), "ck", Max("last_day", alias_name="last_day"), Sum("freq", alias_name="freq"), Sum("mon", alias_name="mon"))
                 .map_batches(to_rec, batch_format="pyarrow")
                 .materialize())
     n_cust = per_cust.count()
@@ -4710,8 +4651,7 @@ def _q_rfm_scores(sf_dir: str):
             g = tt.group_by("v").aggregate([("n", "sum")])
             return pa.table({"v": g["v"], "n": g["n_sum"]})
 
-        df = (per_cust.map_batches(partial, batch_format="pyarrow")
-              .groupby("v").aggregate(Sum("n", alias_name="n"))
+        df = (_vgb(per_cust.map_batches(partial, batch_format="pyarrow"), "v", Sum("n", alias_name="n"))
               .to_pandas().sort_values("v"))
         vals = df["v"].to_numpy(dtype=np.int64)
         cum = np.concatenate(([0], df["n"].to_numpy(np.int64).cumsum()))
@@ -4787,8 +4727,7 @@ def _q_emb_norm_outliers(sf_dir: str):
         idx = int(np.searchsorted(cw * 2, cw[-1], side="left"))
         return int(df["v"].to_numpy(dtype=np.int64)[idx])
 
-    vals = (nt.map_batches(rollup, batch_format="pyarrow")
-            .groupby("v").aggregate(Sum("n", alias_name="n")).to_pandas())
+    vals = (_vgb(nt.map_batches(rollup, batch_format="pyarrow"), "v", Sum("n", alias_name="n")).to_pandas())
     med = strict_median(vals)
     vals["v"] = (vals["v"].astype("int64") - med).abs()
     mad = strict_median(vals.groupby("v", as_index=False)["n"].sum())
@@ -4830,7 +4769,7 @@ def _q_cohort_retention(sf_dir: str):
     activity = (orders.map_batches(cust_q, batch_format="pyarrow")
                 .groupby(["ck", "q"]).count()
                 .drop_columns(["count()"]))
-    first_q = (activity.groupby("ck").aggregate(Min("q", alias_name="cohort")))
+    first_q = (_vgb(activity, "ck", Min("q", alias_name="cohort")))
     first_q, parts = sized_for_join(first_q, cap=8)
     j = activity.join(first_q, join_type="inner", num_partitions=parts,
                       on=("ck",), right_on=("ck",))
@@ -4886,8 +4825,7 @@ def _q_rank_fusion(sf_dir: str):
             g = tt.group_by("v").aggregate([("n", "sum")])
             return pa.table({"v": g["v"], "n": g["n_sum"]})
 
-        df = (scored.map_batches(partial, batch_format="pyarrow")
-              .groupby("v").aggregate(Sum("n", alias_name="n"))
+        df = (_vgb(scored.map_batches(partial, batch_format="pyarrow"), "v", Sum("n", alias_name="n"))
               .to_pandas().sort_values("v"))
         vals = df["v"].to_numpy(dtype=np.int64)
         cum = np.concatenate(([0], df["n"].to_numpy(np.int64).cumsum()))
@@ -4994,10 +4932,7 @@ def _q_small_order_revenue(sf_dir: str):
         return pa.table({"pk": g["pk"], "sq": g["sq_sum"],
                          "n": g["n_sum"]})
 
-    per_part = (li.map_batches(qty_partial, batch_format="pyarrow")
-                .groupby("pk")
-                .aggregate(Sum("sq", alias_name="sq"),
-                           Sum("n", alias_name="n")))
+    per_part = (_vgb(li.map_batches(qty_partial, batch_format="pyarrow"), "pk", Sum("sq", alias_name="sq"), Sum("n", alias_name="n")))
     per_part, parts = sized_for_join(per_part, cap=8)
     j = li.join(per_part, join_type="inner", num_partitions=parts,
                 on=("l_partkey",), right_on=("pk",))
@@ -5046,9 +4981,7 @@ def _q_large_orders(sf_dir: str):
         return pa.table({"l_orderkey": g["l_orderkey"],
                          "qty": g["qty_sum"]})
 
-    per_order = (li.map_batches(partial, batch_format="pyarrow")
-                 .groupby("l_orderkey")
-                 .aggregate(Sum("qty", alias_name="total_qty")))
+    per_order = (_vgb(li.map_batches(partial, batch_format="pyarrow"), "l_orderkey", Sum("qty", alias_name="total_qty")))
 
     def having(t: pa.Table) -> pa.Table:
         return t.filter(pc.greater(t["total_qty"], THRESH))
@@ -5275,9 +5208,7 @@ def _q_top_supplier_rev(sf_dir: str):
         g = tt.group_by("s_suppkey").aggregate([("rev", "sum")])
         return pa.table({"s_suppkey": g["s_suppkey"], "rev": g["rev_sum"]})
 
-    per_supp = (li.map_batches(partial, batch_format="pyarrow")
-                .groupby("s_suppkey")
-                .aggregate(Sum("rev", alias_name="total_rev_e4")))
+    per_supp = (_vgb(li.map_batches(partial, batch_format="pyarrow"), "s_suppkey", Sum("rev", alias_name="total_rev_e4")))
     bar = per_supp.max("total_rev_e4")
 
     def winners(t: pa.Table) -> pa.Table:
@@ -5365,10 +5296,7 @@ def _q_nation_market_share(sf_dir: str):
         return pa.table({"l_orderkey": g["l_orderkey"],
                          "rev": g["rev_sum"], "target": g["target_sum"]})
 
-    per_order = (li.map_batches(partial, batch_format="pyarrow")
-                 .groupby("l_orderkey")
-                 .aggregate(Sum("rev", alias_name="rev"),
-                            Sum("target", alias_name="target")))
+    per_order = (_vgb(li.map_batches(partial, batch_format="pyarrow"), "l_orderkey", Sum("rev", alias_name="rev"), Sum("target", alias_name="target")))
 
     orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
                              columns=["o_orderkey", "o_custkey",

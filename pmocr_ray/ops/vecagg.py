@@ -195,3 +195,28 @@ def distinct(ds: rd.Dataset, keys: list[str] | str, *,
     """Distinct key tuples — ``grouped_aggregate`` with no aggregates."""
     return grouped_aggregate(ds, keys, [], num_buckets=num_buckets,
                              seed_schema=seed_schema)
+
+
+def ray_aggregate(ds: rd.Dataset, keys: list[str] | str, *aggs,
+                  num_buckets: int = 32,
+                  seed_schema: pa.Schema | None = None) -> rd.Dataset:
+    """Drop-in for ``ds.groupby(keys).aggregate(*ray_aggs)`` over the
+    decomposable Ray aggregate objects (Count/Sum/Min/Max/Mean) —
+    introspects each aggregate's target column and alias and routes
+    through :func:`grouped_aggregate`.  Raises on aggregates this
+    module cannot reproduce exactly (so a silent semantics change is
+    impossible); use Ray's native groupby for those."""
+    spec = []
+    for a in aggs:
+        kind = type(a).__name__.lower()
+        if kind not in _SUPPORTED:
+            raise ValueError(
+                f"{type(a).__name__} is not decomposable here; "
+                "use Ray's native groupby().aggregate()")
+        col = getattr(a, "_target_col_name", None)
+        if kind == "count" and (col is not None
+                                or getattr(a, "_ignore_nulls", False)):
+            raise ValueError("only bare row-count Count() is supported")
+        spec.append((col, kind, a.name))
+    return grouped_aggregate(ds, keys, spec, num_buckets=num_buckets,
+                             seed_schema=seed_schema)
