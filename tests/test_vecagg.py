@@ -92,3 +92,45 @@ def test_bucketing_is_partition_invariant(ray_session):
 def test_rejects_unknown_fn(ray_session):
     with pytest.raises(ValueError, match="unsupported agg fn"):
         grouped_aggregate(rd.range(3), ["id"], [("id", "median", "m")])
+
+
+def test_property_matches_pandas_reference(ray_session):
+    """Randomized: grouped_aggregate == a pandas reference on arbitrary
+    int key/value tables with nulls, any block layout."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        n=st.integers(min_value=1, max_value=400),
+        n_keys=st.integers(min_value=1, max_value=30),
+        parts=st.integers(min_value=1, max_value=7),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def check(n, n_keys, parts, seed):
+        rng = np.random.RandomState(seed)
+        k = rng.randint(-n_keys, n_keys, n).astype(np.int64)
+        v = pd.array(rng.randint(-100, 100, n), dtype="Int64")
+        v[rng.rand(n) < 0.1] = pd.NA
+        t = pa.table({"k": pa.array(k), "v": pa.array(v, pa.int64())})
+        ds = rd.from_arrow(t).repartition(parts)
+        got = grouped_aggregate(
+            ds, ["k"],
+            [(None, "count", "n"), ("v", "sum", "s"),
+             ("v", "min", "mn"), ("v", "max", "mx")],
+        ).to_pandas().sort_values("k").reset_index(drop=True)
+        ref = (t.to_pandas().groupby("k", dropna=False)
+               .agg(n=("v", "size"), s=("v", "sum"),
+                    mn=("v", "min"), mx=("v", "max"))
+               .reset_index().sort_values("k").reset_index(drop=True))
+        assert got["k"].tolist() == ref["k"].tolist()
+        assert got["n"].tolist() == ref["n"].tolist()
+        # all-null groups: pandas sum() gives 0, SQL/vecagg give null —
+        # compare only where a non-null value exists
+        has = ~ref["mn"].isna()
+        assert got.loc[has, "s"].tolist() == ref.loc[has, "s"].tolist()
+        assert got.loc[has, "mn"].tolist() == ref.loc[has, "mn"].tolist()
+        assert got.loc[has, "mx"].tolist() == ref.loc[has, "mx"].tolist()
+        assert got.loc[~has, "s"].isna().all()
+
+    check()
