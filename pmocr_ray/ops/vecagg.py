@@ -24,8 +24,9 @@ groups, 16 CPUs): 8.6 s → 0.23 s.
 
 Scale contract: one bucket = one task, so ``num_buckets`` must be sized
 so the largest bucket's distinct groups fit in one worker's heap.  The
-default (32) suits the bounded rollups this repo feeds it; raise it at
-cluster scale.  Bucket assignment is deterministic across processes
+default scales with the cluster (2× total CPUs, floor 32), so the
+merge neither caps parallelism nor packs an outsized share of the
+group universe into one worker.  Bucket assignment is deterministic across processes
 (splitmix-style integer mix / pandas' fixed-key siphash), which is what
 guarantees every partial of a group meets in exactly one bucket.
 
@@ -44,7 +45,20 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
-__all__ = ["grouped_aggregate", "distinct"]
+__all__ = ["grouped_aggregate", "distinct", "ray_aggregate"]
+
+
+def _default_buckets() -> int:
+    """One bucket ≈ one reduce task: scale with the cluster so the
+    merge neither caps parallelism below the core count nor packs an
+    outsized share of the group universe into one worker.  2× total
+    CPUs (floor 32) keeps two waves of reduce tasks per slot."""
+    try:
+        import ray
+
+        return max(32, 2 * int(ray.cluster_resources().get("CPU", 16)))
+    except Exception:  # pragma: no cover - ray not initialised
+        return 32
 
 # splitmix64 constants — fixed, process-independent
 _MIX1 = np.uint64(0xFF51AFD7ED558CCD)
@@ -98,7 +112,7 @@ def grouped_aggregate(
     keys: list[str] | str,
     aggs: list[tuple[str | None, str, str]],
     *,
-    num_buckets: int = 32,
+    num_buckets: int | None = None,
     seed_schema: pa.Schema | None = None,
 ) -> rd.Dataset:
     """``ds.groupby(keys).aggregate(...)`` for decomposable aggregates,
@@ -120,6 +134,8 @@ def grouped_aggregate(
     """
     if isinstance(keys, str):
         keys = [keys]
+    if num_buckets is None:
+        num_buckets = _default_buckets()
     for _, fn, _a in aggs:
         if fn not in _SUPPORTED:
             raise ValueError(f"unsupported agg fn {fn!r}; "
@@ -190,7 +206,7 @@ def grouped_aggregate(
 
 
 def distinct(ds: rd.Dataset, keys: list[str] | str, *,
-             num_buckets: int = 32,
+             num_buckets: int | None = None,
              seed_schema: pa.Schema | None = None) -> rd.Dataset:
     """Distinct key tuples — ``grouped_aggregate`` with no aggregates."""
     return grouped_aggregate(ds, keys, [], num_buckets=num_buckets,
@@ -198,7 +214,7 @@ def distinct(ds: rd.Dataset, keys: list[str] | str, *,
 
 
 def ray_aggregate(ds: rd.Dataset, keys: list[str] | str, *aggs,
-                  num_buckets: int = 32,
+                  num_buckets: int | None = None,
                   seed_schema: pa.Schema | None = None) -> rd.Dataset:
     """Drop-in for ``ds.groupby(keys).aggregate(*ray_aggs)`` over the
     decomposable Ray aggregate objects (Count/Sum/Min/Max/Mean) —
