@@ -1328,19 +1328,32 @@ def typo_pairs(ds, column: str = "text", max_bucket: int = 64):
 
     blocked = vocab.map_batches(block_keys, batch_format="pyarrow")
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ws = sorted(set(g["term"]))[:max_bucket]
-        a, b = [], []
-        for i, x in enumerate(ws):
-            for y in ws[i + 1:]:
-                if _lev1(x, y):
-                    a.append(x)
-                    b.append(y)
-        return pd.DataFrame({"w1": pd.Series(a, dtype="object"),
-                             "w2": pd.Series(b, dtype="object")})
+    # candidate generation WITHOUT a per-bkey Python call (bkeys are
+    # vocab × word-length scale, overwhelmingly singleton): bkeys hash
+    # to ~32 coarse partitions, each emits ALL its buckets' capped
+    # candidate pairs in one vectorized self-merge; the exact _lev1
+    # verification stays per CANDIDATE PAIR (bounded by the deletion
+    # blocking), the only inherently scalar step
+    from pmocr_ray.ops.vecagg import _bucket_of
 
-    pairs = blocked.groupby("bkey").map_groups(bucket_pairs,
-                                               batch_format="pandas")
+    def coarse(t: pa.Table) -> pa.Table:
+        return t.append_column("_bkt", _bucket_of(t, ["bkey"], 32))
+
+    def pairs_partition(df: pd.DataFrame) -> pd.DataFrame:
+        df = (df[["bkey", "term"]].drop_duplicates()
+              .sort_values(["bkey", "term"], kind="mergesort"))
+        df = df[df.groupby("bkey", sort=False).cumcount() < max_bucket]
+        m = df.merge(df, on="bkey")
+        m = m[m["term_x"].to_numpy() < m["term_y"].to_numpy()]
+        xs, ys = m["term_x"].to_numpy(), m["term_y"].to_numpy()
+        keep = np.fromiter((_lev1(x, y) for x, y in zip(xs, ys)),
+                           bool, len(m))
+        return pd.DataFrame({"w1": pd.Series(xs[keep], dtype="object"),
+                             "w2": pd.Series(ys[keep], dtype="object")})
+
+    pairs = (blocked.map_batches(coarse, batch_format="pyarrow")
+             .groupby("_bkt")
+             .map_groups(pairs_partition, batch_format="pandas"))
     out = _vec_distinct(
         pairs, ["w1", "w2"],
         seed_schema=pa.schema([("w1", pa.string()), ("w2", pa.string())]))
