@@ -134,3 +134,25 @@ def test_property_matches_pandas_reference(ray_session):
         assert got.loc[~has, "s"].isna().all()
 
     check()
+
+
+def test_ray_aggregate_shim_matches_and_rejects(ray_session, pair_ds):
+    """ray_aggregate introspects Ray aggregate objects correctly and
+    refuses anything it cannot reproduce exactly."""
+    from ray.data.aggregate import AbsMax
+
+    from pmocr_ray.ops.vecagg import ray_aggregate
+
+    got = _sorted_df(ray_aggregate(
+        pair_ds, ["a"], Count(alias_name="n"), Sum("v", alias_name="s"),
+        Min("v", alias_name="mn"), Mean("v", alias_name="avg")), ["a"])
+    exp = _sorted_df(
+        pair_ds.groupby("a").aggregate(
+            Count(alias_name="n"), Sum("v", alias_name="s"),
+            Min("v", alias_name="mn"), Mean("v", alias_name="avg")), ["a"])
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    with pytest.raises(ValueError, match="not decomposable"):
+        ray_aggregate(pair_ds, ["a"], AbsMax("v"))
+    with pytest.raises(ValueError, match="row-count"):
+        ray_aggregate(pair_ds, ["a"], Count("v", ignore_nulls=True))
