@@ -57,26 +57,43 @@ class SessionBucket:
                   .to_pandas() for p in paths]
         closed: list[tuple] = []
         if frames:
-            t = pd.concat(frames).sort_values(["ts", "event_id"])
-            for uid, g in t.groupby("user_id", sort=False):
-                sess_id = (g["ts"].diff() > self.gap).cumsum()
-                agg = g.groupby(sess_id).agg(
-                    start=("ts", "min"), end=("ts", "max"),
-                    n=("event_id", "count"))
-                rows = list(agg.itertuples(index=False))
-                carried = self.open.pop(int(uid), None)
-                if carried is not None:
-                    c_start, c_end, c_n = carried
-                    if rows and rows[0].start - c_end <= self.gap:
-                        first = rows[0]
-                        rows[0] = type(first)(c_start, first.end,
-                                              first.n + c_n)
-                    else:
-                        closed.append((int(uid), c_start, c_end, c_n))
-                for r in rows[:-1]:
-                    closed.append((int(uid), r.start, r.end, int(r.n)))
-                last = rows[-1]
-                self.open[int(uid)] = (last.start, last.end, int(last.n))
+            # ONE boundary-aware sessionization over the whole chunk
+            # (the per-user pandas groupby+agg this replaces cost
+            # ~0.5 ms per user); per-user work below is only the
+            # open-state dict traffic and the carried-stitch scalar
+            # compare — the inherently keyed part of the operator.
+            t = (pd.concat(frames)
+                 .sort_values(["user_id", "ts", "event_id"],
+                              kind="mergesort"))
+            brk = (t["user_id"].ne(t["user_id"].shift())
+                   | (t["ts"].diff() > self.gap))
+            agg = t.groupby(brk.cumsum()).agg(
+                user_id=("user_id", "first"), start=("ts", "min"),
+                end=("ts", "max"), n=("event_id", "count"))
+            users = agg["user_id"].to_numpy()
+            starts = list(agg["start"])
+            ends = list(agg["end"])
+            ns = agg["n"].to_numpy(dtype="int64")
+            firsts = np.concatenate([[True], users[1:] != users[:-1]])
+            lasts = np.concatenate([users[1:] != users[:-1], [True]])
+            n_add = np.zeros(len(agg), np.int64)
+            for j in np.flatnonzero(firsts):
+                carried = self.open.pop(int(users[j]), None)
+                if carried is None:
+                    continue
+                c_start, c_end, c_n = carried
+                if starts[j] - c_end <= self.gap:
+                    starts[j] = c_start
+                    n_add[j] = c_n
+                else:
+                    closed.append((int(users[j]), c_start, c_end, c_n))
+            ns = ns + n_add
+            for j in range(len(agg)):
+                row = (int(users[j]), starts[j], ends[j], int(ns[j]))
+                if lasts[j]:
+                    self.open[row[0]] = row[1:]
+                else:
+                    closed.append(row)
         return _sessions_table(closed)
 
     def flush(self) -> pa.Table:
