@@ -33,6 +33,14 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_REPS = int(os.environ.get("PMOCR_BENCH_REPS", "360"))
+# The scaling legs use a LARGER input (default 2x the headline's): the
+# efficiency ratio is the metric and must be measured in the regime the
+# rule targets — work >> per-run fixed overhead (driver/stage startup,
+# ~5 s at 32 cpus), as it is at 10^12 docs.  The headline keeps its
+# round-over-round-comparable 1.8M pages; throughput units (docs/s)
+# stay comparable either way.
+SCALING_REPS = int(os.environ.get("PMOCR_SCALING_REPS",
+                                  str(2 * BENCH_REPS)))
 HEADLINE_RUNS = int(os.environ.get("PMOCR_BENCH_HEADLINE_RUNS", "2"))
 SKIP_OPS = os.environ.get("PMOCR_BENCH_SKIP_OPS", "") == "1"
 SCALING_LEVELS = (8, 32)
@@ -304,7 +312,8 @@ def run_scaling() -> dict:
          f"ray.init(address='local', num_cpus={max(SCALING_LEVELS)},"
          "include_dashboard=False, logging_level='ERROR');"
          "from pmocr_ray.fixtures import ensure_pages_fixture;"
-         f"ensure_pages_fixture({SF_DIR!r}, reps={BENCH_REPS}, num_blocks=64);"
+         f"ensure_pages_fixture({SF_DIR!r}, reps={SCALING_REPS},"
+         " num_blocks=128);"
          "ray.shutdown()"],
         env=env, check=True, cwd=os.path.dirname(os.path.abspath(__file__)),
     )
@@ -320,6 +329,7 @@ def run_scaling() -> dict:
     results = {}
     for ncpu in (lo, hi, lo, hi):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   PMOCR_BENCH_REPS=str(SCALING_REPS),
                    PMOCR_BENCH_HEADLINE_RUNS="1", PMOCR_BENCH_SKIP_OPS="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)], env=env,
