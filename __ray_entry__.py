@@ -4011,15 +4011,24 @@ def _q_user_streaks(sf_dir: str):
 
     distinct = (_vgb(ev.map_batches(pairs, batch_format="pyarrow"), ["user_id", "day"], Count()))
 
-    def streak(g: pd.DataFrame) -> pd.DataFrame:
-        d = np.sort(g["day"].to_numpy(dtype=np.int64))
-        island = d - np.arange(len(d))  # constant within a run
-        _, counts = np.unique(island, return_counts=True)
-        return pd.DataFrame({"user_id": [int(g["user_id"].iloc[0])],
-                             "max_streak": [int(counts.max())]})
+    from pmocr_ray.ops.events import _user_bucketed
 
-    out = distinct.groupby("user_id").map_groups(
-        streak, batch_format="pandas")
+    def streak_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # all users of the bucket in one scan: island id = day − rank
+        # within user (constant along a consecutive-day run), run
+        # lengths via one value_counts, max per user via groupby max
+        df = df.sort_values(["user_id", "day"], kind="mergesort")
+        rank = df.groupby("user_id", sort=False).cumcount().to_numpy()
+        island = df["day"].to_numpy(dtype=np.int64) - rank
+        runs = pd.DataFrame({"user_id": df["user_id"].to_numpy(),
+                             "i": island})
+        lens = (runs.groupby(["user_id", "i"], sort=False)
+                .size().reset_index(name="n"))
+        out = (lens.groupby("user_id", sort=False)["n"].max()
+               .reset_index(name="max_streak"))
+        return out
+
+    out = _user_bucketed(distinct, streak_bucket)
     return out.map_batches(
         lambda t: pa.table({"user_id": pc.cast(t["user_id"], pa.int64()),
                             "max_streak": pc.cast(t["max_streak"],
@@ -5457,18 +5466,31 @@ def _q_seq_pattern(sf_dir: str):
                          columns=["user_id", "ts", "event_id",
                                   "event_type"])
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        seq = "".join(t[0] for t in g["event_type"])
+    from pmocr_ray.ops.events import _user_bucketed
+
+    def seq_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort")
+        usr = df["user_id"].to_numpy()
+        sym = df["event_type"].str[0].to_numpy()
+        starts = np.flatnonzero(np.concatenate([[True],
+                                                usr[1:] != usr[:-1]]))
+        offsets = np.concatenate([starts, [len(usr)]]).astype(np.int64)
+        la = _pa.LargeListArray.from_arrays(
+            _pa.array(offsets, _pa.int64()), _pa.array(sym, _pa.string()))
+        seqs = _pc.binary_join(la, "").to_pylist()
+        # the regex kernel stays per USER (bounded history), the only
+        # inherently scalar step
         return pd.DataFrame({
-            "user_id": [int(g["user_id"].iloc[0])],
-            "seq": [seq],
-            "n_hits": [len(pat.findall(seq))],
+            "user_id": usr[starts].astype("int64"),
+            "seq": seqs,
+            "n_hits": [len(pat.findall(q)) for q in seqs],
         })
 
-    out = (ev.groupby("user_id")
-           .map_groups(per_user, batch_format="pandas")
-           .to_pandas())
+    out = _user_bucketed(ev, seq_bucket).to_pandas()
     return out.astype({"user_id": "int64", "n_hits": "int64"}) \
         .sort_values("user_id").reset_index(drop=True)
 
