@@ -5623,9 +5623,10 @@ def _q_lang_profiles(sf_dir: str):
                          "code": pa.array(codes_out, pa.int64()),
                          "n": pa.array(ns_out, pa.int64())})
 
-    per_code = (docs.map_batches(count_bigrams, batch_format="pyarrow")
-                .groupby(["lang", "code"])
-                .aggregate(Sum("n", alias_name="n")))
+    # lang × 65536 possible groups — Arrow-bucketed merge
+    per_code = _vgb(docs.map_batches(count_bigrams,
+                                     batch_format="pyarrow"),
+                    ["lang", "code"], Sum("n", alias_name="n"))
 
     def topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.copy()
