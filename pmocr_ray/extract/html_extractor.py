@@ -73,6 +73,26 @@ _RAW_END = {
     for tag in _SKIP_CONTENT
 }
 
+# raw tag spelling → (lowered, kind) with kind 0=normal/candidate,
+# 1=void, 2=raw-text skip.  Tag vocabularies are tiny and repeat
+# constantly, so one dict hit replaces lower() + set probes in the
+# hot loop; the cache is process-global and bounded below so hostile
+# inputs (millions of distinct tag spellings) cannot grow it without
+# limit.
+_TAG_KIND: dict = {}
+_TAG_KIND_CAP = 4096
+
+
+def _tag_kind(raw: str) -> tuple:
+    e = _TAG_KIND.get(raw)
+    if e is None:
+        low = raw.lower()
+        e = (low, 1 if low in _VOID else (2 if low in _SKIP_CONTENT
+                                          else 0))
+        if len(_TAG_KIND) < _TAG_KIND_CAP:
+            _TAG_KIND[raw] = e
+    return e
+
 
 def extract_html(payload) -> str:
     """Extract main-content text from HTML bytes (any bytes-like view —
@@ -108,10 +128,9 @@ def extract_html(payload) -> str:
     # document and every global/attribute lookup in it is measurable
     token = _TOKEN_RE.match
     raw_end = _RAW_END
-    void = _VOID
-    skip = _SKIP_CONTENT
     candidates = _CANDIDATES
     unescape = _unescape
+    tag_kind = _tag_kind
 
     stack: list[tuple[str, int, int, int]] = [("#root", 0, 0, 0)]
     words: list[str] = []
@@ -143,11 +162,10 @@ def extract_html(payload) -> str:
                         link_chars += cn
             # comments / doctype / cdata / PI: no visible text
         elif li >= 2:  # opening tag
-            tag = m.group(2).lower()
-            if tag in void:
+            tag, kind = tag_kind(m.group(2))
+            if kind == 1:  # void
                 continue
-            if tag in skip:
-                # raw-text element: jump straight to its closing tag
+            if kind == 2:  # raw-text element: jump to its closing tag
                 close = raw_end[tag].search(text, pos)
                 pos = close.end() if close else n
                 continue
@@ -158,8 +176,8 @@ def extract_html(payload) -> str:
                 link_depth += 1
             stack.append((tag, len(words), chars, link_chars))
         else:  # closing tag
-            tag = m.group(1).lower()
-            if tag in void or tag in skip:
+            tag, kind = tag_kind(m.group(1))
+            if kind:  # void or raw-text: no stack effect
                 continue
             if tag == "a" and link_depth > 0:
                 link_depth -= 1
