@@ -2620,15 +2620,17 @@ def _q_scd2_dim(sf_dir: str):
 
     # unchanged docs: anti-join documents against the diff'd ids —
     # broadcast of the CHANGED id set only (diff ≪ corpus)
-    changed_ids = frozenset(
-        r["doc_id"] for r in diff.select_columns(["doc_id"]).take_all())
+    changed_ids = pa.array(
+        sorted(r["doc_id"] for r in
+               diff.select_columns(["doc_id"]).take_all()), pa.int64())
     import ray as _ray
     ref = _ray.put(changed_ids)
 
     def open_rows(t: pa.Table) -> pa.Table:
         ids = _ray.get(ref)
-        keep = pa.array([d not in ids for d in t["doc_id"].to_pylist()])
-        t = t.filter(keep)
+        keep = pc.invert(pc.is_in(pc.cast(t["doc_id"], pa.int64()),
+                                  value_set=ids))
+        t = t.filter(pc.fill_null(keep, True))
         n = len(t)
         return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
                          "valid_from": pa.array(["v1"] * n, pa.string()),
@@ -3112,9 +3114,10 @@ def _q_weighted_disc(sf_dir: str):
 
     part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
                          columns=["p_partkey", "p_brand"])
-    brand_map = dict(zip(part["p_partkey"].to_pylist(),
-                         part["p_brand"].to_pylist()))
-    ref = _ray.put(brand_map)
+    keys = part["p_partkey"].to_numpy(zero_copy_only=False)
+    lut = np.full(int(keys.max()) + 1, None, dtype=object)
+    lut[keys] = np.asarray(part["p_brand"].to_pylist(), dtype=object)
+    ref = _ray.put(lut)
 
     li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
                          columns=["l_partkey", "l_quantity",
@@ -3128,8 +3131,7 @@ def _q_weighted_disc(sf_dir: str):
         disc = np.rint(np.asarray(
             t["l_discount"].to_numpy(zero_copy_only=False)) * 100
         ).astype(np.int64)
-        brands = pa.array([m.get(x) for x in t["l_partkey"].to_pylist()],
-                          pa.string())
+        brands = pa.array(m[_i64(t["l_partkey"])], pa.string())
         tt = pa.table({"p_brand": brands,
                        "num": pa.array(disc * qty, pa.int64()),
                        "den": pa.array(qty, pa.int64())})

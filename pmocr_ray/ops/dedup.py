@@ -1262,12 +1262,13 @@ def incremental_minhash_dedup(
         for x in blk["a"].to_pylist() + blk["b"].to_pylist():
             if x in new_ids:
                 dup_new.add(x)
-    dup_ref = ray.put(frozenset(dup_new))
+    dup_ref = ray.put(pa.array(sorted(dup_new), pa.int64()))
 
     def keep(t: pa.Table) -> pa.Table:
         d = ray.get(dup_ref)
-        return t.filter(pa.array([x not in d for x in t[key].to_pylist()],
-                                 pa.bool_()))
+        mask = pa.compute.invert(pa.compute.is_in(
+            pa.compute.cast(t[key], pa.int64()), value_set=d))
+        return t.filter(pa.compute.fill_null(mask, True))
 
     return new_docs.map_batches(keep, batch_format="pyarrow")
 
