@@ -1481,6 +1481,17 @@ def _q_dup_spans(sf_dir: str):
                           n=8)
 
 
+def _q_remove_dup_spans(sf_dir: str):
+    """Exact duplicated-span removal (train-data substring dedup,
+    word-window form): drop every duplicated 8-gram occurrence except
+    its globally first one and rewrite each document's text without
+    the covered words."""
+    from pmocr_ray.ops.dedup import remove_dup_spans
+
+    return remove_dup_spans(
+        _docs(sf_dir).select_columns(["doc_id", "text"]), n=8)
+
+
 def _q_event_transitions(sf_dir: str):
     """User-journey Markov rollup: (from_type, to_type, n) over each
     user's (ts, event_id)-ordered event sequence."""
@@ -6080,6 +6091,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_self_dedup": _q_line_self_dedup,
         "split_assign": _q_split_assign,
         "dup_spans": _q_dup_spans,
+        "remove_dup_spans": _q_remove_dup_spans,
         "event_transitions": _q_event_transitions,
         "inter_arrival": _q_inter_arrival,
         "incremental_near_dedup": _q_incremental_near_dedup,
@@ -6925,6 +6937,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id,
                    CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
                    CAST(coalesce(p.n_dup, 0) AS BIGINT) AS n_dup_grams
+            FROM documents d LEFT JOIN per p USING (doc_id)""",
+        "remove_dup_spans": r"""
+            WITH tok AS (
+              SELECT doc_id, regexp_extract_all(text, '\S+') AS ts
+              FROM documents),
+            w AS (
+              SELECT doc_id, k AS pos, ts[k + 1] AS word
+              FROM tok, unnest(range(len(ts))) AS t(k)),
+            occ AS (
+              SELECT doc_id, k AS pos,
+                     array_to_string(ts[k + 1 : k + 8], ' ') AS gram
+              FROM tok, unnest(range(greatest(len(ts) - 7, 0))) AS t(k)),
+            c AS (
+              SELECT gram, count(*) AS nd,
+                     min(doc_id * 1048576 + pos) AS first_packed
+              FROM occ GROUP BY gram),
+            rem AS (
+              SELECT o.doc_id, o.pos
+              FROM occ o JOIN c USING (gram)
+              WHERE c.nd > 1
+                AND o.doc_id * 1048576 + o.pos <> c.first_packed),
+            cov AS (
+              SELECT DISTINCT r.doc_id, r.pos + j AS pos
+              FROM rem r, unnest(range(8)) AS t(j)),
+            kept AS (
+              SELECT w.doc_id, w.pos, w.word
+              FROM w LEFT JOIN cov
+                ON w.doc_id = cov.doc_id AND w.pos = cov.pos
+              WHERE cov.doc_id IS NULL),
+            per AS (
+              SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS text_clean
+              FROM kept GROUP BY doc_id)
+            SELECT d.doc_id, coalesce(p.text_clean, '') AS text_clean
             FROM documents d LEFT JOIN per p USING (doc_id)""",
         "event_transitions": """
             WITH s AS (
