@@ -1556,6 +1556,17 @@ def _q_domain_reweight(sf_dir: str):
     return domain_reweight(_docs(sf_dir).select_columns(["doc_id", "lang"]))
 
 
+def _q_dsir_weights(sf_dir: str):
+    """DSIR importance weights (Xie et al. 2023): hashed word-bigram
+    features, target = lang='en' slice, Laplace-smoothed log-ratio
+    score per document.  Text never shuffles; the ≤4096-row bucket
+    rollup is the only driver materialization (the model), then
+    broadcast for the map-side scoring pass."""
+    from pmocr_ray.ops.text import dsir_weights
+
+    return dsir_weights(_docs(sf_dir))
+
+
 def _q_posting_lists(sf_dir: str):
     """Inverted-index export: exact df + first-20 posting list per
     term; per-batch capped candidates bound the shuffle at vocab×cap."""
@@ -6105,6 +6116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pps_sample": _q_pps_sample,
         "distinct_by_type": _q_distinct_by_type,
         "domain_reweight": _q_domain_reweight,
+        "dsir_weights": _q_dsir_weights,
         "posting_lists": _q_posting_lists,
         "gopher_quality": _q_gopher_quality,
         "c4_filter": _q_c4_filter,
@@ -6993,6 +7005,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(max(date_diff('microsecond', pts, ts)), 0)
                         AS BIGINT) AS max_gap_us
             FROM s GROUP BY user_id""",
+        "dsir_weights": """
+            WITH tok AS (
+              SELECT doc_id, lang,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+              FROM documents),
+            g AS (
+              SELECT doc_id, lang,
+                     CAST(CAST(('0x' || substr(md5(ts[k + 1] || ' ' ||
+                          ts[k + 2]), 1, 8)) AS UBIGINT) % 4096
+                          AS BIGINT) AS bkt
+              FROM tok, unnest(range(greatest(len(ts) - 1, 0))) AS t(k)),
+            tots AS (
+              SELECT count(*) AS r_tot,
+                     count(*) FILTER (lang = 'en') AS t_tot
+              FROM g),
+            lr AS (
+              SELECT bkt,
+                     ln((count(*) FILTER (lang = 'en') + 1.0)
+                        / (tots.t_tot + 4096))
+                   - ln((count(*) + 1.0) / (tots.r_tot + 4096)) AS logratio
+              FROM g, tots GROUP BY bkt, tots.t_tot, tots.r_tot),
+            per AS (
+              SELECT g.doc_id,
+                     count(*) AS n_feats,
+                     sum(lr.logratio) AS dsir_logw
+              FROM g JOIN lr USING (bkt) GROUP BY g.doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(p.n_feats, 0) AS BIGINT) AS n_feats,
+                   coalesce(p.dsir_logw, 0.0) AS dsir_logw
+            FROM documents d LEFT JOIN per p USING (doc_id)""",
         "domain_reweight": """
             WITH n AS (SELECT lang, count(*) AS n_g
                        FROM documents GROUP BY lang),

@@ -846,6 +846,147 @@ def regex_explode(ds, pattern: str, *, key: str = "doc_id",
 # ------------------------------------------- mix rebalancing / indexing
 
 
+class _GramBuckets:
+    """Word-bigram → hashed-bucket featurizer shared by the two
+    :func:`dsir_weights` passes.  Tokens are lowercase ``[a-z0-9]+``
+    runs (split on the complement), grams are adjacent token pairs
+    joined with one space, and the bucket is
+    ``int(md5(gram)[:8], 16) % n_buckets`` — the repo's md5 convention
+    (:func:`split_assign`), chosen because DuckDB can reproduce it
+    exactly for the oracle.  md5 runs once per DISTINCT gram per batch
+    and feeds a per-actor cache (Zipfian vocab ⇒ high hit rate), never
+    per occurrence."""
+
+    def __init__(self, n_buckets: int) -> None:
+        self.n_buckets = n_buckets
+        self.cache: dict[str, int] = {}
+
+    def grams_of(self, texts: pa.ChunkedArray | pa.Array
+                 ) -> tuple[np.ndarray, np.ndarray]:
+        """→ (bucket id per gram occurrence, parent row per gram)."""
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(texts, "")), r"[^a-z0-9]+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        mask = pc.not_equal(flat, "")
+        flat = flat.filter(mask).combine_chunks()
+        pn = parent.filter(mask).to_numpy(zero_copy_only=False)
+        if len(pn) < 2:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        adj = pn[1:] == pn[:-1]                 # bigram stays in its row
+        w_idx = np.flatnonzero(adj)
+        if len(w_idx) == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        gather = np.empty(2 * len(w_idx), np.int64)
+        gather[0::2], gather[1::2] = w_idx, w_idx + 1
+        win = pa.table({"w": flat.take(pa.array(gather, pa.int64()))})["w"]
+        gl = pa.LargeListArray.from_arrays(
+            pa.array(np.arange(0, len(gather) + 1, 2, np.int64), pa.int64()),
+            win.combine_chunks())
+        denc = pc.dictionary_encode(pc.binary_join(gl, " "))
+        dvals = denc.dictionary.to_pylist()     # per-batch DISTINCT grams
+        if len(self.cache) > 2_000_000:         # bound actor heap on huge vocab
+            self.cache.clear()
+        cache, nb = self.cache, self.n_buckets
+        db = np.empty(len(dvals), np.int64)
+        for i, g in enumerate(dvals):
+            b = cache.get(g)
+            if b is None:
+                b = cache[g] = int(
+                    hashlib.md5(g.encode()).hexdigest()[:8], 16) % nb
+            db[i] = b
+        bk = db[denc.indices.to_numpy(zero_copy_only=False)]
+        return bk, pn[w_idx]
+
+
+def dsir_weights(ds, *, key: str = "doc_id", column: str = "text",
+                 target_column: str = "lang", target_value: str = "en",
+                 n_buckets: int = 4096):
+    """DSIR-style importance weights for data selection (Xie et al.
+    2023, "Data Selection for Language Models via Importance
+    Resampling"): featurize every document into hashed word-bigram
+    bucket counts, estimate the TARGET distribution from the rows
+    where ``target_column == target_value`` and the RAW distribution
+    from the whole corpus (both Laplace +1 smoothed over
+    ``n_buckets``), and score each document with
+    ``dsir_logw = Σ_grams log p_target(bucket) − log p_raw(bucket)``.
+    High-weight documents look like the target slice; resample or
+    threshold downstream.  Output: one row per input document —
+    (key, n_feats, dsir_logw); documents with no grams score 0.
+
+    Scale shape: text never shuffles.  Pass 1 folds each batch's
+    grams into per-bucket (n_raw, n_tgt) partials (≤ ``n_buckets``
+    rows per batch) and a tiny Arrow-bucketed groupby reduces them;
+    the ≤ ``n_buckets``-row rollup — the model, not the data — is the
+    ONLY driver materialization, then broadcast via ``ray.put``.
+    Pass 2 re-featurizes and segment-sums the broadcast log-ratio per
+    document (``np.bincount`` weights — no Python per-gram loop; md5
+    only on per-batch-distinct grams through a per-actor cache).
+    Re-deriving grams twice beats pinning token-scale rows in the
+    object store, same trade as :func:`~pmocr_ray.ops.dedup.remove_dup_spans`.
+    """
+    from pmocr_ray.ops.vecagg import grouped_aggregate
+
+    src = ds.select_columns([key, column, target_column])
+
+    class Featurize:
+        def __init__(self) -> None:
+            self.fb = _GramBuckets(n_buckets)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            bk, dpi = self.fb.grams_of(t[column])
+            if len(bk) == 0:
+                return pa.table({"bkt": pa.array([], pa.int64()),
+                                 "n_raw": pa.array([], pa.int64()),
+                                 "n_tgt": pa.array([], pa.int64())})
+            n_raw = np.bincount(bk, minlength=n_buckets)
+            tm = pc.fill_null(pc.equal(t[target_column], target_value),
+                              False).combine_chunks() \
+                .to_numpy(zero_copy_only=False).astype(bool)
+            n_tgt = np.bincount(bk[tm[dpi]], minlength=n_buckets)
+            nz = np.flatnonzero(n_raw)
+            return pa.table({"bkt": pa.array(nz, pa.int64()),
+                             "n_raw": pa.array(n_raw[nz], pa.int64()),
+                             "n_tgt": pa.array(n_tgt[nz], pa.int64())})
+
+    partials = src.map_batches(Featurize, concurrency=(1, 8),
+                               batch_format="pyarrow")
+    rollup = grouped_aggregate(
+        partials, ["bkt"],
+        [("n_raw", "sum", "n_raw"), ("n_tgt", "sum", "n_tgt")],
+        seed_schema=pa.schema([("bkt", pa.int64()), ("n_raw", pa.int64()),
+                               ("n_tgt", pa.int64())])).take_all()
+    n_raw = np.zeros(n_buckets, np.int64)
+    n_tgt = np.zeros(n_buckets, np.int64)
+    for r in rollup:
+        n_raw[r["bkt"]] = r["n_raw"]
+        n_tgt[r["bkt"]] = r["n_tgt"]
+    R, T = int(n_raw.sum()), int(n_tgt.sum())
+    logratio = (np.log((n_tgt + 1.0) / (T + n_buckets))
+                - np.log((n_raw + 1.0) / (R + n_buckets)))
+    lr_ref = ray.put(logratio)
+
+    class Score:
+        def __init__(self) -> None:
+            self.fb = _GramBuckets(n_buckets)
+            self.lr = ray.get(lr_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            bk, dpi = self.fb.grams_of(t[column])
+            nrows = t.num_rows
+            n_feats = np.bincount(dpi, minlength=nrows) if len(bk) \
+                else np.zeros(nrows, np.int64)
+            logw = np.bincount(dpi, weights=self.lr[bk],
+                               minlength=nrows) if len(bk) \
+                else np.zeros(nrows, np.float64)
+            return pa.table({key: t[key],
+                             "n_feats": pa.array(n_feats.astype(np.int64)),
+                             "dsir_logw": pa.array(logw, pa.float64())})
+
+    return src.map_batches(Score, concurrency=(1, 8),
+                           batch_format="pyarrow")
+
+
 def domain_reweight(ds, group_column: str = "lang",
                     key_column: str = "doc_id",
                     bucket_bits: int = 20):

@@ -391,3 +391,83 @@ def test_group_distinct_kmv_estimate_error_bound(ray_session):
                              "g", "v", k=64).to_pandas()
     est = int(out["n_distinct"].iloc[0])
     assert 1000 <= est <= 3000
+
+
+# ----------------------------------------------------------------- dsir
+
+def _dsir_ref(docs, target_value="en", n_buckets=4096):
+    """Plain-python DSIR reference (same formula, same md5 bucket)."""
+    import hashlib
+    import re
+
+    def grams(text):
+        ts = re.findall(r"[a-z0-9]+", text.lower())
+        return [f"{a} {b}" for a, b in zip(ts, ts[1:])]
+
+    def bkt(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % n_buckets
+
+    n_raw = np.zeros(n_buckets)
+    n_tgt = np.zeros(n_buckets)
+    for _, lang, text in docs:
+        for g in grams(text):
+            b = bkt(g)
+            n_raw[b] += 1
+            if lang == target_value:
+                n_tgt[b] += 1
+    R, T = n_raw.sum(), n_tgt.sum()
+    lr = (np.log((n_tgt + 1) / (T + n_buckets))
+          - np.log((n_raw + 1) / (R + n_buckets)))
+    out = {}
+    for did, _, text in docs:
+        bs = [bkt(g) for g in grams(text)]
+        out[did] = (len(bs), float(sum(lr[b] for b in bs)))
+    return out
+
+
+def test_dsir_weights_matches_reference_and_ranks_target(ray_session):
+    from pmocr_ray.ops.text import dsir_weights
+
+    docs = [
+        (1, "en", "the quick brown fox jumps over the lazy dog"),
+        (2, "en", "the quick brown fox runs through the green field"),
+        (3, "de", "der schnelle braune fuchs springt ueber den hund"),
+        (4, "de", "voellig anderer deutscher inhalt ohne ueberlappung"),
+        (5, "fr", "the quick brown fox speaks a little english too"),
+        (6, "en", ""),                       # no grams -> 0.0
+        (7, "en", "solo"),                   # one token -> no bigrams
+    ]
+    t = pa.table({"doc_id": pa.array([d for d, _, _ in docs], pa.int64()),
+                  "lang": [l for _, l, _ in docs],
+                  "text": [x for _, _, x in docs]})
+    out = dsir_weights(rd.from_arrow(t).repartition(3)) \
+        .to_pandas().set_index("doc_id").sort_index()
+    ref = _dsir_ref(docs)
+    for did, (nf, lw) in ref.items():
+        assert out.loc[did, "n_feats"] == nf
+        assert abs(out.loc[did, "dsir_logw"] - lw) < 1e-9
+    # docs sharing the target slice's grams outscore disjoint ones
+    # (per-gram average: raw DSIR sums scale with length by design)
+    assert out.loc[1, "dsir_logw"] > out.loc[4, "dsir_logw"]
+    avg = out["dsir_logw"] / out["n_feats"].clip(lower=1)
+    assert avg.loc[5] > avg.loc[4]
+    assert out.loc[6, "n_feats"] == 0 and out.loc[6, "dsir_logw"] == 0.0
+    assert out.loc[7, "n_feats"] == 0
+
+
+def test_dsir_weights_partition_invariant(ray_session):
+    from pmocr_ray.ops.text import dsir_weights
+
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(40)]
+    langs = rng.choice(["en", "de", "fr"], size=50)
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(2, 25)))
+             for _ in range(50)]
+    t = pa.table({"doc_id": pa.array(range(50), pa.int64()),
+                  "lang": pa.array(langs), "text": texts})
+    a = dsir_weights(rd.from_arrow(t)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = dsir_weights(rd.from_arrow(t).repartition(11)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert a["n_feats"].equals(b["n_feats"])
+    assert np.allclose(a["dsir_logw"], b["dsir_logw"], atol=1e-12)
