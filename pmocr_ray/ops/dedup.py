@@ -780,21 +780,22 @@ class HyperplaneStage:
         return self._planes
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch[self.key].to_pylist(), dtype=np.int64)
-        mat = np.asarray(batch[self.column].to_pylist(), dtype=np.float64)
+        from pmocr_ray.ops.knn import list_matrix
+        ids = batch[self.key].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = list_matrix(batch[self.column])
         planes = self._get_planes(mat.shape[1])
         pows = (1 << np.arange(self.n_planes, dtype=np.uint64))
-        out_id, out_band, out_bucket = [], [], []
-        for t in range(self.n_tables):
-            bits = (mat @ planes[t].T) > 0  # (B, n_planes)
-            buckets = (bits.astype(np.uint64) * pows).sum(axis=1)
-            out_id.extend(ids.tolist())
-            out_band.extend([t] * len(ids))
-            out_bucket.extend(buckets.tolist())
+        # one batched matmul over all tables: (T, B, P) sign bits →
+        # (T, B) bucket codes, flattened table-major (same row order as
+        # the former per-table loop)
+        bits = (mat @ planes.transpose(0, 2, 1)) > 0  # (T, B, P)
+        buckets = (bits.astype(np.uint64) * pows).sum(axis=2)  # (T, B)
+        T = self.n_tables
         return pa.table({
-            "doc_id": pa.array(out_id, pa.int64()),
-            "band": pa.array(out_band, pa.int32()),
-            "bucket": pa.array(out_bucket, pa.uint64()),
+            "doc_id": pa.array(np.tile(ids, T), pa.int64()),
+            "band": pa.array(np.repeat(np.arange(T, dtype=np.int32),
+                                       len(ids)), pa.int32()),
+            "bucket": pa.array(buckets.ravel(), pa.uint64()),
         })
 
 
@@ -939,19 +940,18 @@ def embedding_dedup_pairs(ds: rd.Dataset, *, key: str = "vec_id",
             self.threshold = threshold
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            b_ids = np.array(batch[key].to_pylist(), dtype=np.int64)
-            b_mat = np.array(batch[column].to_pylist(), dtype=np.float64)
+            from pmocr_ray.ops.knn import list_matrix
+            b_ids = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
+            b_mat = list_matrix(batch[column])
             n = np.linalg.norm(b_mat, axis=1, keepdims=True)
             n[n == 0] = 1.0
             b_mat = b_mat / n
             sims = b_mat @ self.mat.T
-            out_a, out_b, out_s = [], [], []
-            for i in range(len(b_ids)):
-                hits = np.nonzero(sims[i] >= self.threshold)[0]
-                for j in hits:
-                    if b_ids[i] < self.ids[j]:
-                        out_a.append(b_ids[i]); out_b.append(int(self.ids[j]))
-                        out_s.append(float(sims[i, j]))
+            mask = (sims >= self.threshold) & (b_ids[:, None] < self.ids[None, :])
+            ii, jj = np.nonzero(mask)
+            out_a = b_ids[ii]
+            out_b = self.ids[jj]
+            out_s = sims[ii, jj]
             return pa.table({"a": pa.array(out_a, pa.int64()),
                              "b": pa.array(out_b, pa.int64()),
                              "cosine": pa.array(out_s, pa.float64())})

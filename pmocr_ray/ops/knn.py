@@ -27,6 +27,31 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / norms
 
 
+def list_matrix(col: pa.ChunkedArray | pa.Array,
+                dtype=np.float64) -> np.ndarray:
+    """(n, d) matrix from a fixed-width ``list<float>`` column without a
+    Python-object round-trip: flatten the list buffers (zero-copy) and
+    reshape.  Values are bit-identical to the ``to_pylist`` path — only
+    the materialization changes.  Falls back to ``to_pylist`` for ragged
+    or null-bearing columns (never the case for embedding tables, but
+    the kernel must not silently misalign if it ever is)."""
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.zeros((0, 0), dtype)
+    if col.null_count == 0:
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+        if len(flat) % n == 0:
+            sizes = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+            d = len(flat) // n
+            if sizes.min() == d and sizes.max() == d:
+                return flat.astype(dtype, copy=False).reshape(n, d)
+    return np.asarray(col.to_pylist(), dtype=dtype)
+
+
 class _BatchTopK:
     """Per-batch brute-force cosine vs the broadcast query matrix."""
 
@@ -40,21 +65,22 @@ class _BatchTopK:
         self.column = column
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch[self.key].to_pylist(), dtype=np.int64)
-        mat = _normalize(np.asarray(batch[self.column].to_pylist(), dtype=np.float64))
+        ids = batch[self.key].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = _normalize(list_matrix(batch[self.column]))
         sims = self.q @ mat.T  # (Q, B)
-        out_q, out_id, out_sim = [], [], []
         k = min(self.k, sims.shape[1])
-        for qi in range(sims.shape[0]):
+        nq = sims.shape[0]
+        out_q = np.repeat(np.arange(nq, dtype=np.int32), k)
+        out_id = np.empty(nq * k, np.int64)
+        out_sim = np.empty(nq * k, np.float64)
+        for qi in range(nq):
             # partial top-k within the batch, selected with the SAME
             # lexicographic (-sim, vec_id) order as the final merge so a
             # tie straddling the k boundary keeps the lowest vec_id at
             # any partitioning (argpartition would pick arbitrarily)
             idx = np.lexsort((ids, -sims[qi]))[:k]
-            for j in idx:
-                out_q.append(qi)
-                out_id.append(int(ids[j]))
-                out_sim.append(float(sims[qi, j]))
+            out_id[qi * k:(qi + 1) * k] = ids[idx]
+            out_sim[qi * k:(qi + 1) * k] = sims[qi, idx]
         return pa.table({
             "query_idx": pa.array(out_q, pa.int32()),
             "vec_id": pa.array(out_id, pa.int64()),
@@ -140,7 +166,7 @@ def ivf_assign(ds: rd.Dataset, centroids: np.ndarray, *, key: str = "vec_id",
             self.cent = ray.get(cent_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            mat = _normalize(np.asarray(batch[column].to_pylist(), dtype=np.float64))
+            mat = _normalize(list_matrix(batch[column]))
             cells = np.argmax(mat @ self.cent.T, axis=1).astype(np.int32)
             return batch.append_column("cell", pa.array(cells, pa.int32()))
 
@@ -276,7 +302,7 @@ def label_centroid_fixedpoint(ds: rd.Dataset, key: str = "label",
 
     def partial(batch: pa.Table) -> pa.Table:
         labels = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
-        mat = np.asarray(batch[column].to_pylist(), dtype=np.float64)
+        mat = list_matrix(batch[column])
         fp = np.floor(mat * scale).astype(np.int64)
         uniq, inv = np.unique(labels, return_inverse=True)
         sums = np.zeros((len(uniq), fp.shape[1]), np.int64)
@@ -327,8 +353,7 @@ def kmeans_distributed(ds: rd.Dataset, k: int, *, column: str = "embedding",
 
         def partial(batch: pa.Table) -> pa.Table:
             c = ray.get(cent_ref)
-            mat = _normalize(np.asarray(batch[column].to_pylist(),
-                                        dtype=np.float64))
+            mat = _normalize(list_matrix(batch[column]))
             assign = np.argmax(mat @ c.T, axis=1)
             fp = np.floor(mat * scale).astype(np.int64)
             uniq, inv = np.unique(assign, return_inverse=True)
@@ -380,7 +405,7 @@ def quantize_embeddings(ds: rd.Dataset, *, key: str = "vec_id",
     from ray.data.aggregate import Max, Min
 
     def bounds_partial(batch: pa.Table) -> pa.Table:
-        mat = np.asarray(batch[column].to_pylist(), dtype=np.float64)
+        mat = list_matrix(batch[column])
         d = mat.shape[1]
         return pa.table({
             "dim": pa.array(np.arange(1, d + 1), pa.int64()),
@@ -398,13 +423,13 @@ def quantize_embeddings(ds: rd.Dataset, *, key: str = "vec_id",
 
     def quantize(batch: pa.Table) -> pa.Table:
         lo, hi = ray.get(ref)
-        mat = np.asarray(batch[column].to_pylist(), dtype=np.float64)
+        mat = list_matrix(batch[column])
         span = hi - lo
         with np.errstate(divide="ignore", invalid="ignore"):
             q = np.floor((mat - lo) / span * 255.0)
         q = np.where(span > 0, q, 0.0).astype(np.int64)
         n, d = mat.shape
-        ids = np.asarray(batch[key].to_pylist(), dtype=np.int64)
+        ids = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table({
             key: pa.array(np.repeat(ids, d), pa.int64()),
             "dim": pa.array(np.tile(np.arange(1, d + 1), n), pa.int64()),
