@@ -711,6 +711,38 @@ def range_bucket(ds, column: str = "n_chars",
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
+def _batch_codepoints(texts: list) -> tuple[np.ndarray, np.ndarray]:
+    """Concatenated UTF-32 codepoints of a batch of strings plus the
+    per-doc lengths (None/empty → 0) — one encode per BATCH, so the
+    char-level kernels below index numpy arrays instead of looping
+    Python characters."""
+    big = "".join(t for t in texts if t)
+    cp = np.frombuffer(big.encode("utf-32-le"), np.uint32).astype(np.int64)
+    lengths = np.fromiter((len(t) if t else 0 for t in texts),
+                          np.int64, len(texts))
+    return cp, lengths
+
+
+def _char_lut(chars: str) -> np.ndarray:
+    """Codepoint → vocab-index lookup table (unknown → V = len(chars));
+    bounded by the highest codepoint among the V kept chars."""
+    V = len(chars)
+    if not V:
+        return np.full(1, 0, np.int32)
+    cps = [ord(c) for c in chars]
+    lut = np.full(max(cps) + 1, V, np.int32)
+    for i, c in enumerate(cps):
+        lut[c] = i
+    return lut
+
+
+def _lut_ids(cp: np.ndarray, lut: np.ndarray, oov: int) -> np.ndarray:
+    """Vectorized ``idx.get(ch, oov)``: in-range codepoints gather from
+    the LUT (which already maps unknowns to oov), out-of-range → oov."""
+    return np.where(cp < len(lut),
+                    lut[np.minimum(cp, len(lut) - 1)], oov).astype(np.int64)
+
+
 def train_char_bigram_lm(ds, column: str = "text",
                          top_chars: int = 64) -> dict:
     """Train a character-bigram language model over the corpus: counts
@@ -726,30 +758,33 @@ def train_char_bigram_lm(ds, column: str = "text",
     from ray.data.aggregate import Sum
 
     def char_partial(batch: pa.Table) -> pa.Table:
-        from collections import Counter
-        c: Counter = Counter()
-        for t in batch[column].to_pylist():
-            if t:
-                c.update(t)
-        items = c.most_common()
-        return pa.table({"ch": pa.array([k for k, _ in items], pa.string()),
-                         "n": pa.array([v for _, v in items], pa.int64())})
+        cp, _ = _batch_codepoints(batch[column].to_pylist())
+        uniq, counts = np.unique(cp, return_counts=True)
+        return pa.table({"ch": pa.array([chr(int(u)) for u in uniq],
+                                        pa.string()),
+                         "n": pa.array(counts.astype(np.int64), pa.int64())})
 
     char_rows = (ds.map_batches(char_partial, batch_format="pyarrow")
                  .groupby("ch").aggregate(Sum("n", alias_name="n"))
                  .sort(["n", "ch"], descending=[True, False])
                  .limit(top_chars).take_all())
     chars = "".join(sorted(r["ch"] for r in char_rows))
-    idx = {c: i for i, c in enumerate(chars)}
     V = len(chars)
+
+    lut = _char_lut(chars)
 
     def bigram_partial(batch: pa.Table) -> pa.Table:
         counts = np.zeros((V + 1, V + 1), np.int64)
-        for t in batch[column].to_pylist():
-            if not t or len(t) < 2:
-                continue
-            ids = np.array([idx.get(c, V) for c in t], np.int64)
-            np.add.at(counts, (ids[:-1], ids[1:]), 1)
+        cp, lengths = _batch_codepoints(batch[column].to_pylist())
+        if len(cp) >= 2:
+            ids = _lut_ids(cp, lut, V)
+            # mask the pairs that straddle doc boundaries (last char of
+            # each doc); bounds-guard for leading/trailing empty docs
+            valid = np.ones(len(cp) - 1, bool)
+            b = np.cumsum(lengths)[:-1] - 1
+            b = b[(b >= 0) & (b < len(cp) - 1)]
+            valid[b] = False
+            np.add.at(counts, (ids[:-1][valid], ids[1:][valid]), 1)
         nz = np.nonzero(counts)
         return pa.table({
             "i": pa.array(nz[0], pa.int64()),
@@ -776,7 +811,7 @@ class BigramScoreStage:
 
     def __init__(self, model_ref, column: str = "text") -> None:
         model = ray.get(model_ref)
-        self.idx = {c: i for i, c in enumerate(model["chars"])}
+        self.lut = _char_lut(model["chars"])
         counts = model["counts"].astype(np.float64)
         self.logp = np.log(counts / counts.sum(axis=1, keepdims=True))
         self.oov = len(model["chars"])
@@ -784,11 +819,17 @@ class BigramScoreStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = np.full(len(batch), -np.inf)
-        for r, t in enumerate(batch[self.column].to_pylist()):
-            if not t or len(t) < 2:
+        cp, lengths = _batch_codepoints(batch[self.column].to_pylist())
+        ids = _lut_ids(cp, self.lut, self.oov)
+        starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+        for r in range(len(batch)):
+            L = int(lengths[r])
+            if L < 2:
                 continue
-            ids = np.array([self.idx.get(c, self.oov) for c in t], np.int64)
-            out[r] = float(self.logp[ids[:-1], ids[1:]].mean())
+            seg = ids[starts[r]:starts[r] + L]
+            # np.mean over the doc's own slice — float result identical
+            # to the former per-doc kernel
+            out[r] = float(self.logp[seg[:-1], seg[1:]].mean())
         return batch.append_column("lm_logprob", pa.array(out, pa.float64()))
 
 
