@@ -68,3 +68,70 @@ def test_run_logger_writes_file(tmp_path):
     log.info("hello %s", "world")
     content = open(os.path.join(tmp_path, "test-run-xyz.log")).read()
     assert "hello world" in content and "INFO" in content
+
+
+class TestListMatrix:
+    """pmocr_ray.ops.knn.list_matrix — zero-copy (n, d) builds must be
+    value-identical to the to_pylist path, and ragged/null columns must
+    take the safe fallback instead of silently misaligning."""
+
+    def test_fixed_width_matches_pylist(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from pmocr_ray.ops.knn import list_matrix
+
+        rows = [[1.0, 2.5, -3.0], [0.0, 4.0, 5.5], [7.0, -8.0, 9.25]]
+        col = pa.chunked_array([rows[:2], rows[2:]],
+                               type=pa.list_(pa.float64()))
+        got = list_matrix(col)
+        assert got.shape == (3, 3)
+        assert np.array_equal(got, np.asarray(rows))
+
+    def test_ragged_raises_never_misaligns(self):
+        import pyarrow as pa
+        import pytest
+
+        from pmocr_ray.ops.knn import list_matrix
+
+        # 3 rows, 6 values total — divisible by n, but ragged (3/1/2):
+        # the flatten-reshape shortcut would silently interleave values
+        # across rows; the sizes check must route to the fallback, which
+        # raises loudly (same contract as the former to_pylist path)
+        rows = [[1.0, 2.0, 3.0], [4.0], [5.0, 6.0]]
+        col = pa.array(rows, type=pa.list_(pa.float64()))
+        with pytest.raises(ValueError):
+            list_matrix(col)
+
+    def test_null_row_raises_never_misaligns(self):
+        import pyarrow as pa
+        import pytest
+
+        from pmocr_ray.ops.knn import list_matrix
+
+        col = pa.array([[1.0, 2.0], None, [3.0, 4.0]],
+                       type=pa.list_(pa.float64()))
+        # a None row must surface as an error, never be absorbed into a
+        # misaligned dense matrix
+        with pytest.raises((ValueError, TypeError)):
+            list_matrix(col)
+
+    def test_empty(self):
+        import pyarrow as pa
+
+        from pmocr_ray.ops.knn import list_matrix
+
+        got = list_matrix(pa.array([], type=pa.list_(pa.float64())))
+        assert got.shape[0] == 0
+
+    def test_float32_input_upcasts(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from pmocr_ray.ops.knn import list_matrix
+
+        col = pa.array([[1.5, 2.5], [3.5, 4.5]],
+                       type=pa.list_(pa.float32()))
+        got = list_matrix(col)
+        assert got.dtype == np.float64
+        assert np.array_equal(got, [[1.5, 2.5], [3.5, 4.5]])
