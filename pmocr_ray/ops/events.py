@@ -156,11 +156,21 @@ def top_events_per_user(events: rd.Dataset, n: int = 3) -> rd.Dataset:
     The shuffle moves ≤ n×users rows however skewed a hot user is.
     """
     def local_cap(batch: pa.Table) -> pa.Table:
-        df = batch.select(["user_id", "event_id", "value"]).to_pandas()
-        df = df.sort_values(["user_id", "value", "event_id"],
-                            ascending=[True, False, True])
-        return pa.Table.from_pandas(df.groupby("user_id", sort=False).head(n),
-                                    preserve_index=False)
+        batch = batch.select(["user_id", "event_id", "value"])
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        val = batch["value"].to_numpy(zero_copy_only=False)
+        # (user asc, value desc, event_id asc) then per-user rank via
+        # group-start offsets — no pandas round-trip on the raw stream
+        order = np.lexsort((eid, -val, uid))
+        u = uid[order]
+        if not len(u):
+            return batch
+        new_grp = np.concatenate(([True], u[1:] != u[:-1]))
+        starts = np.flatnonzero(new_grp)
+        sizes = np.diff(np.concatenate((starts, [len(u)])))
+        rank = np.arange(len(u)) - np.repeat(starts, sizes)
+        return batch.take(pa.array(order[rank < n]))
 
     def exact_top_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["user_id", "value", "event_id"],
