@@ -6008,6 +6008,40 @@ def _q_docx_target_roundtrip(sf_dir: str):
     return ds.map_batches(roundtrip, batch_format="pyarrow")
 
 
+def _q_xlsx_target_roundtrip(sf_dir: str):
+    """The reference's EXCEL output target closed under this engine:
+    extracted text → minimal real xlsx (targets.xlsx_transform, a ZIP
+    of SpreadsheetML with one inline-string cell per ;-field — the
+    CSV-hack delimiter, pmocr.sh:2013-2043) → xlsx parser →
+    byte-compare.  Writer and parser are exact inverses; every
+    extracted document roundtrips.  Same gate shape as
+    ``docx_target_roundtrip``."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(_extraction_output_dir(sf_dir),
+                         columns=["url", "extracted_text"])
+
+    def roundtrip(t: pa.Table) -> pa.Table:
+        from pmocr_ray.extract.xlsx_extractor import extract_xlsx
+        from pmocr_ray.targets import xlsx_transform
+
+        t2 = xlsx_transform(t)
+        urls, oks = [], []
+        for url, txt, doc in zip(t2["url"].to_pylist(),
+                                 t2["extracted_text"].to_pylist(),
+                                 t2["xlsx"].to_pylist()):
+            if txt is None:
+                continue
+            urls.append(url)
+            oks.append(int(extract_xlsx(doc) == txt))
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "roundtrip_ok": pa.array(oks, pa.int64())})
+
+    return ds.map_batches(roundtrip, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction pipeline family (pages fixture derived from documents)
@@ -6159,6 +6193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "federated_union": _q_federated_union,
         "pdf_target_roundtrip": _q_pdf_target_roundtrip,
         "docx_target_roundtrip": _q_docx_target_roundtrip,
+        "xlsx_target_roundtrip": _q_xlsx_target_roundtrip,
         "cust_order_dist": _q_cust_order_dist,
         "sentence_stats": _q_sentence_stats,
         "basket_pairs": _q_basket_pairs,
@@ -6485,6 +6520,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, CAST(1 AS BIGINT) AS roundtrip_ok
             FROM c WHERE cls <= 15 OR cls = 19""",
         "docx_target_roundtrip": _PAGE_CTE + """
+            SELECT url, CAST(1 AS BIGINT) AS roundtrip_ok
+            FROM c WHERE cls <= 15 OR cls = 19""",
+        "xlsx_target_roundtrip": _PAGE_CTE + """
             SELECT url, CAST(1 AS BIGINT) AS roundtrip_ok
             FROM c WHERE cls <= 15 OR cls = 19""",
         "page_meta": _PAGE_CTE + """

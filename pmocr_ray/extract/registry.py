@@ -14,6 +14,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pmocr_ray.extract.docx_extractor import extract_docx
+from pmocr_ray.extract.xlsx_extractor import extract_xlsx
 from pmocr_ray.extract.html_extractor import extract_html
 from pmocr_ray.extract.pdf_extractor import extract_pdf
 from pmocr_ray.schema import CT_HTML, CT_PDF
@@ -25,6 +26,7 @@ EXTRACTORS: dict[str, Callable[[bytes], str]] = {
     # sniff never emits this type — route it via a registered sniff
     # extension or an explicit content_type column
     "docx": extract_docx,
+    "xlsx": extract_xlsx,
 }
 
 

@@ -88,6 +88,22 @@ def docx_transform(t: pa.Table) -> pa.Table:
     return t.append_column("docx", pa.array(docs, pa.binary()))
 
 
+def xlsx_transform(t: pa.Table) -> pa.Table:
+    """Append ``xlsx`` — a minimal real SpreadsheetML container (the
+    reference's EXCEL target analogue, default.conf:56-57 / dispatch
+    pmocr.sh:2546-2593): one sheet row per line, one inline-string
+    cell per ``;``-field (the CSV-hack delimiter, pmocr.sh:2013-2043).
+    Writer is the parser's exact inverse:
+    ``extract_xlsx(xlsx_transform(text)) == text`` byte-for-byte,
+    proved by the roundtrip test and the ``xlsx_target_roundtrip``
+    gate query.  Rows with no extracted text get a null xlsx."""
+    from pmocr_ray.extract.xlsx_extractor import build_xlsx
+
+    texts = t["extracted_text"].to_pylist()
+    docs = [build_xlsx(x) if x is not None else None for x in texts]
+    return t.append_column("xlsx", pa.array(docs, pa.binary()))
+
+
 TARGETS: dict[str, TargetSpec] = {
     # canonical converted-document sink (reference: txt output file)
     "text": TargetSpec(transform=None, writer="parquet"),
@@ -105,6 +121,10 @@ TARGETS: dict[str, TargetSpec] = {
     # real minimal docx ZIP, one paragraph per line)
     "docx": TargetSpec(transform=docx_transform, writer="parquet",
                        columns=("url", "status", "docx")),
+    # the reference's EXCEL target analogue (structured spreadsheet:
+    # real minimal xlsx ZIP, one row per line, one cell per ;-field)
+    "xlsx": TargetSpec(transform=xlsx_transform, writer="parquet",
+                       columns=("url", "status", "xlsx")),
 }
 
 

@@ -302,3 +302,63 @@ def test_docx_registry_route(tmp_path):
 
     fn = get_extractor("docx")
     assert fn(build_docx("alpha\nbeta & <gamma>")) == "alpha\nbeta & <gamma>"
+
+
+def test_xlsx_target_roundtrips_byte_identical(tmp_path, pages_fixture):
+    """The xlsx target (EXCEL-analogue: real minimal SpreadsheetML ZIP,
+    one row per line / one cell per ;-field) is the exact inverse of
+    the xlsx parser: for every row with extracted text,
+    extract_xlsx(xlsx) == extracted_text."""
+    import io
+    import zipfile
+
+    from pmocr_ray.extract.xlsx_extractor import extract_xlsx
+    from pmocr_ray.targets import write_targets
+
+    src, done = _one_shard(pages_fixture, tmp_path)
+    out = str(tmp_path / "xlsxtgt")
+    ds = run_extraction(src, done, run_id="xlsxt")
+    paths = write_targets(ds, out, ["text", "xlsx"])
+    text = _read(paths["text"]).to_pandas().set_index("url")
+    xlsx = _read(paths["xlsx"]).to_pandas().set_index("url")
+    assert len(xlsx) == len(text)
+    n_checked = 0
+    for url, row in xlsx.iterrows():
+        expected = text.loc[url, "extracted_text"]
+        if expected is None:
+            assert row["xlsx"] is None
+            continue
+        payload = bytes(row["xlsx"])
+        # a real OPC container with the spreadsheet parts
+        names = zipfile.ZipFile(io.BytesIO(payload)).namelist()
+        assert "xl/worksheets/sheet1.xml" in names and "xl/workbook.xml" in names
+        assert extract_xlsx(payload) == expected
+        n_checked += 1
+    assert n_checked > 0
+
+
+def test_xlsx_registry_route(tmp_path):
+    """extract_xlsx is registered as an extractor: an xlsx payload
+    routed under the 'xlsx' content type extracts its own text."""
+    from pmocr_ray.extract.registry import get_extractor
+    from pmocr_ray.extract.xlsx_extractor import build_xlsx
+
+    fn = get_extractor("xlsx")
+    assert fn(build_xlsx("a;b & <c>\nsecond line\n;;\ntrail ")) \
+        == "a;b & <c>\nsecond line\n;;\ntrail "
+
+
+def test_xlsx_inverse_edge_cases():
+    """split/join inverse holds for empty text, empty lines, empty
+    cells, unicode, XML entities, and preserved spacing."""
+    from pmocr_ray.extract.xlsx_extractor import build_xlsx, extract_xlsx
+
+    for text in ["", "x", ";", "\n", "a;;b", "  lead;trail  ",
+                 "é;ü\n中文;日本語", "a&b<c>d\"e'f", "1;2;3\n4;5;6"]:
+        assert extract_xlsx(build_xlsx(text)) == text, repr(text)
+
+
+def test_xlsx_deterministic_bytes():
+    from pmocr_ray.extract.xlsx_extractor import build_xlsx
+
+    assert build_xlsx("a;b\nc") == build_xlsx("a;b\nc")
