@@ -7,6 +7,8 @@ a magic-byte sniff over the first bytes of the ``html`` binary column:
 
     %PDF-                       -> "pdf"
     '<' after ascii whitespace  -> "html"   (tag soup / doctype / <html>)
+    PK\\x03\\x04 + "word/" part  -> "docx"  (OPC zip container)
+    PK\\x03\\x04 + "xl/" part    -> "xlsx"
     anything else               -> "unknown"
 
 Vectorized variant operates on a ``pyarrow`` binary array and is used
@@ -18,21 +20,33 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-from pmocr_ray.schema import CT_HTML, CT_PDF, CT_UNKNOWN
+from pmocr_ray.schema import CT_DOCX, CT_HTML, CT_PDF, CT_UNKNOWN, CT_XLSX
 
 _WS = b" \t\r\n\f"
 _PDF_MAGIC = b"%PDF-"
+_ZIP_MAGIC = b"PK\x03\x04"
+# OPC part-name prefixes appear uncompressed in local file headers (and
+# the [Content_Types].xml overrides), so a bounded scan of the container
+# head distinguishes WordprocessingML from SpreadsheetML without
+# parsing the zip directory
+_ZIP_SCAN = 4096
 
 
 def sniff_content_type(payload) -> str:
     """Scalar sniff: pure function of the payload prefix.  Accepts any
     bytes-like view (bytes / memoryview) — only the first 256 bytes are
-    ever materialized."""
+    ever materialized (4 KiB for OPC/zip containers)."""
     head = bytes(payload[:256])
     if head.startswith(_PDF_MAGIC):
         return CT_PDF
     if head.lstrip(_WS).startswith(b"<"):
         return CT_HTML
+    if head.startswith(_ZIP_MAGIC):
+        win = bytes(payload[:_ZIP_SCAN])
+        if b"word/" in win:
+            return CT_DOCX
+        if b"xl/" in win:
+            return CT_XLSX
     return CT_UNKNOWN
 
 
@@ -61,4 +75,23 @@ def sniff_batch(html_col: pa.Array | pa.ChunkedArray) -> pa.Array:
         is_pdf, CT_PDF,
         pc.if_else(pc.fill_null(is_html, False), CT_HTML, CT_UNKNOWN),
     )
-    return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
+    if isinstance(out, pa.ChunkedArray):
+        out = out.combine_chunks()
+    # OPC/zip disambiguation only touches the (usually empty) zip rows:
+    # the 4 KiB wide slice is computed per zip row, never per corpus row
+    is_zip = pc.starts_with(prefixes, pattern="PK\x03\x04")
+    if pc.any(pc.fill_null(is_zip, False)).as_py():
+        import numpy as np
+
+        mask = pc.fill_null(is_zip, False).to_numpy(zero_copy_only=False)
+        idx = np.flatnonzero(mask)
+        wide = pc.binary_slice(html_col.take(pa.array(idx)), 0, _ZIP_SCAN)
+        sub = pc.if_else(
+            pc.match_substring(wide, "word/"), CT_DOCX,
+            pc.if_else(pc.match_substring(wide, "xl/"), CT_XLSX,
+                       CT_UNKNOWN),
+        )
+        vals = out.to_numpy(zero_copy_only=False)
+        vals[idx] = sub.to_numpy(zero_copy_only=False)
+        out = pa.array(vals, pa.string())
+    return out

@@ -65,6 +65,8 @@ STATUS_FAILED = "failed"
 
 CT_HTML = "html"
 CT_PDF = "pdf"
+CT_DOCX = "docx"
+CT_XLSX = "xlsx"
 CT_UNKNOWN = "unknown"
 
 # ---------------------------------------------------------------- schemas

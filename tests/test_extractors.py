@@ -37,6 +37,43 @@ class TestSniff:
         assert sniff_content_type(b"\x89PNG\r\n") == "unknown"
         assert sniff_content_type(b"") == "unknown"
 
+    def test_opc_containers(self):
+        from pmocr_ray.extract.docx_extractor import build_docx
+        from pmocr_ray.extract.xlsx_extractor import build_xlsx
+
+        assert sniff_content_type(build_docx("hello")) == "docx"
+        assert sniff_content_type(build_xlsx("a;b")) == "xlsx"
+        # bare (non-OPC) zip prefix stays unknown
+        assert sniff_content_type(b"PK\x03\x04\x14\x00junk") == "unknown"
+
+    def test_vectorized_matches_scalar_on_opc(self):
+        import pyarrow as pa
+
+        from pmocr_ray.extract.docx_extractor import build_docx
+        from pmocr_ray.extract.sniff import sniff_batch
+        from pmocr_ray.extract.xlsx_extractor import build_xlsx
+
+        payloads = [b"%PDF-1.4\nx", build_docx("d"), b"<html>",
+                    build_xlsx("x"), b"PK\x03\x04zz", b"\x89PNG", b""]
+        col = pa.array(payloads, pa.binary())
+        got = sniff_batch(col).to_pylist()
+        assert got == [sniff_content_type(p) for p in payloads]
+        assert got == ["pdf", "docx", "html", "xlsx",
+                       "unknown", "unknown", "unknown"]
+
+    def test_opc_routes_through_state_machine(self):
+        """An OPC payload extracts end-to-end: sniff -> registry ->
+        done row with the exact original text."""
+        from pmocr_ray.extract.registry import EXTRACTORS
+        from pmocr_ray.extract.xlsx_extractor import build_xlsx
+        from pmocr_ray.state_machine import process_row
+
+        ct, status, attempts, err, text = process_row(
+            build_xlsx("cell a;cell b\nrow 2"), pre_text=None,
+            is_done=False, extractors=EXTRACTORS)
+        assert (ct, status) == ("xlsx", "done")
+        assert text == "cell a;cell b\nrow 2"
+
 
 class TestHtmlExtractor:
     @pytest.mark.parametrize("variant", [0, 1, 2])
