@@ -736,6 +736,29 @@ def _q_lm_score(sf_dir: str):
             .select_columns(["doc_id", "lm_logprob"]))
 
 
+def _q_lm_bigram_counts(sf_dir: str):
+    """The corpus-scale half of ``lm_score`` made oracle-checkable:
+    the trained char-bigram count matrix as (prev_ch, next_ch, n) rows
+    with non-top-64 chars folded to ``<oov>``.  All integers — the
+    distributed combiner + groupby is exact, so DuckDB can recompute
+    it with a per-char lateral unnest.  Only the final per-doc float
+    mean (``lm_score`` itself) stays rows-only."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pmocr_ray.ops.text import train_char_bigram_lm
+
+    model = train_char_bigram_lm(_docs(sf_dir))
+    chars, counts = model["chars"], model["counts"] - 1  # un-smooth
+    labels = list(chars) + ["<oov>"]
+    i, j = np.nonzero(counts)
+    return pa.table({
+        "prev_ch": pa.array([labels[x] for x in i], pa.string()),
+        "next_ch": pa.array([labels[x] for x in j], pa.string()),
+        "n": pa.array(counts[i, j], pa.int64()),
+    })
+
+
 def _q_quantize_embeddings(sf_dir: str):
     import ray.data as rd
 
@@ -6117,6 +6140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "len_percentile": _q_len_percentile,
         "kmeans_cells": _q_kmeans_cells,
         "lm_score": _q_lm_score,
+        "lm_bigram_counts": _q_lm_bigram_counts,
         "quantize_embeddings": _q_quantize_embeddings,
         "span_extract": _q_span_extract,
         "events_with_session": _q_events_with_session,
@@ -8582,6 +8606,33 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term
                   FROM documents)
             GROUP BY term ORDER BY df DESC, term ASC LIMIT 50""",
+        "lm_bigram_counts": """
+            WITH chars AS (
+              SELECT substring(text, u.i, 1) AS ch
+              FROM documents,
+                   unnest(range(1, length(text)::BIGINT + 1)) AS u(i)
+              WHERE text IS NOT NULL
+            ),
+            top AS (
+              SELECT ch FROM (
+                SELECT ch, count(*) AS n FROM chars GROUP BY ch
+                ORDER BY n DESC, ch ASC LIMIT 64)
+            ),
+            big AS (
+              SELECT CASE WHEN substring(text, u.i, 1) IN
+                            (SELECT ch FROM top)
+                          THEN substring(text, u.i, 1)
+                          ELSE '<oov>' END AS prev_ch,
+                     CASE WHEN substring(text, u.i + 1, 1) IN
+                            (SELECT ch FROM top)
+                          THEN substring(text, u.i + 1, 1)
+                          ELSE '<oov>' END AS next_ch
+              FROM documents,
+                   unnest(range(1, length(text)::BIGINT)) AS u(i)
+              WHERE text IS NOT NULL AND length(text) >= 2
+            )
+            SELECT prev_ch, next_ch, CAST(count(*) AS BIGINT) AS n
+            FROM big GROUP BY prev_ch, next_ch""",
         "host_cap": _PAGE_CTE + """
             SELECT host, url FROM (
               SELECT host, url,

@@ -59,6 +59,9 @@ KEYS = [
     "user_type_mask_agg",
     "federated_union",
     "pdf_target_roundtrip",
+    # round-3 additions
+    "xlsx_target_roundtrip",
+    "lm_bigram_counts",
 ]
 
 
