@@ -288,13 +288,14 @@ def zorder_values(ds: rd.Dataset, x_col: str = "n_chars",
         r[cat_col]
         for r in ds.groupby(cat_col).count().select_columns([cat_col])
         .take_all())
-    code = {c: i for i, c in enumerate(cats)}
 
     def z(batch: pa.Table) -> pa.Table:
         x = batch[x_col].to_numpy(zero_copy_only=False).astype(np.int64) \
             & ((1 << bits) - 1)
-        y = np.array([code[c] for c in batch[cat_col].to_pylist()],
-                     np.int64)
+        # dense code = index into the sorted category list — one Arrow
+        # index_in kernel instead of a per-row dict lookup
+        y = pc.index_in(batch[cat_col], value_set=pa.array(cats)) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
         zv = np.zeros(len(x), np.int64)
         for i in range(bits):
             zv |= ((x >> i) & 1) << (2 * i)
@@ -330,13 +331,14 @@ def zorder_write(ds: rd.Dataset, out_dir: str, *, x_col: str = "n_chars",
         r[cat_col]
         for r in ds.groupby(cat_col).count().select_columns([cat_col])
         .take_all())
-    code = {c: i for i, c in enumerate(cats)}
 
     def z(batch: pa.Table) -> pa.Table:
         x = batch[x_col].to_numpy(zero_copy_only=False).astype(np.int64) \
             & ((1 << bits) - 1)
-        y = np.array([code[c] for c in batch[cat_col].to_pylist()],
-                     np.int64)
+        # dense code = index into the sorted category list — one Arrow
+        # index_in kernel instead of a per-row dict lookup
+        y = pc.index_in(batch[cat_col], value_set=pa.array(cats)) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
         zv = np.zeros(len(x), np.int64)
         for i in range(bits):
             zv |= ((x >> i) & 1) << (2 * i)
@@ -412,8 +414,8 @@ def zorder_read(out_dir: str, *, x_col: str = "n_chars",
             xv = t[x_col].to_numpy(zero_copy_only=False)
             m &= (xv >= x_range[0]) & (xv <= x_range[1])
         if cat is not None:
-            m &= np.array([c == cat for c in t[cat_col].to_pylist()],
-                          bool)
+            m &= pc.fill_null(pc.equal(t[cat_col], cat), False) \
+                .to_numpy(zero_copy_only=False)
         return t.filter(pa.array(m))
 
     return ds.map_batches(exact, batch_format="pyarrow")
