@@ -780,6 +780,41 @@ def _q_span_extract(sf_dir: str):
         r"scan \w+")
 
 
+def _q_kmeans_assign1(sf_dir: str):
+    """The k-means assignment kernel pinned to an SQL-reproducible
+    regime: centroids = the first k=8 vectors by vec_id (deterministic
+    init, no RNG), one assignment pass, per-vector cell emitted.  The
+    argmax is float-safe against engine ULP differences: the minimum
+    best-vs-second margin on the fixture is ~1e-4 (measured), ten
+    orders above any dot-product reassociation error, and exact ties
+    break to the lowest centroid index on both sides (numpy argmax
+    picks the first maximum; the SQL twin orders by s DESC, idx ASC).
+    The iterative production path (``kmeans_cells``) stays rows-only."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray
+    import ray.data as rd
+
+    from pmocr_ray.ops.knn import _normalize, list_matrix
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"])
+    first = emb.sort("vec_id").limit(8).take_all()
+    cent = _normalize(np.asarray([r["embedding"] for r in first],
+                                 np.float64))
+    ref = ray.put(cent)
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        mat = list_matrix(t["embedding"])
+        a = np.argmax(mat @ c.T, axis=1).astype(np.int64)
+        return pa.table({"vec_id": t["vec_id"],
+                         "cell": pa.array(a, pa.int64())})
+
+    return emb.map_batches(assign, batch_format="pyarrow")
+
+
 def _q_kmeans_cells(sf_dir: str):
     """Full-corpus Lloyd k-means (iterative — no SQL oracle; fixed-point
     determinism is pytest-verified bit-identical across partitionings);
@@ -6139,6 +6174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trending_terms": _q_trending_terms,
         "len_percentile": _q_len_percentile,
         "kmeans_cells": _q_kmeans_cells,
+        "kmeans_assign1": _q_kmeans_assign1,
         "lm_score": _q_lm_score,
         "lm_bigram_counts": _q_lm_bigram_counts,
         "quantize_embeddings": _q_quantize_embeddings,
@@ -8606,6 +8642,28 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term
                   FROM documents)
             GROUP BY term ORDER BY df DESC, term ASC LIMIT 50""",
+        "kmeans_assign1": """
+            WITH cent AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS idx,
+                     embedding AS c,
+                     CASE WHEN list_dot_product(embedding, embedding) = 0
+                          THEN 1.0
+                          ELSE sqrt(list_dot_product(embedding, embedding))
+                     END AS nrm
+              FROM (SELECT vec_id, embedding FROM embeddings
+                    ORDER BY vec_id LIMIT 8)
+            ),
+            sims AS (
+              SELECT e.vec_id, c.idx,
+                     list_dot_product(e.embedding, c.c) / c.nrm AS s
+              FROM embeddings e CROSS JOIN cent c
+            )
+            SELECT vec_id, CAST(idx AS BIGINT) AS cell FROM (
+              SELECT vec_id, idx,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY s DESC, idx ASC) AS rn
+              FROM sims)
+            WHERE rn = 1""",
         "lm_bigram_counts": """
             WITH chars AS (
               SELECT substring(text, u.i, 1) AS ch

@@ -62,6 +62,7 @@ KEYS = [
     # round-3 additions
     "xlsx_target_roundtrip",
     "lm_bigram_counts",
+    "kmeans_assign1",
 ]
 
 
