@@ -212,6 +212,16 @@ def run_bench() -> dict:
         events_path, columns=["event_type", "ts", "value"])).count()
     queries["moving_window"] = round(time.perf_counter() - t0, 3)
 
+    # end-to-end LLM-curation composition (langid → quality → near-dup
+    # keep → filter) — the flagship training-data pipeline, measured as
+    # one number per round
+    from pmocr_ray.pipelines import curate
+
+    t0 = time.perf_counter()
+    curate(rd.read_parquet(docs_path, columns=["doc_id", "text"]),
+           concurrency=max(2, NUM_CPUS // 2)).count()
+    queries["curate"] = round(time.perf_counter() - t0, 3)
+
     # join-heavy relational shapes from the driver-gate sweep
     import __ray_entry__ as E
 
