@@ -20,6 +20,7 @@ target, pmocr_ray/targets.pdf_transform).
 from __future__ import annotations
 
 import io
+import re
 import zipfile
 from xml.etree import ElementTree
 
@@ -48,7 +49,27 @@ _RELS = (
 )
 
 
+# ECMA-376 _xHHHH_ escaping: XML 1.0 cannot represent control chars at
+# all (not even as character references), and parsers normalize \r to
+# \n — both break the writer/parser inverse for arbitrary extracted
+# text.  OOXML's standard answer encodes each such char as _xHHHH_ and
+# protects literal look-alikes by escaping their leading underscore as
+# _x005F_.  Decode is one left-to-right non-overlapping substitution.
+_X_RX = re.compile(r"_x([0-9A-Fa-f]{4})_")
+_XML_INVALID = re.compile("[\x00-\x08\x0a-\x1f\ufffe\uffff]")
+
+
+def x_encode(s: str) -> str:
+    s = _X_RX.sub(lambda m: "_x005F_" + m.group(0)[1:], s)
+    return _XML_INVALID.sub(lambda m: "_x%04X_" % ord(m.group(0)), s)
+
+
+def x_decode(s: str) -> str:
+    return _X_RX.sub(lambda m: chr(int(m.group(1), 16)), s)
+
+
 def _escape(s: str) -> str:
+    s = x_encode(s)
     return (s.replace("&", "&amp;").replace("<", "&lt;")
              .replace(">", "&gt;"))
 
@@ -93,6 +114,6 @@ def extract_docx(payload) -> str:
     root = ElementTree.fromstring(doc)
     lines = []
     for p in root.iter(f"{{{_W_NS}}}p"):
-        runs = [t.text or "" for t in p.iter(f"{{{_W_NS}}}t")]
+        runs = [x_decode(t.text or "") for t in p.iter(f"{{{_W_NS}}}t")]
         lines.append("".join(runs))
     return "\n".join(lines)

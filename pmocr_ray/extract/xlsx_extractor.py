@@ -74,6 +74,11 @@ _WORKBOOK_RELS = (
 
 
 def _escape(s: str) -> str:
+    # shares the ECMA-376 _xHHHH_ convention (its home format is
+    # precisely SpreadsheetML cell strings) — see docx_extractor
+    from pmocr_ray.extract.docx_extractor import x_encode
+
+    s = x_encode(s)
     return (s.replace("&", "&amp;").replace("<", "&lt;")
              .replace(">", "&gt;"))
 
@@ -121,12 +126,14 @@ def extract_xlsx(payload) -> str:
     wrong rather than silently partial)."""
     with zipfile.ZipFile(io.BytesIO(bytes(payload))) as z:
         sheet = z.read("xl/worksheets/sheet1.xml")
+    from pmocr_ray.extract.docx_extractor import x_decode
+
     root = ElementTree.fromstring(sheet)
     lines = []
     for row in root.iter(f"{{{_S_NS}}}row"):
         cells = []
         for c in row.iter(f"{{{_S_NS}}}c"):
-            texts = [t.text or "" for t in c.iter(f"{{{_S_NS}}}t")]
+            texts = [x_decode(t.text or "") for t in c.iter(f"{{{_S_NS}}}t")]
             cells.append("".join(texts))
         lines.append(";".join(cells))
     return "\n".join(lines)

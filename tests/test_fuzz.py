@@ -11,7 +11,7 @@ from hypothesis import strategies as st
 from pmocr_ray.state_machine import process_row
 
 VALID_STATUSES = {"done", "failed", "skipped_existing_text", "skipped_suffix"}
-VALID_CTS = {"html", "pdf", "unknown"}
+VALID_CTS = {"html", "pdf", "docx", "xlsx", "unknown"}
 
 
 @given(payload=st.binary(max_size=4096),
@@ -37,7 +37,8 @@ def test_process_row_deterministic(payload):
     assert process_row(payload, None, False) == process_row(payload, None, False)
 
 
-@given(prefix=st.sampled_from([b"%PDF-1.4\n", b"<html>", b"  <div>", b"\x89PNG"]),
+@given(prefix=st.sampled_from([b"%PDF-1.4\n", b"<html>", b"  <div>", b"\x89PNG",
+                               b"PK\x03\x04"]),
        tail=st.binary(max_size=2048))
 @settings(max_examples=200, deadline=None)
 def test_sniffed_types_route_without_crash(prefix, tail):
@@ -46,8 +47,31 @@ def test_sniffed_types_route_without_crash(prefix, tail):
         assert ct == "pdf"
     elif prefix.lstrip().startswith(b"<"):
         assert ct == "html"
+    elif prefix.startswith(b"PK"):
+        # random zip-magic payloads: whatever OPC type the part-name
+        # scan guesses, a corrupt container must quarantine, not crash
+        assert ct in {"docx", "xlsx", "unknown"} and status == "failed"
     else:
         assert ct == "unknown" and status == "failed"
+
+
+# ------------------------------------------------ document-target inverses
+
+
+@given(text=st.text(max_size=400))
+@settings(max_examples=300, deadline=None)
+def test_docx_inverse_property(text):
+    from pmocr_ray.extract.docx_extractor import build_docx, extract_docx
+
+    assert extract_docx(build_docx(text)) == text
+
+
+@given(text=st.text(max_size=400))
+@settings(max_examples=300, deadline=None)
+def test_xlsx_inverse_property(text):
+    from pmocr_ray.extract.xlsx_extractor import build_xlsx, extract_xlsx
+
+    assert extract_xlsx(build_xlsx(text)) == text
 
 
 # --------------------------------------------------- streaming equivalence
