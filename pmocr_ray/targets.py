@@ -62,14 +62,18 @@ def pdf_transform(t: pa.Table) -> pa.Table:
     """Append ``pdf`` — a minimal searchable PDF rendering of the
     extracted text (the reference's PRIMARY target: pdf output with a
     text layer, pmocr.sh:2546-2560 / default.conf:53-55).  The builder
-    is the exact inverse of :mod:`pmocr_ray.extract.pdf_extractor`:
-    ``extract_pdf(pdf_transform(text)) == text`` byte-for-byte, proved
-    by the roundtrip test and the ``pdf_target_roundtrip`` gate query.
-    Rows with no extracted text (failed/quarantined) get a null pdf."""
+    is the exact inverse of :mod:`pmocr_ray.extract.pdf_extractor` for
+    the engine's whitespace-normalized output (the PDF layout re-chunks
+    words into Tj lines, so runs of whitespace collapse — unlike the
+    docx/xlsx targets, whose _xHHHH_ escaping is lossless for ANY
+    string): ``extract_pdf(pdf_transform(text)) == text`` per url,
+    proved by the roundtrip test and the ``pdf_target_roundtrip`` gate
+    query.  Rows with no extracted text (failed/quarantined) or empty
+    text (no Tj operator to emit) get a null pdf."""
     from pmocr_ray.fixtures import build_pdf_page
 
     texts = t["extracted_text"].to_pylist()
-    pdfs = [build_pdf_page(x, searchable=True) if x is not None else None
+    pdfs = [build_pdf_page(x, searchable=True) if x else None
             for x in texts]
     return t.append_column("pdf", pa.array(pdfs, pa.binary()))
 
