@@ -800,7 +800,17 @@ def _q_kmeans_assign1(sf_dir: str):
 
     emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
                           columns=["vec_id", "embedding"])
-    first = emb.sort("vec_id").limit(8).take_all()
+
+    # first-8-by-vec_id via a bounded combiner (8 rows per batch reach
+    # the driver), not sort().limit() — a global sort shuffles the
+    # whole corpus for 8 rows
+    def first8(t: pa.Table) -> pa.Table:
+        idx = np.argsort(t["vec_id"].to_numpy(zero_copy_only=False),
+                         kind="stable")[:8]
+        return t.take(pa.array(idx))
+
+    partials = emb.map_batches(first8, batch_format="pyarrow").take_all()
+    first = sorted(partials, key=lambda r: r["vec_id"])[:8]
     cent = _normalize(np.asarray([r["embedding"] for r in first],
                                  np.float64))
     ref = ray.put(cent)
