@@ -383,3 +383,81 @@ def test_remove_dup_spans_partition_invariant(ray_session):
     b = remove_dup_spans(rd.from_arrow(t).repartition(13), n=3) \
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_minhash_batch_kernel_matches_scalar_signature_path():
+    """The vectorized batch kernel (segmented mins over concatenated
+    shingle hashes) must reproduce the scalar ``signature()`` reference
+    path exactly — signatures feed band buckets, and bucket identity is
+    what the LSH shuffle keys on."""
+    from pmocr_ray.ops.dedup import MinHashStage, _mix_band
+
+    rng = np.random.default_rng(3)
+    vocab = [f"tok{i}" for i in range(200)]
+    texts = [" ".join(rng.choice(vocab, size=int(k)))
+             for k in rng.integers(0, 120, size=80)]
+    texts += ["", "one", "one two", "one two three"]
+    st = MinHashStage()
+    batch = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+    })
+    out = st(batch)
+    got = {}
+    for d, band, bucket in zip(out["doc_id"].to_pylist(),
+                               out["band"].to_pylist(),
+                               out["bucket"].to_pylist()):
+        got.setdefault(d, {})[band] = bucket
+    rpb = st.rows_per_band
+    for i, t in enumerate(texts):
+        sig = st.signature(t)
+        if sig is None:
+            assert i not in got  # empty doc emits no band rows
+            continue
+        for band in range(st.n_bands):
+            exp = int(_mix_band(
+                [sig[band * rpb + j : band * rpb + j + 1]
+                 for j in range(rpb)])[0])
+            exp = exp - (1 << 64) if exp >= (1 << 63) else exp
+            assert got[i][band] == exp, (i, band)
+
+
+def test_simhash_batch_kernel_matches_scalar_reference():
+    """The unpackbits + segmented ones-count kernel must be
+    bit-identical to a direct per-word ±1 vote accumulation, in both
+    word-hash regimes, across empty/short/>255-word docs (the int8
+    overflow trap)."""
+    import hashlib
+
+    from pmocr_ray.ops.dedup import SimHashStage, _hash64
+
+    def scalar(texts, whash):
+        sigs = []
+        for t in texts:
+            acc = [0] * 64
+            for w in t.split():
+                h = whash(w.encode())
+                for i in range(64):
+                    acc[i] += 1 if (h >> i) & 1 else -1
+            sigs.append(sum(1 << i for i in range(64) if acc[i] > 0))
+        return sigs
+
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(50)]
+    texts = [" ".join(rng.choice(vocab, size=int(k)))
+             for k in rng.integers(0, 80, size=40)]
+    texts += ["", "solo", "a " * 300]  # 300 words: overflows int8 votes
+    batch = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+    })
+    for mode, whash in [
+        ("blake2b", _hash64),
+        ("md5", lambda b: int.from_bytes(
+            hashlib.md5(b).digest()[:8], "little")),
+    ]:
+        st = SimHashStage(word_hash=mode)
+        out = st(batch)
+        got = dict(zip(out["doc_id"].to_pylist(), out["sig"].to_pylist()))
+        for i, exp in enumerate(scalar(texts, whash)):
+            assert got[i] == exp, (mode, i)
