@@ -1401,6 +1401,27 @@ def _q_dedup_embedding(sf_dir: str):
     ).select_columns(["a", "b"])
 
 
+def _q_semdedup(sf_dir: str):
+    """SemDeDup (cluster-then-prune semantic dedup) pinned to the
+    SQL-reproducible regime: centroids = the first k=8 vectors by
+    vec_id (deterministic init, no RNG), one assignment pass, pairwise
+    keep-first prune at cosine ≥ 0.45.  Float safety: assignment
+    argmax margins are the kmeans_assign1 regime's (min ~1e-4 on the
+    fixture) and the prune threshold margin is ≥ 5.5e-4 — both ten
+    orders above dot-product reassociation error; exact ties break the
+    same way on both sides (argmax → first max; SQL orders s DESC,
+    idx ASC)."""
+    import ray.data as rd
+
+    from pmocr_ray.ops.dedup import semdedup
+
+    return semdedup(
+        rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"]),
+        k=8, threshold=0.45,
+    )
+
+
 def _q_dedup_embedding_lsh(sf_dir: str):
     """SRP-LSH near-dup pinned to a DENSE regime (5 planes × 64
     tables) that is candidate-complete on the fixture corpus, so the
@@ -6140,6 +6161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram": _q_dedup_ngram,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding": _q_dedup_embedding,
+        "semdedup": _q_semdedup,
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         # similarity search
         "knn_cosine": _q_knn,
@@ -9034,6 +9056,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS a, b.vec_id AS b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45""",
+        # SemDeDup pinned regime: first-8 centroid init + one assignment
+        # pass (the kmeans_assign1 argmax twin), then the keep-first
+        # pairwise prune within each cell at cosine >= 0.45 (margins
+        # measured: assignment ~1e-4, threshold 5.5e-4)
+        "semdedup": """
+            WITH cent AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS idx,
+                     embedding AS c,
+                     CASE WHEN list_dot_product(embedding, embedding) = 0
+                          THEN 1.0
+                          ELSE sqrt(list_dot_product(embedding, embedding))
+                     END AS nrm
+              FROM (SELECT vec_id, embedding FROM embeddings
+                    ORDER BY vec_id LIMIT 8)
+            ),
+            asg AS (
+              SELECT vec_id, CAST(idx AS BIGINT) AS cell FROM (
+                SELECT e.vec_id, c.idx,
+                       row_number() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY list_dot_product(e.embedding, c.c) / c.nrm
+                                    DESC,
+                                  c.idx ASC) AS rn
+                FROM embeddings e CROSS JOIN cent c)
+              WHERE rn = 1
+            )
+            SELECT a.vec_id, a.cell,
+                   EXISTS (
+                     SELECT 1 FROM asg b
+                     JOIN embeddings x ON x.vec_id = a.vec_id
+                     JOIN embeddings y ON y.vec_id = b.vec_id
+                     WHERE b.cell = a.cell AND b.vec_id < a.vec_id
+                       AND list_cosine_similarity(x.embedding, y.embedding)
+                             >= 0.45
+                   ) AS dropped
+            FROM asg a""",
         "lang_id": _lang_id_sql(),
         "quality_score": _quality_cte() + """
             SELECT doc_id, punct_ratio, stopword_ratio, mean_token_len,

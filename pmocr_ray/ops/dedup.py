@@ -1109,6 +1109,91 @@ def embedding_dedup_pairs(ds: rd.Dataset, *, key: str = "vec_id",
     )
 
 
+def semdedup(ds: rd.Dataset, *, k: int = 8, threshold: float = 0.45,
+             key: str = "vec_id", column: str = "embedding",
+             centroids: np.ndarray | None = None,
+             chunk: int = 2048) -> rd.Dataset:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster embeddings
+    with k-means, then prune near-duplicates *within* each cluster —
+    the O(n²) cosine comparison collapses to O(Σ |cluster|²), the
+    paper's trick for making semantic dedup tractable at web scale.
+
+    Keep rule: a vector is ``dropped`` iff some other vector in its
+    cluster has cosine ≥ ``threshold`` and a **smaller key** —
+    keep-first, pairwise, deterministic, and (unlike the paper's
+    farthest-from-centroid rule) exactly reproducible by a SQL oracle.
+
+    Physical plan (the reference discipline is mark-don't-rescan,
+    /root/reference/pmocr.sh:2126-2144):
+
+    * centroids: caller-supplied (production path: feed
+      :func:`pmocr_ray.ops.knn.kmeans_distributed` output) or the
+      pinned deterministic init (first ``k`` vectors by key, bounded
+      combiner — no RNG, no global sort), broadcast once via
+      ``ray.put``;
+    * assignment: map-only argmax over the broadcast centroid matrix;
+    * pruning: ``groupby(cell).map_groups`` — one shuffle keyed on the
+      cluster id; inside a group the gram products run blockwise
+      (``chunk`` rows at a time, memory O(chunk × |cluster|)), so a
+      hot cluster costs flops but never a giant allocation.
+
+    Partitioning assumption: one cluster's (key, vector) rows fit one
+    worker.  At corpus scale pick k ≈ √N (the paper uses ~10⁵ clusters
+    for ~10⁸ docs) so E|cluster| = N/k stays bounded; degenerate hot
+    clusters should be re-clustered or capped upstream.
+
+    Returns (key, cell, dropped) for every input row.
+    """
+    from pmocr_ray.ops.knn import _normalize, list_matrix
+
+    ds = ds.select_columns([key, column])
+    if centroids is None:
+        # first-k-by-key via a bounded combiner (k rows per batch reach
+        # the driver), mirroring the kmeans_assign1 pinned regime
+        def firstk(t: pa.Table) -> pa.Table:
+            idx = np.argsort(t[key].to_numpy(zero_copy_only=False),
+                             kind="stable")[:k]
+            return t.take(pa.array(idx))
+
+        partials = ds.map_batches(firstk, batch_format="pyarrow").take_all()
+        first = sorted(partials, key=lambda r: r[key])[:k]
+        centroids = np.asarray([r[column] for r in first], np.float64)
+    cent_ref = ray.put(_normalize(np.asarray(centroids, np.float64)))
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        mat = list_matrix(t[column])
+        cell = np.argmax(mat @ c.T, axis=1).astype(np.int64)
+        return pa.table({key: t[key], column: t[column],
+                         "cell": pa.array(cell, pa.int64())})
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+
+    def prune(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(g[key].to_numpy(), kind="stable")
+        ids = g[key].to_numpy()[order]
+        mat = _normalize(np.asarray(
+            [g[column].iloc[int(i)] for i in order], np.float64))
+        n = len(ids)
+        dropped = np.zeros(n, dtype=bool)
+        for s0 in range(0, n, chunk):
+            s1 = min(s0 + chunk, n)
+            sims = mat[s0:s1] @ mat[:s1].T  # block vs all earlier+self
+            hit = sims >= threshold
+            # only columns j < global row index i count
+            hit &= (np.arange(s1)[None, :]
+                    < np.arange(s0, s1)[:, None])
+            dropped[s0:s1] = hit.any(axis=1)
+        return pd.DataFrame({
+            key: pd.Series(ids, dtype="int64"),
+            "cell": pd.Series([int(g["cell"].iloc[0])] * n, dtype="int64"),
+            "dropped": pd.Series(dropped, dtype="bool"),
+        })
+
+    return assigned.groupby("cell").map_groups(prune, batch_format="pandas")
+
+
 # ----------------------------------------------------- line-level dedup
 
 #: line_no is packed with the doc key into one int64 shuffle key; docs

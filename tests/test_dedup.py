@@ -461,3 +461,53 @@ def test_simhash_batch_kernel_matches_scalar_reference():
         got = dict(zip(out["doc_id"].to_pylist(), out["sig"].to_pylist()))
         for i, exp in enumerate(scalar(texts, whash)):
             assert got[i] == exp, (mode, i)
+
+
+def test_semdedup_prunes_within_cluster_keep_first(ray_session):
+    from pmocr_ray.ops.dedup import semdedup
+
+    rng = np.random.default_rng(9)
+    # two well-separated cluster directions; near-dups planted in each
+    c0 = rng.normal(size=16); c1 = -c0
+    def jitter(base, eps):
+        v = base + eps * rng.normal(size=16)
+        return (v / np.linalg.norm(v)).tolist()
+    rows = [
+        {"vec_id": 0, "embedding": jitter(c0, 0.01)},
+        {"vec_id": 1, "embedding": jitter(c0, 0.01)},   # near-dup of 0
+        {"vec_id": 2, "embedding": jitter(c0, 3.0)},    # same cell, far
+        {"vec_id": 3, "embedding": jitter(c1, 0.01)},
+        {"vec_id": 4, "embedding": jitter(c1, 0.01)},   # near-dup of 3
+        {"vec_id": 5, "embedding": jitter(c1, 3.0)},
+    ]
+    out = {r["vec_id"]: r for r in semdedup(
+        rd.from_items(rows), k=2, threshold=0.9,
+        centroids=np.stack([c0, c1])).take_all()}
+    assert not out[0]["dropped"] and out[1]["dropped"]   # keep-first
+    assert not out[3]["dropped"] and out[4]["dropped"]
+    assert not out[2]["dropped"] and not out[5]["dropped"]
+    assert out[0]["cell"] == out[1]["cell"] == out[2]["cell"]
+    assert out[3]["cell"] == out[4]["cell"] != out[0]["cell"]
+
+
+def test_semdedup_chunked_path_and_partition_invariance(ray_session):
+    from pmocr_ray.ops.dedup import semdedup
+
+    rng = np.random.default_rng(10)
+    base = rng.normal(size=(5, 12))
+    rows = [{"vec_id": i,
+             "embedding": (base[i % 5] + 0.02 * rng.normal(size=12)).tolist()}
+            for i in range(60)]
+
+    def run(ds, chunk):
+        return (semdedup(ds, k=4, threshold=0.95, chunk=chunk)
+                .to_pandas().sort_values("vec_id").reset_index(drop=True))
+
+    a = run(rd.from_items(rows), chunk=2048)
+    b = run(rd.from_items(rows).repartition(7), chunk=3)  # force blocks
+    assert a.equals(b)
+    # keep-first: the smallest vec_id of every (cell, near-dup family)
+    # survives, and every cluster keeps at least one member
+    kept = a[~a["dropped"]]
+    assert kept["vec_id"].min() == 0
+    assert set(kept["cell"]) == set(a["cell"])
