@@ -33,8 +33,6 @@ import ray.data as rd
 
 from pmocr_ray.ops.text import fingerprint
 
-_MERSENNE = (1 << 61) - 1
-
 
 def _hash64(data: bytes) -> int:
     return int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "big")
@@ -1173,8 +1171,8 @@ def semdedup(ds: rd.Dataset, *, k: int = 8, threshold: float = 0.45,
     def prune(g: pd.DataFrame) -> pd.DataFrame:
         order = np.argsort(g[key].to_numpy(), kind="stable")
         ids = g[key].to_numpy()[order]
-        mat = _normalize(np.asarray(
-            [g[column].iloc[int(i)] for i in order], np.float64))
+        mat = _normalize(
+            np.asarray(g[column].tolist(), np.float64)[order])
         n = len(ids)
         dropped = np.zeros(n, dtype=bool)
         for s0 in range(0, n, chunk):
