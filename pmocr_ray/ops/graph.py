@@ -26,9 +26,11 @@ beyond-the-reference dedup keep/drop decision at corpus scale.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import ray
 import ray.data as rd
 from ray.data.aggregate import Sum
 
@@ -156,8 +158,72 @@ def connected_components_distributed(edges: rd.Dataset,
     return labels
 
 
+def _i64_col(ds: rd.Dataset, name: str) -> np.ndarray:
+    """Bounded collect of one int64 column (caller enforces the bound)."""
+    chunks = [b[name].to_numpy(zero_copy_only=False)
+              for b in ds.iter_batches(batch_format="pyarrow",
+                                       batch_size=None)]
+    if not chunks:
+        return np.empty(0, np.int64)
+    return np.concatenate(chunks).astype(np.int64, copy=False)
+
+
+def _pagerank_broadcast(edges: rd.Dataset, degrees: rd.Dataset,
+                        nodes: rd.Dataset, *, iters: int, scale: int,
+                        base: int) -> rd.Dataset:
+    """Join-free PageRank plan for node sets that fit one broadcast.
+
+    Bit-identical to the join plan: identical int64 expressions, and
+    both the per-batch ``group_by(dst).sum`` and the bucketed global
+    merge are exact integer sums, so summation order is irrelevant.
+    The edge list never moves; only (dst, partial) pairs shuffle.
+    """
+    ids = np.sort(_i64_col(nodes, "node"))
+    n_nodes = len(ids)
+    deg_vec = np.zeros(n_nodes, np.int64)
+    for b in degrees.iter_batches(batch_format="pyarrow",
+                                  batch_size=None):    # gate-bounded
+        deg_vec[np.searchsorted(
+            ids, b["dnode"].to_numpy(zero_copy_only=False))] = \
+            b["deg"].to_numpy(zero_copy_only=False)
+    ids_ref = ray.put(ids)
+    deg_ref = ray.put(deg_vec)
+    rank_vec = np.full(n_nodes, scale, np.int64)
+
+    def make_contrib(rank_ref):
+        def contrib(t: pa.Table) -> pa.Table:
+            iid, dv, rv = ray.get(ids_ref), ray.get(deg_ref), \
+                ray.get(rank_ref)
+            si = np.searchsorted(
+                iid, t["src"].to_numpy(zero_copy_only=False))
+            di = np.searchsorted(
+                iid, t["dst"].to_numpy(zero_copy_only=False))
+            g = pa.table({
+                "dst": pa.array(di, pa.int64()),
+                "c": pa.array(rv[si] // dv[si], pa.int64()),
+            }).group_by("dst").aggregate([("c", "sum")])
+            return pa.table({"dst": g["dst"], "c": g["c_sum"]})
+        return contrib
+
+    for _ in range(iters):
+        sums = _vec_agg(
+            edges.map_batches(make_contrib(ray.put(rank_vec)),
+                              batch_format="pyarrow"),
+            ["dst"], [("c", "sum", "c")])
+        rank_vec = np.full(n_nodes, base, np.int64)
+        for b in sums.iter_batches(batch_format="pyarrow",
+                                   batch_size=None):   # gate-bounded
+            di = b["dst"].to_numpy(zero_copy_only=False)
+            c = b["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+            rank_vec[di] = base + (c * 85) // 100
+
+    return rd.from_arrow(pa.table({"node": pa.array(ids, pa.int64()),
+                                   "rank": pa.array(rank_vec, pa.int64())}))
+
+
 def pagerank(edges: rd.Dataset, *, iters: int = 3, scale: int = 1_000_000,
-             num_partitions: int = 8) -> rd.Dataset:
+             num_partitions: int = 8,
+             broadcast_nodes: int = 4_000_000) -> rd.Dataset:
     """Fixed-point integer PageRank over an int64 (src, dst) edge list —
     host-graph authority scoring for crawl prioritization.
 
@@ -168,13 +234,21 @@ def pagerank(edges: rd.Dataset, *, iters: int = 3, scale: int = 1_000_000,
     SQL oracle reproduces the identical ranks.  Dangling-node mass is
     dropped (documented classic variant).
 
-    Shape per iteration: ONE hash join (ranks ⋈ edges on src — both
-    sides partitioned by the same key every round) + one groupby(dst)
-    sum + one left join back to the node universe.  Nothing is
-    broadcast and nothing reaches the driver; the rank table is a
-    Dataset throughout.  Edges and the node universe are materialized
-    ONCE and reused across iterations (the legitimate mid-pipeline
-    materialize: an iterative algorithm's loop-invariant operand).
+    Two physical plans, same bits (the node set is usually orders of
+    magnitude smaller than the edge set — hosts vs links):
+
+    * ``n_nodes <= broadcast_nodes`` (the common host-graph regime):
+      the rank/degree vectors are ``ray.put`` ONCE per iteration and
+      read zero-copy by every edge task — per iteration that is one
+      map over the edge list + one bucketed groupby(dst); the hash
+      join disappears entirely.  The per-iteration driver collect is
+      bounded by the same gate (4M nodes ≈ 32 MB of int64 ranks).
+    * larger node sets: the join plan — ONE hash join (ranks ⋈ edges
+      on src, both sides partitioned by the same key every round) +
+      one groupby(dst) sum; nothing reaches the driver.  Edges and
+      the node universe are materialized ONCE and reused across
+      iterations (the legitimate mid-pipeline materialize: an
+      iterative algorithm's loop-invariant operand).
     """
     edges = edges.materialize()
     n_edges = edges.count()
@@ -188,9 +262,6 @@ def pagerank(edges: rd.Dataset, *, iters: int = 3, scale: int = 1_000_000,
     degrees = _vec_agg(
         edges.map_batches(with_deg, batch_format="pyarrow"),
         ["dnode"], [("deg", "sum", "deg")])
-    # edges with their source out-degree attached — loop-invariant
-    edeg = edges.join(degrees, join_type="inner", num_partitions=parts,
-                      on=("src",), right_on=("dnode",)).materialize()
 
     def endpoints(t: pa.Table) -> pa.Table:
         u = pa.concat_arrays([t["src"].combine_chunks().cast(pa.int64()),
@@ -201,6 +272,15 @@ def pagerank(edges: rd.Dataset, *, iters: int = 3, scale: int = 1_000_000,
     nodes = _vec_distinct(
         edges.map_batches(endpoints, batch_format="pyarrow"),
         ["node"]).materialize()
+    base = scale * 15 // 100
+
+    if nodes.count() <= broadcast_nodes:
+        return _pagerank_broadcast(edges, degrees, nodes,
+                                   iters=iters, scale=scale, base=base)
+
+    # edges with their source out-degree attached — loop-invariant
+    edeg = edges.join(degrees, join_type="inner", num_partitions=parts,
+                      on=("src",), right_on=("dnode",)).materialize()
 
     ranks = nodes.map_batches(
         lambda t: pa.table({"rnode": t["node"],
@@ -216,7 +296,6 @@ def pagerank(edges: rd.Dataset, *, iters: int = 3, scale: int = 1_000_000,
                             "c": pa.array([0] * len(t), pa.int64())}),
         batch_format="pyarrow").materialize()
 
-    base = scale * 15 // 100
     for _ in range(iters):
         j = edeg.join(ranks, join_type="inner", num_partitions=parts,
                       on=("src",), right_on=("rnode",))

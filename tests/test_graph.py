@@ -163,3 +163,25 @@ def test_cc_chain_across_many_blocks(ray_session):
     assert len(out) == n
     assert set(out["node"]) == set(range(n))
     assert (out["label"] == 0).all()
+
+
+def test_pagerank_broadcast_and_join_plans_bit_identical(ray_session):
+    """The gated broadcast plan and the join plan are two physical
+    shapes of the same int64 recurrence — same bits on a random graph,
+    at more than one partitioning."""
+    import numpy as np
+
+    from pmocr_ray.ops.graph import pagerank
+
+    rng = np.random.default_rng(11)
+    src = rng.integers(0, 300, 2500)
+    dst = rng.integers(0, 300, 2500)
+    m = src != dst
+    edges = pd.DataFrame({"src": src[m], "dst": dst[m]}).drop_duplicates()
+    for parts in (1, 4):
+        ds = rd.from_pandas(edges).repartition(parts)
+        via_bcast = (pagerank(ds, iters=3, broadcast_nodes=10_000)
+                     .to_pandas().sort_values("node").reset_index(drop=True))
+        via_join = (pagerank(ds, iters=3, broadcast_nodes=0)
+                    .to_pandas().sort_values("node").reset_index(drop=True))
+        assert via_bcast.equals(via_join)
