@@ -60,7 +60,10 @@ _TOKEN_RE = re.compile(
       | <\?[^>]*>?                          # processing instruction
       | </\s*([a-zA-Z][a-zA-Z0-9:-]*)[^>]*> # closing tag   -> group 1
       | <([a-zA-Z][a-zA-Z0-9:-]*)           # opening tag   -> group 2
-          ((?:"[^"]*"|'[^']*'|[^>"'])*)     #   quote-aware attrs -> group 3
+          ((?:"[^"]*"|'[^']*'|[^>"']+)*)    #   quote-aware attrs -> group 3
+                                            #   (unquoted runs consumed +-greedily:
+                                            #   first-char-disjoint alternatives, so
+                                            #   identical matches, fewer engine steps)
         >?
       | [^<]+                               # text run
       | <                                   # stray '<' (treated as text)
