@@ -4312,12 +4312,22 @@ def _q_doc_len_pct_in_lang(sf_dir: str):
 
 def _q_nation_pair_flows(sf_dir: str):
     """TPC-H Q7 shape: trade volume between every ordered (supplier
-    nation, customer nation) pair per ship year, supp ≠ cust.  Same
-    scale order as Q5: supplier→nation broadcast into the lineitem
-    scan, partial (orderkey, s_nat, year) pre-agg BEFORE the two
-    large-large hash joins, pair filter after, 600-row rollup.  Exact
+    nation, customer nation) pair per ship year, supp ≠ cust.  Exact
     1e-4-dollar int64 revenue (ref: pmocr.sh has no joins; this is the
-    anti-join discipline of pmocr.sh:2126-2144 generalized)."""
+    anti-join discipline of pmocr.sh:2126-2144 generalized).
+
+    Two physical plans, gated on the ``orders`` row count (same
+    pattern as ``ops/graph.pagerank``'s node-count gate):
+
+    * ``orders`` ≤ 2M rows: JOIN-FREE.  orderkey→custkey and
+      custkey→nationkey are dense int64 LUTs broadcast once via
+      ``ray.put`` (≤ ~64 MB at the gate) and gathered per batch, so
+      the whole query is one lineitem scan + a ≤4200-row rollup —
+      zero shuffles.
+    * above the gate (orders no longer one-machine-broadcastable):
+      partial (orderkey, s_nat, year) pre-agg BEFORE two large-large
+      hash joins with data-scaled partition counts — the plan that
+      survives 100 TB."""
     import pyarrow as pa
 
     import ray.data as rd
@@ -4338,6 +4348,55 @@ def _q_nation_pair_flows(sf_dir: str):
     li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
                          columns=["l_orderkey", "l_suppkey", "l_shipdate",
                                   "l_extendedprice", "l_discount"])
+
+    n_orders = pq.ParquetFile(
+        os.path.join(sf_dir, "orders.parquet")).metadata.num_rows
+    if n_orders <= 2_000_000:  # broadcast gate — see docstring
+        ot = pq.read_table(os.path.join(sf_dir, "orders.parquet"),
+                           columns=["o_orderkey", "o_custkey"])
+        ok = _i64(ot["o_orderkey"])
+        o_lut = np.full(int(ok.max()) + 1, -1, np.int64)
+        o_lut[ok] = _i64(ot["o_custkey"])
+        ct = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey", "c_nationkey"])
+        ck = _i64(ct["c_custkey"])
+        c_lut = np.full(int(ck.max()) + 1, -1, np.int64)
+        c_lut[ck] = _i64(ct["c_nationkey"])
+        names = np.array([n_map.get(i, "") for i in
+                          range(max(n_map) + 1)], dtype=object)
+        luts_ref = ray.put((o_lut, c_lut, names))
+
+        def fused(t: pa.Table) -> pa.Table:
+            o_lut, c_lut, names = ray.get(luts_ref)
+            s_lut = ray.get(s_ref)
+            s_nat = _lut_gather(s_lut, _i64(t["l_suppkey"]))
+            c_nat = _lut_gather(c_lut,
+                                _lut_gather(o_lut, _i64(t["l_orderkey"])))
+            keep = (s_nat >= 0) & (c_nat >= 0) & (s_nat != c_nat)
+            s_nat, c_nat = s_nat[keep], c_nat[keep]
+            kt = t.filter(pa.array(keep))
+            year = pc.cast(pc.year(kt["l_shipdate"]), pa.int64())
+            ext = np.rint(np.asarray(
+                kt["l_extendedprice"].to_numpy(zero_copy_only=False)) * 100
+            ).astype(np.int64)
+            disc = np.rint(np.asarray(
+                kt["l_discount"].to_numpy(zero_copy_only=False)) * 100
+            ).astype(np.int64)
+            tt = pa.table({
+                "supp_nation": pa.array(names[s_nat], pa.string()),
+                "cust_nation": pa.array(names[c_nat], pa.string()),
+                "l_year": year,
+                "rev": pa.array(ext * (100 - disc), pa.int64())})
+            g = tt.group_by(["supp_nation", "cust_nation",
+                             "l_year"]).aggregate([("rev", "sum")])
+            return pa.table({"supp_nation": g["supp_nation"],
+                             "cust_nation": g["cust_nation"],
+                             "l_year": g["l_year"],
+                             "revenue_e4": g["rev_sum"]})
+
+        return (li.map_batches(fused, batch_format="pyarrow")
+                .groupby(["supp_nation", "cust_nation", "l_year"])
+                .aggregate(Sum("revenue_e4", alias_name="revenue_e4")))
 
     def partial(t: pa.Table) -> pa.Table:
         lut = ray.get(s_ref)
