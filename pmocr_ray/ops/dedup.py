@@ -613,6 +613,7 @@ def minhash_dedup_keep(
     key: str = "doc_id",
     threshold: float = 0.8,
     distributed_cc_pair_limit: int = 2_000_000,
+    annotate_ds: rd.Dataset | None = None,
     **minhash_kwargs,
 ) -> rd.Dataset:
     """End-to-end near-dup dedup decision: every input row annotated with
@@ -621,6 +622,14 @@ def minhash_dedup_keep(
 
     pairs (MinHash-LSH, skew-aware) → connected components → one
     vectorized annotation pass.  The corpus itself is never collected.
+
+    ``annotate_ds`` decouples the DECISION input from the ANNOTATION
+    target: the dedup decision only reads (key, column), so a caller
+    whose rows carry expensive lazy upstream stages (lang-ID, quality
+    scoring — see ``pipelines.curate``) passes the cheap pruned corpus
+    as ``ds`` and the scored dataset as ``annotate_ds``; otherwise the
+    lazy upstream re-executes once per decision-side consumer (sketch +
+    verify corpus side).  Both must contain the same ``key`` universe.
 
     The component step routes by pair count: the verified pair set is
     usually orders of magnitude smaller than the corpus, so at or below
@@ -635,11 +644,12 @@ def minhash_dedup_keep(
     (dup_of, keep) columns; set the limit to 0 to force the
     distributed path.
     """
+    target = ds if annotate_ds is None else annotate_ds
     pairs_ds = (minhash_dedup_pairs(ds, column=column, key=key,
                                     threshold=threshold, **minhash_kwargs)
                 .select_columns(["a", "b"])).materialize()
     if pairs_ds.count() > distributed_cc_pair_limit:
-        return _annotate_keep_distributed(ds, pairs_ds, key=key)
+        return _annotate_keep_distributed(target, pairs_ds, key=key)
 
     pairs = [(r["a"], r["b"]) for r in pairs_ds.take_all()]
     roots = connected_components(pairs)
@@ -653,7 +663,7 @@ def minhash_dedup_keep(
         return (t.append_column("dup_of", pa.array(dup_of, pa.int64()))
                  .append_column("keep", pa.array(keep, pa.bool_())))
 
-    return ds.map_batches(annotate, batch_format="pyarrow")
+    return target.map_batches(annotate, batch_format="pyarrow")
 
 
 def _annotate_keep_distributed(ds: rd.Dataset, pairs: rd.Dataset,

@@ -42,8 +42,15 @@ def curate(
     ds = docs.map_batches(LangIdStage, batch_format="pyarrow",
                           concurrency=(1, concurrency))
     ds = ds.map_batches(quality_score, batch_format="pyarrow")
+    # Decision input = the PRUNED raw corpus; annotation target = the
+    # scored rows.  The dedup decision reads only (key, column), and the
+    # decision side is consumed twice (sketch + verify corpus side) —
+    # feeding it the scored dataset would re-run lang-ID and quality
+    # scoring once per consumer (3× the scoring compute at corpus scale,
+    # plus two extra LangId actor-pool spin-ups at bench scale).
     ds = minhash_dedup_keep(
-        ds, column=column, key=key, threshold=dedup_threshold,
+        docs.select_columns([key, column]), annotate_ds=ds,
+        column=column, key=key, threshold=dedup_threshold,
         concurrency=concurrency,
         distributed_cc_pair_limit=distributed_cc_pair_limit)
 
