@@ -58,6 +58,29 @@ def test_minhash_dedup_keep_distributed_cc_matches(ray_session):
     assert dist[0] == (0, True) and dist[1] == (0, False)
 
 
+def test_minhash_dedup_keep_annotate_ds(ray_session):
+    """annotate_ds decouples decision input from annotation target:
+    decisions computed from the pruned corpus, annotation applied to a
+    dataset carrying extra columns — which must survive, with the same
+    (dup_of, keep) decisions on both CC routes."""
+    import pyarrow.compute as pc
+
+    def score(t):
+        return t.append_column("score", pc.multiply(
+            pc.cast(t["doc_id"], "int64"), 10))
+
+    for limit in (2_000_000, 0):  # union-find route, distributed route
+        scored = _corpus(ray_session).map_batches(
+            score, batch_format="pyarrow")
+        out = {r["doc_id"]: r for r in minhash_dedup_keep(
+            _corpus(ray_session), annotate_ds=scored, threshold=0.5,
+            distributed_cc_pair_limit=limit).take_all()}
+        assert len(out) == 5
+        assert all(r["score"] == i * 10 for i, r in out.items())
+        assert out[0]["keep"] and not out[1]["keep"]
+        assert out[1]["dup_of"] == 0 and out[2]["dup_of"] == 0
+
+
 def test_curate_distributed_cc(ray_session):
     """curate survives (and matches) with the distributed CC route."""
     base = {r["doc_id"] for r in
