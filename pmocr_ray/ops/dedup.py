@@ -307,24 +307,64 @@ def _bucket_pairs(group: pd.DataFrame, max_bucket: int) -> pd.DataFrame:
     return pd.DataFrame(pairs, columns=["a", "b"])
 
 
+def _star_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    """Hot-bucket star emit: every member pairs with the bucket minimum
+    only — O(n) pairs that preserve cluster connectivity for the
+    component step (the hot-key/salting guard as an operator)."""
+    ids = sorted(set(g["doc_id"].tolist()))
+    return pd.DataFrame({
+        "a": pd.Series([ids[0]] * (len(ids) - 1), dtype="int64"),
+        "b": pd.Series(ids[1:], dtype="int64"),
+    })
+
+
+def _pairs_or_star(g: pd.DataFrame, max_bucket: int) -> pd.DataFrame:
+    """Per-bucket pair emit for the singleton-pruned fast path: full
+    pairs for normal buckets, star emit past ``max_bucket`` — exactly
+    the scale path's split semantics, fused into one grouped pass."""
+    ids = sorted(set(g["doc_id"].tolist()))
+    if len(ids) > max_bucket:
+        return _star_pairs(g)
+    pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]]
+    if not pairs:
+        return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                             "b": pd.Series(dtype="int64")})
+    return pd.DataFrame(pairs, columns=["a", "b"])
+
+
+#: broadcast cap for the multi-member (band, bucket) table — beyond
+#: this the singleton-pruning fast path would ship too much per task
+_MULTI_BUCKET_BROADCAST_LIMIT = 2_000_000
+
+#: cap on surviving (multi-bucket) band rows for the driver-local pair
+#: emit inside the fast path; worst-case driver pairs ≈ rows×max_bucket/2
+_DRIVER_PAIR_ROWS = 200_000
+
+
 def lsh_candidate_pairs(band_rows: rd.Dataset, max_bucket: int = 64,
                         num_partitions: int = 16,
                         checkpoint_dir: str | None = None) -> rd.Dataset:
     """(band, bucket) co-grouping → unique candidate pairs (a < b).
 
-    Skew-aware dual path:
+    Skew-aware routing, driven by one grouped bucket-size count:
 
-    * **Normal buckets** go through a hash **self-join** on
-      (band, bucket) — band rows are overwhelmingly singleton buckets,
-      and per-group UDF overhead over ~32×N near-empty groups dominates
-      a ``groupby().map_groups`` formulation (measured 22s → 3.9s at
-      160k band rows).
+    * **Singleton buckets** — the overwhelming majority of band rows —
+      cannot form a pair.  When the multi-member bucket table fits a
+      broadcast (the common regime; it is bounded by near-dup-ish docs
+      × bands, not the corpus), singleton rows are dropped by a LOCAL
+      per-batch semi join before the exchange, and the self-join
+      partition count sizes from the surviving rows only.
+    * **Normal multi buckets** go through a hash **self-join** on
+      (band, bucket) — per-group UDF overhead over ~32×N near-empty
+      groups dominates a ``groupby().map_groups`` formulation
+      (measured 22s → 3.9s at 160k band rows), and with singletons
+      pruned the join input is the active rows alone.
     * **Hot buckets** (> ``max_bucket`` members — degenerate
-      constant-content clusters) would emit n² join rows; they are
-      detected by a pre-count and routed through a **star emit**
-      instead: every member pairs with the bucket minimum only — O(n)
-      pairs that preserve cluster connectivity for the union-find step.
-      This is the hot-key/salting guard as an operator, not a comment.
+      constant-content clusters) would emit n² join rows; they route
+      through a **star emit** instead: every member pairs with the
+      bucket minimum only — O(n) pairs that preserve cluster
+      connectivity for the component step.  This is the
+      hot-key/salting guard as an operator, not a comment.
 
     Falls back to the map_groups formulation on Ray builds without
     ``Dataset.join``.
@@ -372,58 +412,121 @@ def lsh_candidate_pairs(band_rows: rd.Dataset, max_bucket: int = 64,
     n_rows = band_rows.count()
     from pmocr_ray.ops.joins import parts_for_rows
     from pmocr_ray.ops.vecagg import grouped_aggregate
-    num_partitions = parts_for_rows(n_rows, cap=num_partitions)
     counts = grouped_aggregate(
         band_rows, ["band", "bucket"], [(None, "count", "count()")])
-    hot = counts.map_batches(
-        lambda t: t.filter(pa.compute.greater(t["count()"], max_bucket)),
-        batch_format="pyarrow",
-    ).take_all()
+    # A singleton bucket — the overwhelming majority of (band, bucket)
+    # groups on a real corpus — cannot form a pair, so only the
+    # multi-member buckets matter from here on.  Their table is
+    # bounded by |near-dup-ish docs| × n_bands, not by the corpus.
+    multi = counts.map_batches(
+        lambda t: t.filter(pa.compute.greater(t["count()"], 1)),
+        batch_format="pyarrow").materialize()
 
-    if hot:
-        # broadcast the (small) hot-key table once; each batch routes
-        # through a LOCAL arrow hash semi/anti join — vectorized and
-        # exact, vs the former per-row Python set-membership loop
-        # (128 k band rows × 2 passes of tuple hashing)
-        hot_bands = [r["band"] for r in hot]
-        hot_buckets = [int(r["bucket"]) for r in hot]
-        hot_ref = ray.put((hot_bands, hot_buckets))
-
-        def split(t: pa.Table, keep_hot: bool) -> pa.Table:
-            hb, hk = ray.get(hot_ref)
+    def _local_semi(ref):
+        # broadcast a (band, bucket) key table once; each batch routes
+        # through a LOCAL arrow hash semi join — vectorized and exact
+        def fn(t: pa.Table) -> pa.Table:
+            hb, hk = ray.get(ref)
             ht = pa.table({
                 "band": pa.array(hb).cast(t.schema.field("band").type),
                 "bucket": pa.array(hk, t.schema.field("bucket").type),
             })
-            jt = "left semi" if keep_hot else "left anti"
-            return t.join(ht, keys=["band", "bucket"], join_type=jt)
+            return t.join(ht, keys=["band", "bucket"], join_type="left semi")
+        return fn
 
-        normal_rows = band_rows.map_batches(
-            lambda t: split(t, False), batch_format="pyarrow")
-        hot_rows = band_rows.map_batches(
-            lambda t: split(t, True), batch_format="pyarrow")
-
-        def star(g: pd.DataFrame) -> pd.DataFrame:
-            ids = sorted(set(g["doc_id"].tolist()))
-            return pd.DataFrame({
-                "a": pd.Series([ids[0]] * (len(ids) - 1), dtype="int64"),
-                "b": pd.Series(ids[1:], dtype="int64"),
-            })
-
-        hot_pairs = hot_rows.groupby(["band", "bucket"]).map_groups(
-            star, batch_format="pandas")  # few groups — map_groups is fine here
+    hot_pairs = None
+    if multi.count() <= _MULTI_BUCKET_BROADCAST_LIMIT:
+        # Common regime: the multi-bucket table fits a broadcast, so
+        # singleton band rows are dropped BEFORE any exchange.  What
+        # survives is a tiny dataset whose groups are all ≥ 2 members,
+        # which flips the original cost argument for the self-join:
+        # with no singleton groups left, one groupby().map_groups
+        # (full pairs ≤ max_bucket, star emit above) replaces the
+        # hash self-join, the separate hot route, AND the union —
+        # one small sort exchange instead of a join actor pool.
+        rows = multi.take_all()
+        if not rows:
+            return rd.from_arrow(pa.table({"a": pa.array([], pa.int64()),
+                                           "b": pa.array([], pa.int64())}))
+        all_ref = ray.put(([r["band"] for r in rows],
+                           [int(r["bucket"]) for r in rows]))
+        pruned = band_rows.map_batches(
+            _local_semi(all_ref), batch_format="pyarrow")
+        total_multi_rows = int(sum(r["count()"] for r in rows))
+        if total_multi_rows <= _DRIVER_PAIR_ROWS:
+            # The surviving rows are a handful per duplicate cluster
+            # and their exact count is already known from the bucket
+            # rollup, so under this (tighter) gate one bounded
+            # iter_batches pull + local pair emit replaces TWO
+            # sort-exchange jobs (groupby + distinct) — measured
+            # 2.0 s → ~0 at 14 k surviving rows.  Worst-case driver
+            # memory: rows × max_bucket/2 pair tuples.
+            groups: dict = {}
+            for b in pruned.iter_batches(batch_format="pyarrow"):
+                for band, bucket, did in zip(b["band"].to_pylist(),
+                                             b["bucket"].to_pylist(),
+                                             b["doc_id"].to_pylist()):
+                    groups.setdefault((band, bucket), []).append(did)
+            seen: set = set()
+            for ids in groups.values():
+                ids = sorted(set(ids))
+                if len(ids) > max_bucket:
+                    seen.update((ids[0], x) for x in ids[1:])
+                else:
+                    seen.update((x, y) for i, x in enumerate(ids)
+                                for y in ids[i + 1:])
+            if not seen:
+                return rd.from_arrow(pa.table(
+                    {"a": pa.array([], pa.int64()),
+                     "b": pa.array([], pa.int64())}))
+            a_arr, b_arr = zip(*sorted(seen))
+            return rd.from_arrow(pa.table(
+                {"a": pa.array(a_arr, pa.int64()),
+                 "b": pa.array(b_arr, pa.int64())}))
+        pairs = pruned.groupby(["band", "bucket"]).map_groups(
+            lambda g: _pairs_or_star(g, max_bucket), batch_format="pandas")
+        return _distinct(pairs)
     else:
-        normal_rows, hot_pairs = band_rows, None
+        # Adversarial dup-rate regime: too many multi buckets to
+        # broadcast — self-join the full band-row set; only the (rare)
+        # hot buckets split out, via broadcast anti/semi as before.
+        num_partitions = parts_for_rows(n_rows, cap=num_partitions)
+        hot = multi.map_batches(
+            lambda t: t.filter(
+                pa.compute.greater(t["count()"], max_bucket)),
+            batch_format="pyarrow",
+        ).take_all()
+        if hot:
+            hot_ref = ray.put(([r["band"] for r in hot],
+                               [int(r["bucket"]) for r in hot]))
 
-    joined = normal_rows.join(
-        normal_rows, join_type="inner", num_partitions=num_partitions,
-        on=("band", "bucket"), left_suffix="", right_suffix="_r",
-    )
+            def drop_hot(t: pa.Table) -> pa.Table:
+                hb, hk = ray.get(hot_ref)
+                ht = pa.table({
+                    "band": pa.array(hb).cast(t.schema.field("band").type),
+                    "bucket": pa.array(hk, t.schema.field("bucket").type),
+                })
+                return t.join(ht, keys=["band", "bucket"],
+                              join_type="left anti")
+
+            normal_rows = band_rows.map_batches(
+                drop_hot, batch_format="pyarrow")
+            hot_pairs = (band_rows
+                         .map_batches(_local_semi(hot_ref),
+                                      batch_format="pyarrow")
+                         .groupby(["band", "bucket"])
+                         .map_groups(_star_pairs, batch_format="pandas"))
+        else:
+            normal_rows = band_rows
 
     def to_pairs(t: pa.Table) -> pa.Table:
         f = t.filter(pa.compute.less(t["doc_id"], t["doc_id_r"]))
         return pa.table({"a": f["doc_id"], "b": f["doc_id_r"]})
 
+    joined = normal_rows.join(
+        normal_rows, join_type="inner", num_partitions=num_partitions,
+        on=("band", "bucket"), left_suffix="", right_suffix="_r",
+    )
     pairs = joined.map_batches(to_pairs, batch_format="pyarrow")
     if hot_pairs is not None:
         pairs = pairs.union(hot_pairs)
@@ -477,7 +580,9 @@ def attach_pair_sides(
     n_cand = candidates.count()
     if n_cand == 0:
         # stable empty schema without running a join on an empty side
-        ctype = side.schema().field(column).type
+        sch = side.schema()
+        # ray.data Schema wraps the arrow schema (base_schema)
+        ctype = getattr(sch, "base_schema", sch).field(column).type
         return rd.from_arrow(pa.table({
             "a": pa.array([], pa.int64()),
             "b": pa.array([], pa.int64()),

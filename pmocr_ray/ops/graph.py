@@ -42,6 +42,11 @@ from pmocr_ray.ops.vecagg import grouped_aggregate as _vec_agg
 # ops/vecagg.py); all of them route through the Arrow-bucketed
 # aggregate, several of them once PER ITERATION
 _NODE_LABEL = pa.schema([("node", pa.int64()), ("label", pa.int64())])
+_NODE_DEG = pa.schema([("node", pa.int64()), ("deg", pa.int64())])
+
+#: upper bound on n_blocks × n_nodes for the broadcast PageRank plan's
+#: driver-side partial merge; beyond it partials merge in-cluster
+_DRIVER_MERGE_PARTIAL_ROWS = 50_000_000
 
 
 def _sym_edges(edges: rd.Dataset) -> rd.Dataset:
@@ -158,34 +163,37 @@ def connected_components_distributed(edges: rd.Dataset,
     return labels
 
 
-def _i64_col(ds: rd.Dataset, name: str) -> np.ndarray:
-    """Bounded collect of one int64 column (caller enforces the bound)."""
-    chunks = [b[name].to_numpy(zero_copy_only=False)
-              for b in ds.iter_batches(batch_format="pyarrow",
-                                       batch_size=None)]
-    if not chunks:
-        return np.empty(0, np.int64)
-    return np.concatenate(chunks).astype(np.int64, copy=False)
-
-
-def _pagerank_broadcast(edges: rd.Dataset, degrees: rd.Dataset,
-                        nodes: rd.Dataset, *, iters: int, scale: int,
-                        base: int) -> rd.Dataset:
+def _pagerank_broadcast(edges: rd.Dataset, node_deg: rd.Dataset,
+                        *, iters: int, scale: int, base: int) -> rd.Dataset:
     """Join-free PageRank plan for node sets that fit one broadcast.
 
     Bit-identical to the join plan: identical int64 expressions, and
-    both the per-batch ``group_by(dst).sum`` and the bucketed global
-    merge are exact integer sums, so summation order is irrelevant.
-    The edge list never moves; only (dst, partial) pairs shuffle.
+    every merge is an exact integer sum, so summation order is
+    irrelevant.  The edge list never moves; per iteration only
+    per-batch-combined (dst, partial) pairs leave the edge tasks.
+
+    The per-iteration merge is cost-gated: each edge batch's combined
+    partial is at most min(batch_rows, n_nodes) int64 pairs, so while
+    ``n_blocks × n_nodes`` stays small the driver merges the partials
+    directly (one ``np.add.at`` per block — no exchange, no sort
+    barrier per iteration); past the gate the bucketed vecagg exchange
+    merges in-cluster and only the ≤ n_nodes merged rows reach the
+    driver.  Both merges are exact int64 sums — same bits.
     """
-    ids = np.sort(_i64_col(nodes, "node"))
+    parts = [(b["node"].to_numpy(zero_copy_only=False),
+              b["deg"].to_numpy(zero_copy_only=False))
+             for b in node_deg.iter_batches(batch_format="pyarrow",
+                                            batch_size=None)]  # gate-bounded
+    if parts:
+        raw_ids = np.concatenate([p[0] for p in parts]).astype(
+            np.int64, copy=False)
+        raw_deg = np.concatenate([p[1] for p in parts]).astype(
+            np.int64, copy=False)
+    else:
+        raw_ids, raw_deg = np.empty(0, np.int64), np.empty(0, np.int64)
+    order = np.argsort(raw_ids)
+    ids, deg_vec = raw_ids[order], raw_deg[order]
     n_nodes = len(ids)
-    deg_vec = np.zeros(n_nodes, np.int64)
-    for b in degrees.iter_batches(batch_format="pyarrow",
-                                  batch_size=None):    # gate-bounded
-        deg_vec[np.searchsorted(
-            ids, b["dnode"].to_numpy(zero_copy_only=False))] = \
-            b["deg"].to_numpy(zero_copy_only=False)
     ids_ref = ray.put(ids)
     deg_ref = ray.put(deg_vec)
     rank_vec = np.full(n_nodes, scale, np.int64)
@@ -205,17 +213,32 @@ def _pagerank_broadcast(edges: rd.Dataset, degrees: rd.Dataset,
             return pa.table({"dst": g["dst"], "c": g["c_sum"]})
         return contrib
 
+    try:
+        n_blocks = edges.num_blocks()
+    except Exception:
+        n_blocks = None
+    driver_merge = (n_blocks is not None
+                    and n_blocks * max(1, n_nodes)
+                    <= _DRIVER_MERGE_PARTIAL_ROWS)
+
     for _ in range(iters):
-        sums = _vec_agg(
-            edges.map_batches(make_contrib(ray.put(rank_vec)),
-                              batch_format="pyarrow"),
-            ["dst"], [("c", "sum", "c")])
-        rank_vec = np.full(n_nodes, base, np.int64)
-        for b in sums.iter_batches(batch_format="pyarrow",
-                                   batch_size=None):   # gate-bounded
-            di = b["dst"].to_numpy(zero_copy_only=False)
-            c = b["c"].to_numpy(zero_copy_only=False).astype(np.int64)
-            rank_vec[di] = base + (c * 85) // 100
+        contribs = edges.map_batches(make_contrib(ray.put(rank_vec)),
+                                     batch_format="pyarrow")
+        if driver_merge:
+            agg = np.zeros(n_nodes, np.int64)
+            for b in contribs.iter_batches(batch_format="pyarrow",
+                                           batch_size=None):  # gate-bounded
+                np.add.at(agg, b["dst"].to_numpy(zero_copy_only=False),
+                          b["c"].to_numpy(zero_copy_only=False))
+            rank_vec = base + (agg * 85) // 100
+        else:
+            sums = _vec_agg(contribs, ["dst"], [("c", "sum", "c")])
+            rank_vec = np.full(n_nodes, base, np.int64)
+            for b in sums.iter_batches(batch_format="pyarrow",
+                                       batch_size=None):   # gate-bounded
+                di = b["dst"].to_numpy(zero_copy_only=False)
+                c = b["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+                rank_vec[di] = base + (c * 85) // 100
 
     return rd.from_arrow(pa.table({"node": pa.array(ids, pa.int64()),
                                    "rank": pa.array(rank_vec, pa.int64())}))
@@ -240,9 +263,12 @@ def pagerank(edges: rd.Dataset, *, iters: int = 3, scale: int = 1_000_000,
     * ``n_nodes <= broadcast_nodes`` (the common host-graph regime):
       the rank/degree vectors are ``ray.put`` ONCE per iteration and
       read zero-copy by every edge task — per iteration that is one
-      map over the edge list + one bucketed groupby(dst); the hash
-      join disappears entirely.  The per-iteration driver collect is
-      bounded by the same gate (4M nodes ≈ 32 MB of int64 ranks).
+      map over the edge list plus a cost-gated partial merge (driver
+      ``np.add.at`` while n_blocks × n_nodes is small, the bucketed
+      groupby(dst) exchange beyond — see ``_pagerank_broadcast``).
+      The per-iteration driver collect is bounded by the same gate
+      (4M nodes ≈ 32 MB of int64 ranks).  The node universe and
+      out-degrees come from ONE fused pass over the edge list.
     * larger node sets: the join plan — ONE hash join (ranks ⋈ edges
       on src, both sides partitioned by the same key every round) +
       one groupby(dst) sum; nothing reaches the driver.  Edges and
@@ -254,29 +280,39 @@ def pagerank(edges: rd.Dataset, *, iters: int = 3, scale: int = 1_000_000,
     n_edges = edges.count()
     parts = max(1, min(num_partitions, n_edges // 2048 + 1))
 
-    def with_deg(t: pa.Table) -> pa.Table:
-        g = t.group_by("src").aggregate([([], "count_all")])
-        return pa.table({"dnode": g["src"],
-                         "deg": pc.cast(g["count_all"], pa.int64())})
+    # node universe + out-degree in ONE pass over the edge list: each
+    # batch emits (node, deg) partials — sources with their local edge
+    # count, destinations with 0 — so a single grouped sum yields both
+    # the endpoint set and the degree table (previously two full edge
+    # passes + two exchanges).
+    def node_deg(t: pa.Table) -> pa.Table:
+        s = t.group_by("src").aggregate([([], "count_all")])
+        node = pa.concat_arrays([
+            s["src"].combine_chunks().cast(pa.int64()),
+            t["dst"].combine_chunks().cast(pa.int64())])
+        deg = pa.concat_arrays([
+            pc.cast(s["count_all"], pa.int64()).combine_chunks(),
+            pa.array(np.zeros(len(t), np.int64))])
+        g = pa.table({"node": node, "deg": deg}).group_by(
+            "node").aggregate([("deg", "sum")])
+        return pa.table({"node": g["node"], "deg": g["deg_sum"]})
 
-    degrees = _vec_agg(
-        edges.map_batches(with_deg, batch_format="pyarrow"),
-        ["dnode"], [("deg", "sum", "deg")])
-
-    def endpoints(t: pa.Table) -> pa.Table:
-        u = pa.concat_arrays([t["src"].combine_chunks().cast(pa.int64()),
-                              t["dst"].combine_chunks().cast(pa.int64())])
-        g = pa.table({"node": u}).group_by("node").aggregate([])
-        return g
-
-    nodes = _vec_distinct(
-        edges.map_batches(endpoints, batch_format="pyarrow"),
-        ["node"]).materialize()
+    node_deg_tbl = _vec_agg(
+        edges.map_batches(node_deg, batch_format="pyarrow"),
+        ["node"], [("deg", "sum", "deg")],
+        seed_schema=_NODE_DEG).materialize()
     base = scale * 15 // 100
 
-    if nodes.count() <= broadcast_nodes:
-        return _pagerank_broadcast(edges, degrees, nodes,
+    if node_deg_tbl.count() <= broadcast_nodes:
+        return _pagerank_broadcast(edges, node_deg_tbl,
                                    iters=iters, scale=scale, base=base)
+
+    # join-plan operands derived from the fused rollup: deg=0 rows are
+    # pure destinations, which the inner join on src can never match
+    degrees = node_deg_tbl.map_batches(
+        lambda t: pa.table({"dnode": t["node"], "deg": t["deg"]}),
+        batch_format="pyarrow")
+    nodes = node_deg_tbl.select_columns(["node"])
 
     # edges with their source out-degree attached — loop-invariant
     edeg = edges.join(degrees, join_type="inner", num_partitions=parts,

@@ -511,3 +511,38 @@ def test_semdedup_chunked_path_and_partition_invariance(ray_session):
     kept = a[~a["dropped"]]
     assert kept["vec_id"].min() == 0
     assert set(kept["cell"]) == set(a["cell"])
+
+
+def test_lsh_singleton_pruned_and_full_selfjoin_paths_agree(
+        ray_session, monkeypatch):
+    """The broadcast singleton-pruning fast path and the full self-join
+    scale path of lsh_candidate_pairs must emit the same verified pair
+    set — including star-emitted hot buckets."""
+    import pmocr_ray.ops.dedup as D
+
+    same = "identical degenerate content repeated everywhere " * 4
+    rows = [{"doc_id": i, "text": same} for i in range(120)]
+    rows += [{"doc_id": 200, "text": BASE},
+             {"doc_id": 201, "text": BASE},
+             {"doc_id": 202, "text": EDIT},
+             {"doc_id": 203, "text": OTHER}]
+    ds = rd.from_items(rows)
+    fast = {(r["a"], r["b"]) for r in
+            minhash_dedup_pairs(ds, threshold=0.5).take_all()}
+    monkeypatch.setattr(D, "_MULTI_BUCKET_BROADCAST_LIMIT", 0)
+    full = {(r["a"], r["b"]) for r in
+            minhash_dedup_pairs(ds, threshold=0.5).take_all()}
+    assert fast == full
+    assert (200, 201) in fast
+
+
+def test_lsh_all_unique_corpus_yields_empty_pairs(ray_session):
+    """No multi-member bucket at all: the fast path must skip the
+    self-join (an all-empty partition breaks acero) and still return
+    an empty (a, b) pair set with a stable schema."""
+    rows = [{"doc_id": i, "text": f"unique document number {i} about "
+                                  f"topic {i * 17} with words {i * 31}"}
+            for i in range(20)]
+    out = minhash_dedup_pairs(rd.from_items(rows), threshold=0.5)
+    tbl = pa.Table.from_pylist(out.take_all())
+    assert len(tbl) == 0

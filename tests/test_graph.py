@@ -185,3 +185,26 @@ def test_pagerank_broadcast_and_join_plans_bit_identical(ray_session):
         via_join = (pagerank(ds, iters=3, broadcast_nodes=0)
                     .to_pandas().sort_values("node").reset_index(drop=True))
         assert via_bcast.equals(via_join)
+
+
+def test_pagerank_driver_merge_and_exchange_merge_bit_identical(
+        ray_session, monkeypatch):
+    """Inside the broadcast plan, the cost-gated driver-side partial
+    merge (np.add.at) and the vecagg exchange merge are exact int64
+    sums of the same partials — same bits either way."""
+    import numpy as np
+
+    import pmocr_ray.ops.graph as G
+
+    rng = np.random.default_rng(7)
+    src = rng.integers(0, 200, 1500)
+    dst = rng.integers(0, 200, 1500)
+    m = src != dst
+    edges = pd.DataFrame({"src": src[m], "dst": dst[m]}).drop_duplicates()
+    ds = rd.from_pandas(edges).repartition(3)
+    via_driver = (G.pagerank(ds, iters=3)
+                  .to_pandas().sort_values("node").reset_index(drop=True))
+    monkeypatch.setattr(G, "_DRIVER_MERGE_PARTIAL_ROWS", 0)
+    via_exchange = (G.pagerank(ds, iters=3)
+                    .to_pandas().sort_values("node").reset_index(drop=True))
+    assert via_driver.equals(via_exchange)
