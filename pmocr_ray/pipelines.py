@@ -23,6 +23,15 @@ from pmocr_ray.ops.dedup import minhash_dedup_keep
 from pmocr_ray.ops.text import LangIdStage, quality_score
 
 
+class _LangQualityStage(LangIdStage):
+    """Lang-ID + quality scoring in ONE actor-pool operator: the task
+    map would not fuse into the actor pool, so scoring separately costs
+    the corpus an extra object-store hop between operators."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return quality_score(super().__call__(batch))
+
+
 def curate(
     docs: rd.Dataset,
     *,
@@ -39,9 +48,8 @@ def curate(
     Returns the surviving rows with added columns ``lang_pred``,
     ``quality``, ``dup_of``, ``keep``.
     """
-    ds = docs.map_batches(LangIdStage, batch_format="pyarrow",
+    ds = docs.map_batches(_LangQualityStage, batch_format="pyarrow",
                           concurrency=(1, concurrency))
-    ds = ds.map_batches(quality_score, batch_format="pyarrow")
     # Decision input = the PRUNED raw corpus; annotation target = the
     # scored rows.  The dedup decision reads only (key, column), and the
     # decision side is consumed twice (sketch + verify corpus side) —
