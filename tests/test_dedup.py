@@ -529,10 +529,13 @@ def test_lsh_singleton_pruned_and_full_selfjoin_paths_agree(
     ds = rd.from_items(rows)
     fast = {(r["a"], r["b"]) for r in
             minhash_dedup_pairs(ds, threshold=0.5).take_all()}
+    monkeypatch.setattr(D, "_DRIVER_PAIR_ROWS", 0)
+    grouped = {(r["a"], r["b"]) for r in
+               minhash_dedup_pairs(ds, threshold=0.5).take_all()}
     monkeypatch.setattr(D, "_MULTI_BUCKET_BROADCAST_LIMIT", 0)
     full = {(r["a"], r["b"]) for r in
             minhash_dedup_pairs(ds, threshold=0.5).take_all()}
-    assert fast == full
+    assert fast == grouped == full
     assert (200, 201) in fast
 
 
