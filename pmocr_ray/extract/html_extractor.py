@@ -134,6 +134,9 @@ def extract_html(payload) -> str:
     candidates = _CANDIDATES
     unescape = _unescape
     tag_kind = _tag_kind
+    # direct cache probe first: tag spellings repeat constantly, so the
+    # common case is one dict hit with no Python call frame
+    tag_kind_get = _TAG_KIND.get
 
     stack: list[tuple[str, int, int, int]] = [("#root", 0, 0, 0)]
     words: list[str] = []
@@ -173,7 +176,9 @@ def extract_html(payload) -> str:
                             link_chars += cn
                 # comments / doctype / cdata / PI: no visible text
             elif li >= 2:  # opening tag
-                tag, kind = tag_kind(m.group(2))
+                raw = m.group(2)
+                e = tag_kind_get(raw)
+                tag, kind = e if e is not None else tag_kind(raw)
                 if kind == 1:  # void
                     continue
                 if kind == 2:  # raw-text element: jump to its closing tag
@@ -188,7 +193,9 @@ def extract_html(payload) -> str:
                     link_depth += 1
                 stack.append((tag, len(words), chars, link_chars))
             else:  # closing tag
-                tag, kind = tag_kind(m.group(1))
+                raw = m.group(1)
+                e = tag_kind_get(raw)
+                tag, kind = e if e is not None else tag_kind(raw)
                 if kind:  # void or raw-text: no stack effect
                     continue
                 if tag == "a" and link_depth > 0:
