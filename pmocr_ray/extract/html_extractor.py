@@ -144,8 +144,12 @@ def extract_html(payload) -> str:
     link_chars = 0
     link_depth = 0
     best_score = 0.0
-    best_words: list[str] | None = None
-    order = 0
+    # winner tracked as a (start, end) window into ``words`` — a new
+    # best costs two int stores instead of copying the word slice
+    # (nested candidates re-win constantly on real pages); the single
+    # slice happens once, at return
+    best_w0 = -1
+    best_w1 = 0
 
     # ``finditer`` replaces per-token ``match(text, pos)`` stepping:
     # the token pattern matches at EVERY position (text runs, the
@@ -217,12 +221,12 @@ def extract_html(payload) -> str:
                         if tl > 0:
                             ll = link_chars - l0
                             score = (tl - ll) * (1.0 - ll / tl)
-                            order += 1
                             # strictly-greater wins; ties keep the
                             # earliest-closed candidate (document order)
-                            if best_words is None or score > best_score:
+                            if best_w0 < 0 or score > best_score:
                                 best_score = score
-                                best_words = words[w0:]
+                                best_w0 = w0
+                                best_w1 = len(words)
         if not restart:
             break
 
@@ -233,11 +237,11 @@ def extract_html(payload) -> str:
             if tl > 0:
                 ll = link_chars - l0
                 score = (tl - ll) * (1.0 - ll / tl)
-                order += 1
-                if best_words is None or score > best_score:
+                if best_w0 < 0 or score > best_score:
                     best_score = score
-                    best_words = words[w0:]
+                    best_w0 = w0
+                    best_w1 = len(words)
 
-    if best_words is None:
+    if best_w0 < 0:
         raise ValueError("html extractor: no visible text content found")
-    return " ".join(best_words)
+    return " ".join(words[best_w0:best_w1])
