@@ -126,11 +126,19 @@ def run_extraction(
 
     * ``"tasks"`` (default): a plain task ``map_batches`` whose fn
       lazily constructs the warm :class:`ExtractStage` once per worker
-      process (module-level cache).  Ray fuses it with the Parquet read
-      into ONE task operator, so the raw payload column never crosses
-      the object store — measured 15-20% faster end-to-end at both 8
-      and 32 CPUs (interleaved A/B, 1.8M pages: 84.3s vs 99.6s at 8
-      cpus; ~26s vs ~33s at 32).
+      process (module-level cache) — measured 15-20% faster end-to-end
+      than the actor pool at both 8 and 32 CPUs (interleaved A/B, 1.8M
+      pages: 84.3s vs 99.6s at 8 cpus; ~26s vs ~33s at 32).  Read-fusion
+      note: Ray fuses the Parquet read INTO this operator (payload never
+      enters the object store) only when ``batch_size is None`` AND the
+      input file count equals ``num_blocks`` — any read split breaks
+      fusion.  Interleaved A/Bs at 1.8M pages measured the fused and
+      unfused plans equal single-node (the streaming executor overlaps
+      the read with the parse, hiding the extra plasma hop), so the
+      default keeps the finer-waves split; on a multi-node cluster
+      prefer input layouts with ≥ ``5 × cluster_cpus`` files and pass
+      ``batch_size=None`` so the payload column also never crosses the
+      NETWORK between read and parse.
     * ``"actors"``: the explicit actor pool
       (``concurrency``/``actor_num_cpus`` apply) — use when the stage
       must hold per-actor resources (GPU slots, model handles with

@@ -174,9 +174,11 @@ class ExtractStage:
 # Per-worker-process cache for task-mode extraction stages.  Ray worker
 # processes persist across tasks, so a plain task `map_batches(fn)` with
 # a module-level cache gets the same warm-engine amortization as an
-# actor pool — while letting Ray FUSE the read with the extract into one
-# task operator (ReadParquet->MapBatches): the payload column never
-# crosses the object store between read and parse.  Keyed by a token
+# actor pool — and, when the read is not split (file count == requested
+# blocks, batch_size=None), lets Ray fuse read→extract→write into ONE
+# task operator so the payload column never leaves the read task (see
+# run_extraction's mode docstring for the measured tradeoff).  Keyed by
+# a token
 # minted once per pipeline construction; bounded (a worker that serves
 # many runs keeps only the most recent stages).
 _TASK_STAGE_CACHE: dict = {}
