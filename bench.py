@@ -41,7 +41,11 @@ BENCH_REPS = int(os.environ.get("PMOCR_BENCH_REPS", "360"))
 # stay comparable either way.
 SCALING_REPS = int(os.environ.get("PMOCR_SCALING_REPS",
                                   str(2 * BENCH_REPS)))
-HEADLINE_RUNS = int(os.environ.get("PMOCR_BENCH_HEADLINE_RUNS", "2"))
+# best-of-3 (round 3): this host's capacity drifts 2-3x within minutes
+# (see BASELINE.md history); a third sample materially improves the odds
+# the min reflects the engine rather than a capped window, for ~20 s of
+# extra bench time.  The scaling legs override to 2 interleaved samples.
+HEADLINE_RUNS = int(os.environ.get("PMOCR_BENCH_HEADLINE_RUNS", "3"))
 SKIP_OPS = os.environ.get("PMOCR_BENCH_SKIP_OPS", "") == "1"
 SCALING_LEVELS = (8, 32)
 
