@@ -549,3 +549,20 @@ def test_lsh_all_unique_corpus_yields_empty_pairs(ray_session):
     out = minhash_dedup_pairs(rd.from_items(rows), threshold=0.5)
     tbl = pa.Table.from_pylist(out.take_all())
     assert len(tbl) == 0
+
+
+def test_minhash_checkpoint_spill_path_matches_inmemory(corpus, tmp_path):
+    """``checkpoint_dir`` (the band-rows-exceed-object-store scale
+    route: spill to parquet instead of pinning) must be a pure physical
+    substitution — identical verified pairs, identical jaccards."""
+    from pmocr_ray.ops.dedup import minhash_dedup_pairs
+
+    mem = {(r["a"], r["b"]): r["jaccard"] for r in
+           minhash_dedup_pairs(corpus, threshold=0.5).take_all()}
+    spill_dir = str(tmp_path / "band_ckpt")
+    spilled = {(r["a"], r["b"]): r["jaccard"] for r in
+               minhash_dedup_pairs(corpus, threshold=0.5,
+                                   checkpoint_dir=spill_dir).take_all()}
+    assert spilled == mem
+    import os
+    assert os.path.isdir(spill_dir)  # the spill actually happened
