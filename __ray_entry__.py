@@ -4310,6 +4310,13 @@ def _q_doc_len_pct_in_lang(sf_dir: str):
     return docs.map_batches(assign, batch_format="pyarrow")
 
 
+# Broadcast gate for _q_nation_pair_flows: an orders side within the
+# gate ships as two dense int64 LUTs (≤ ~64 MB) instead of joining.
+# Module-level so tests can force the above-gate join plan on small
+# fixtures (tests/test_joins.py::test_nation_pair_flows_join_plan_...).
+Q7_BROADCAST_GATE = 2_000_000
+
+
 def _q_nation_pair_flows(sf_dir: str):
     """TPC-H Q7 shape: trade volume between every ordered (supplier
     nation, customer nation) pair per ship year, supp ≠ cust.  Exact
@@ -4351,7 +4358,7 @@ def _q_nation_pair_flows(sf_dir: str):
 
     n_orders = pq.ParquetFile(
         os.path.join(sf_dir, "orders.parquet")).metadata.num_rows
-    if n_orders <= 2_000_000:  # broadcast gate — see docstring
+    if n_orders <= Q7_BROADCAST_GATE:  # broadcast gate — see docstring
         ot = pq.read_table(os.path.join(sf_dir, "orders.parquet"),
                            columns=["o_orderkey", "o_custkey"])
         ok = _i64(ot["o_orderkey"])

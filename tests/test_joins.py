@@ -89,3 +89,26 @@ def test_native_anti_join_agrees_with_hash_and_bloom(ray_session):
                      fn(left, right, on="k", num_partitions=4)
                      .select_columns(["k"]).take_all())
         assert got == expected, fn.__name__
+
+
+def test_nation_pair_flows_join_plan_matches_broadcast_plan(ray_session):
+    """The above-gate plan (pre-agg + two hash joins — the 100 TB
+    route) must produce exactly the broadcast-LUT plan's rows; the gate
+    is a physical choice, never a semantic one."""
+    import __ray_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+
+    def rows(ds):
+        return sorted(
+            (r["supp_nation"], r["cust_nation"], r["l_year"],
+             r["revenue_e4"]) for r in ds.take_all())
+
+    broadcast = rows(E._q_nation_pair_flows(sf))
+    orig = E.Q7_BROADCAST_GATE
+    E.Q7_BROADCAST_GATE = 0  # force the join plan on the small fixture
+    try:
+        joined = rows(E._q_nation_pair_flows(sf))
+    finally:
+        E.Q7_BROADCAST_GATE = orig
+    assert joined == broadcast and len(broadcast) > 0
