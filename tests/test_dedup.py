@@ -566,3 +566,31 @@ def test_minhash_checkpoint_spill_path_matches_inmemory(corpus, tmp_path):
     assert spilled == mem
     import os
     assert os.path.isdir(spill_dir)  # the spill actually happened
+
+
+def test_embedding_lsh_join_verify_path_matches_broadcast(ray_session):
+    """Above the broadcast gate the verify runs as a blob-encoded hash
+    join (``max_broadcast_rows`` exceeded — the 100 TB route); forcing
+    the gate to 0 on a small corpus must yield the broadcast path's
+    exact (a, b, cosine) rows."""
+    rng = np.random.RandomState(23)
+    base = rng.randn(20, 16)
+    vecs = np.vstack([base, base[5] + 1e-4 * rng.randn(16)])
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(21), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float32())),
+    }))
+
+    def rows(max_rows):
+        return sorted(
+            (r["a"], r["b"], round(r["cosine"], 9)) for r in
+            embedding_dedup_pairs_lsh(ds, threshold=0.98, n_planes=6,
+                                      n_tables=8,
+                                      max_broadcast_rows=max_rows)
+            .take_all())
+
+    broadcast = rows(100_000)
+    joined = rows(0)
+    assert joined == broadcast
+    assert any(a == 5 and b == 20 for a, b, _ in broadcast)
