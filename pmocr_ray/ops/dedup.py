@@ -549,6 +549,12 @@ def jaccard(text_a: str, text_b: str, shingle_size: int = 3,
     return len(sa & sb) / len(sa | sb)
 
 
+# Gate for attach_pair_sides' hybrid: pair-id sets within it attach via
+# a broadcast dict; beyond it the two hash joins run.  Module-level so
+# tests can force the join route on small fixtures.
+PAIR_ID_BROADCAST_GATE = 100_000
+
+
 def attach_pair_sides(
     candidates: rd.Dataset,
     corpus: rd.Dataset,
@@ -606,7 +612,7 @@ def attach_pair_sides(
     # cost) lose to collecting that bounded subset once and attaching
     # via a broadcast dict.  The corpus itself is still never collected:
     # what reaches the driver is only rows that appear in some pair.
-    if len(pair_ids) <= 100_000:
+    if len(pair_ids) <= PAIR_ID_BROADCAST_GATE:
         lookup: dict = {}
         for blk in side.iter_batches(batch_format="pyarrow"):
             lookup.update(zip(blk[key].to_pylist(), blk[column].to_pylist()))

@@ -594,3 +594,24 @@ def test_embedding_lsh_join_verify_path_matches_broadcast(ray_session):
     joined = rows(0)
     assert joined == broadcast
     assert any(a == 5 and b == 20 for a, b, _ in broadcast)
+
+
+def test_attach_pair_sides_join_route_matches_broadcast(ray_session, corpus):
+    """Forcing the pair-id gate to 0 sends the verify through the two
+    hash joins (the 100 TB route); the verified pair rows must match
+    the broadcast-attach route exactly."""
+    import pmocr_ray.ops.dedup as D
+
+    def rows():
+        return sorted(
+            (r["a"], r["b"], round(r["jaccard"], 9)) for r in
+            minhash_dedup_pairs(corpus, threshold=0.5).take_all())
+
+    broadcast = rows()
+    orig = D.PAIR_ID_BROADCAST_GATE
+    D.PAIR_ID_BROADCAST_GATE = 0
+    try:
+        joined = rows()
+    finally:
+        D.PAIR_ID_BROADCAST_GATE = orig
+    assert joined == broadcast and len(broadcast) > 0
