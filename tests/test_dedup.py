@@ -615,3 +615,16 @@ def test_attach_pair_sides_join_route_matches_broadcast(ray_session, corpus):
     finally:
         D.PAIR_ID_BROADCAST_GATE = orig
     assert joined == broadcast and len(broadcast) > 0
+
+
+def test_embedding_bruteforce_guard_raises_over_max_rows(ray_session):
+    rng = np.random.RandomState(3)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(8), pa.int64()),
+        "embedding": pa.array([rng.randn(4).tolist() for _ in range(8)],
+                              pa.list_(pa.float32())),
+    }))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="embedding_dedup_pairs_lsh"):
+        embedding_dedup_pairs(ds, threshold=0.9, max_rows=4).take_all()
