@@ -51,6 +51,77 @@ def make_alert_hook(alert_path: str, *, min_failed: int = 1,
     return hook
 
 
+def file_transport(spool_dir: str):
+    """Concrete alert transport: one JSON file per alert in a spool
+    directory (maildir discipline — write to a dotted temp name, atomic
+    rename), for deployments whose mail/pager integration tails a
+    directory.  Names are content-hashed + sequenced so concurrent
+    writers never collide and re-delivery is idempotent per record."""
+    import hashlib
+    import json as _json
+
+    def send(record: dict) -> None:
+        os.makedirs(spool_dir, exist_ok=True)
+        blob = _json.dumps(record, sort_keys=True).encode()
+        stem = hashlib.md5(blob).hexdigest()[:16]
+        seq = 0
+        while True:
+            final = os.path.join(spool_dir, f"alert-{stem}-{seq}.json")
+            if not os.path.exists(final):
+                break
+            seq += 1
+        tmp = final + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(blob + b"\n")
+        os.replace(tmp, final)
+
+    return send
+
+
+def command_transport(argv: list[str], *, timeout: float = 30.0):
+    """Concrete alert transport: pipe the JSON record to a configured
+    command's stdin — the engine-side analogue of the reference's
+    mail-command dispatch (``sendmail -t`` / ``mail -s`` / ...,
+    /root/reference/pmocr.sh:497-673: which binary is deployment
+    policy, the pipe contract is the engine's).  Non-zero exit raises
+    so a fallback chain can try the next transport."""
+    import json as _json
+    import subprocess
+
+    def send(record: dict) -> None:
+        blob = _json.dumps(record, sort_keys=True).encode() + b"\n"
+        proc = subprocess.run(argv, input=blob, timeout=timeout,
+                              capture_output=True)
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"alert command {argv[0]!r} exited "
+                f"{proc.returncode}: {proc.stderr[:512]!r}")
+
+    return send
+
+
+def fallback_transport(*transports):
+    """Try each transport in order, first success wins — the
+    reference's mail fallback chain (mutt → mail → sendmail → ...,
+    /root/reference/pmocr.sh:497-673) as a combinator.  Raises
+    ``RuntimeError`` carrying every failure only when ALL transports
+    fail (an alert that cannot be delivered anywhere must not vanish
+    silently)."""
+
+    def send(record: dict) -> None:
+        failures = []
+        for t in transports:
+            try:
+                t(record)
+                return
+            except Exception as e:  # noqa: BLE001 - chain policy
+                failures.append(f"{getattr(t, '__name__', t)!s}: {e}")
+        raise RuntimeError("all alert transports failed: "
+                           + "; ".join(failures))
+
+    return send
+
+
 def get_run_logger(run_id: str, log_dir: str | None = None) -> logging.Logger:
     logger = logging.getLogger(f"pmocr_ray.{run_id}")
     if logger.handlers:  # already configured for this run
