@@ -117,3 +117,23 @@ def test_streaming_sessionize_equals_batch_on_random_logs(
         ds, n_chunks=n_chunks, n_buckets=n_buckets,
         spool_dir="/tmp/pmocr_stream_fuzz").to_pandas())
     pd.testing.assert_frame_equal(got, exp)
+
+
+@given(text=st.text(max_size=400), searchable=st.booleans())
+@settings(max_examples=150, deadline=None)
+def test_pdf_inverse_property(text, searchable):
+    """build_pdf_page -> extract_pdf recovers the whitespace-normalized
+    source text (words joined by single spaces — the same
+    normalization contract as the HTML engine) for any unicode input;
+    whitespace-only text is the extractor's no-text data failure."""
+    from pmocr_ray.extract.pdf_extractor import extract_pdf
+    from pmocr_ray.fixtures import build_pdf_page
+
+    page = build_pdf_page(text, searchable=searchable)
+    words = text.split()
+    if words:
+        assert extract_pdf(page) == " ".join(words)
+    else:
+        import pytest
+        with pytest.raises(ValueError):
+            extract_pdf(page)
