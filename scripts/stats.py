@@ -39,8 +39,10 @@ def main() -> None:
     if hasattr(out, "stats"):  # ray.data.Dataset
         out = out.materialize()
         print(out.stats())
+        n = out.count()
+    else:  # pandas.DataFrame / pyarrow.Table
+        n = len(out)
     wall = time.perf_counter() - t0
-    n = len(out) if hasattr(out, "__len__") else out.count()
     print(f"\n{name}: {n} rows in {wall:.2f}s total")
     ray.shutdown()
 
