@@ -137,3 +137,36 @@ def test_pdf_inverse_property(text, searchable):
         import pytest
         with pytest.raises(ValueError):
             extract_pdf(page)
+
+
+@given(
+    grids=st.lists(
+        st.lists(
+            st.lists(st.text(alphabet=st.sampled_from("ab&<x 1"),
+                             min_size=1, max_size=6).map(
+                                 lambda s: " ".join(s.split())).filter(
+                                 lambda s: s and "<" not in s),
+                     min_size=1, max_size=3),
+            min_size=1, max_size=3),
+        min_size=0, max_size=2),
+)
+@settings(max_examples=150, deadline=None)
+def test_table_grid_inverse_property(grids):
+    """Any rendered grid of entity-escaped cell texts round-trips
+    through extract_tables with exact (table, row, col, text)
+    coordinates."""
+    from html import escape
+
+    from pmocr_ray.extract.table_extractor import extract_tables
+
+    html_parts, expected = [], []
+    for t, grid in enumerate(grids):
+        html_parts.append("<table>")
+        for r, row in enumerate(grid):
+            html_parts.append("<tr>")
+            for c, cell in enumerate(row):
+                html_parts.append(f"<td>{escape(cell)}</td>")
+                expected.append((t, r, c, cell))
+            html_parts.append("</tr>")
+        html_parts.append("</table>")
+    assert extract_tables("".join(html_parts)) == expected
