@@ -1010,6 +1010,25 @@ def _q_asof_click_view(sf_dir: str):
     return out.select_columns(["event_id", "user_id", "ts", "prev_ts"])
 
 
+def _q_mirror_hosts(sf_dir: str):
+    """Edit-distance-1 mirror-host pairs over the crawl's host domain
+    (``www1``/``www2``-style crawl mirrors) — the FastSS deletion-
+    neighborhood fuzzy self-join with an exact levenshtein==1 verify;
+    never a cross join."""
+    import pyarrow as pa
+
+    from pmocr_ray.ops.joins import edit1_pairs
+
+    def hosts(t: "pa.Table") -> "pa.Table":
+        h = pc.extract_regex(t["url"], r"^[a-z+]+://(?P<host>[^/]+)")
+        return pa.table({"host": pc.struct_field(h, "host")})
+
+    return edit1_pairs(
+        _read_output(sf_dir).select_columns(["url"]).map_batches(
+            hosts, batch_format="pyarrow"),
+        "host")
+
+
 def _q_hash_sample(sf_dir: str):
     """Deterministic md5-prefix sample of documents (~10% of rows),
     stable across runs and partitionings."""
@@ -6244,6 +6263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": _q_revenue_by_nation,
         "top_terms": _q_top_terms,
         "host_stats": _q_host_stats,
+        "mirror_hosts": _q_mirror_hosts,
         "hash_sample": _q_hash_sample,
         "doc_freq": _q_doc_freq,
         "host_cap": _q_host_cap,
@@ -6896,6 +6916,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT regexp_extract(url, '^[a-z+]+://([^/]+)', 1) AS host,
                    CAST(count(*) AS BIGINT) AS n_pages
             FROM c GROUP BY host""",
+        "mirror_hosts": _PAGE_CTE + """
+            , h AS (SELECT DISTINCT
+                      regexp_extract(url, '^[a-z+]+://([^/]+)', 1) AS host
+                    FROM c)
+            SELECT x.host AS a, y.host AS b
+            FROM h x JOIN h y
+              ON x.host < y.host AND levenshtein(x.host, y.host) = 1
+            ORDER BY a, b""",
         "hash_sample": """
             SELECT doc_id FROM documents
             WHERE substr(md5(text), 1, 2) < '1a'""",

@@ -341,3 +341,136 @@ def skew_hash_join(left: rd.Dataset, right: rd.Dataset, *, on: str,
         lambda t: split(t, True), batch_format="pyarrow").map_batches(
         map_join, batch_format="pyarrow")
     return cold.union(hot_joined) if cold is not None else hot_joined
+
+
+# ------------------------------------------------- fuzzy-key self-join
+
+
+def _is_ed1(a: str, b: str) -> bool:
+    """Exact Levenshtein-distance==1 check (candidate verify)."""
+    la, lb = len(a), len(b)
+    if la == lb:
+        return sum(1 for x, y in zip(a, b) if x != y) == 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    if lb - la != 1:
+        return False
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
+#: rows of the deletion-neighborhood expansion per variant partition —
+#: partitions scale WITH the key domain (the shared data-scaled-
+#: partition rule; see ROWS_PER_JOIN_PARTITION)
+ROWS_PER_VARIANT_PARTITION = 50_000
+
+
+def edit1_pairs(ds: rd.Dataset, column: str, *, min_len: int = 1,
+                num_buckets: int | None = None,
+                max_bucket: int = 500_000) -> rd.Dataset:
+    """All unordered pairs of DISTINCT ``column`` values at Levenshtein
+    distance exactly 1 — the fuzzy-key similarity self-join (typo-key
+    and mirror-host detection: ``www1.x``/``www2.x`` crawl mirrors),
+    the approximate analogue of the reference's exact done-set key
+    matching (/root/reference/pmocr.sh:2126-2144 treats any 1-char
+    path difference as a brand-new document; this op surfaces those).
+
+    Physical plan (FastSS deletion neighborhood — never a cross join):
+    ED(a, b) <= 1 implies a = b, one is a single-deletion variant of
+    the other, or they share a same-position single-deletion variant;
+    so every ED==1 pair co-occurs under at least one variant key.
+
+    1. distinct values: per-batch ``pc.unique`` combiner -> global
+       distinct (value-domain-bounded, like the vocab rollups).
+    2. expansion: each distinct value emits itself + its ``len``
+       single-deletion variants, each tagged with a crc32 hash of the
+       variant (vocab-bounded Python loop — runs over DISTINCT values
+       only, never corpus rows).  The expansion is materialized once;
+       its row count sizes the coarse partition count
+       (``num_buckets``), so partitions scale with the key domain
+       instead of a fixed constant.
+    3. one ``groupby(_bkt).map_groups``: within the partition a
+       vectorized self-merge on the exact variant yields candidates,
+       verified by the exact :func:`_is_ed1` check before emission
+       (candidates are a superset: two different-position deletions
+       can collide at ED 2).  ``max_bucket`` guards pathological
+       variant fan-in loudly (ValueError, per the repo's loud-guard
+       rule) rather than silently truncating.
+    4. global distinct of verified (a, b) — the same pair can be found
+       under several shared variants in different partitions.
+
+    Output: columns ``a``/``b`` (a < b), sorted — deterministic under
+    any partitioning.
+    """
+    import zlib
+
+    from pmocr_ray.ops.vecagg import grouped_aggregate
+
+    def batch_distinct(t: pa.Table) -> pa.Table:
+        v = pc.unique(pc.drop_null(t[column]))
+        if min_len > 1:
+            v = v.filter(pc.greater_equal(pc.utf8_length(v), min_len))
+        return pa.table({column: v})
+
+    distinct = grouped_aggregate(
+        ds.map_batches(batch_distinct, batch_format="pyarrow"),
+        [column], [],
+        seed_schema=pa.schema([(column, pa.string())]))
+
+    def expand(t: pa.Table) -> pa.Table:
+        variants: list[str] = []
+        terms: list[str] = []
+        crcs: list[int] = []
+        for s in t[column].to_pylist():
+            for v in (s, *(s[:i] + s[i + 1:] for i in range(len(s)))):
+                variants.append(v)
+                terms.append(s)
+                crcs.append(zlib.crc32(v.encode()))
+        return pa.table({
+            "variant": pa.array(variants, pa.string()),
+            "term": pa.array(terms, pa.string()),
+            "_crc": pa.array(crcs, pa.int64()),
+        })
+
+    expansion = distinct.map_batches(
+        expand, batch_format="pyarrow").materialize()
+    if num_buckets is None:
+        num_buckets = max(
+            8, expansion.count() // ROWS_PER_VARIANT_PARTITION + 1)
+    nb = num_buckets
+
+    def bucketed(t: pa.Table) -> pa.Table:
+        bkt = pc.cast(
+            pc.bit_wise_and(t["_crc"], pa.scalar(0x7FFFFFFF, pa.int64())),
+            pa.int64())
+        bkt = pa.array(bkt.to_numpy(zero_copy_only=False) % nb, pa.int64())
+        return t.drop_columns(["_crc"]).append_column("_bkt", bkt)
+
+    def pairs_partition(t: pa.Table) -> pa.Table:
+        if t.num_rows > max_bucket:
+            raise ValueError(
+                f"edit1_pairs variant partition holds {t.num_rows} rows "
+                f"(> max_bucket={max_bucket}); raise num_buckets/"
+                f"max_bucket for this key domain")
+        df = t.select(["variant", "term"]).to_pandas()
+        df = df.drop_duplicates()
+        m = df.merge(df, on="variant")
+        keep = m["term_x"].to_numpy() < m["term_y"].to_numpy()
+        cand = {(x, y) for x, y in zip(m["term_x"].to_numpy()[keep],
+                                       m["term_y"].to_numpy()[keep])}
+        good = [(x, y) for x, y in cand if _is_ed1(x, y)]
+        good.sort()
+        return pa.table({
+            "a": pa.array([g[0] for g in good], pa.string()),
+            "b": pa.array([g[1] for g in good], pa.string()),
+        })
+
+    pairs = (expansion.map_batches(bucketed, batch_format="pyarrow")
+             .groupby("_bkt")
+             .map_groups(pairs_partition, batch_format="pyarrow"))
+    return grouped_aggregate(
+        pairs, ["a", "b"], [],
+        seed_schema=pa.schema([("a", pa.string()),
+                               ("b", pa.string())])).sort(["a", "b"])

@@ -112,3 +112,48 @@ def test_nation_pair_flows_join_plan_matches_broadcast_plan(ray_session):
     finally:
         E.Q7_BROADCAST_GATE = orig
     assert joined == broadcast and len(broadcast) > 0
+
+
+def test_is_ed1_exact():
+    from pmocr_ray.ops.joins import _is_ed1
+
+    assert _is_ed1("abc", "abd")          # substitution
+    assert _is_ed1("abc", "ab")           # deletion
+    assert _is_ed1("ab", "abc")           # insertion (symmetric)
+    assert _is_ed1("abc", "xabc")         # prefix insertion
+    assert not _is_ed1("abc", "abc")      # distance 0
+    assert not _is_ed1("abc", "axd")      # distance 2 (two subs)
+    assert not _is_ed1("abc", "abcde")    # distance 2 (two inserts)
+    assert not _is_ed1("ab", "ba")        # transposition is distance 2
+
+
+def test_edit1_pairs_matches_brute_force(ray_session):
+    import itertools
+
+    import pandas as pd
+    import ray.data as rd
+
+    from pmocr_ray.ops.joins import _is_ed1, edit1_pairs
+
+    vals = ["www1.example.com", "www2.example.com", "www.example.com",
+            "api.example.com", "apx.example.com", "unique.host.net",
+            "a", "b", "ab", "", "www1.example.com"]  # dup value on purpose
+    ds = rd.from_pandas(pd.DataFrame({"h": vals})).repartition(4)
+    got = [(r["a"], r["b"]) for r in
+           edit1_pairs(ds, "h", num_buckets=3).take_all()]
+    distinct = sorted(set(vals))
+    expect = sorted((x, y) for x, y in itertools.combinations(distinct, 2)
+                    if _is_ed1(x, y))
+    assert got == expect and len(expect) >= 4
+
+
+def test_edit1_pairs_bucket_guard(ray_session):
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from pmocr_ray.ops.joins import edit1_pairs
+
+    ds = rd.from_pandas(pd.DataFrame({"h": [f"key{i:03d}" for i in range(40)]}))
+    with pytest.raises(ValueError, match="max_bucket"):
+        edit1_pairs(ds, "h", num_buckets=1, max_bucket=10).take_all()
