@@ -346,19 +346,27 @@ def skew_hash_join(left: rd.Dataset, right: rd.Dataset, *, on: str,
 # ------------------------------------------------- fuzzy-key self-join
 
 
-def _is_ed1(a: str, b: str) -> bool:
-    """Exact Levenshtein-distance==1 check (candidate verify)."""
+def _lev1(a: str, b: str) -> bool:
+    """Exact edit-distance ≤ 1 check — the single shared verification
+    kernel for every ED-1 blocking plan (candidates are already
+    blocked, so this runs on O(candidates) pairs only)."""
     la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
     if la == lb:
-        return sum(1 for x, y in zip(a, b) if x != y) == 1
+        return sum(x != y for x, y in zip(a, b)) <= 1
     if la > lb:
         a, b, la, lb = b, a, lb, la
-    if lb - la != 1:
-        return False
+    # b is a with one insertion
     i = 0
     while i < la and a[i] == b[i]:
         i += 1
     return a[i:] == b[i + 1:]
+
+
+def _is_ed1(a: str, b: str) -> bool:
+    """Exact Levenshtein-distance==1 check (candidate verify)."""
+    return a != b and _lev1(a, b)
 
 
 #: rows of the deletion-neighborhood expansion per variant partition —
@@ -369,7 +377,8 @@ ROWS_PER_VARIANT_PARTITION = 50_000
 
 def edit1_pairs(ds: rd.Dataset, column: str, *, min_len: int = 1,
                 num_buckets: int | None = None,
-                max_bucket: int = 500_000) -> rd.Dataset:
+                max_partition_rows: int = 500_000,
+                cap_bucket: int | None = None) -> rd.Dataset:
     """All unordered pairs of DISTINCT ``column`` values at Levenshtein
     distance exactly 1 — the fuzzy-key similarity self-join (typo-key
     and mirror-host detection: ``www1.x``/``www2.x`` crawl mirrors),
@@ -395,9 +404,12 @@ def edit1_pairs(ds: rd.Dataset, column: str, *, min_len: int = 1,
        vectorized self-merge on the exact variant yields candidates,
        verified by the exact :func:`_is_ed1` check before emission
        (candidates are a superset: two different-position deletions
-       can collide at ED 2).  ``max_bucket`` guards pathological
-       variant fan-in loudly (ValueError, per the repo's loud-guard
-       rule) rather than silently truncating.
+       can collide at ED 2).  ``max_partition_rows`` guards
+       pathological variant fan-in loudly (ValueError, per the repo's
+       loud-guard rule) rather than silently truncating;
+       ``cap_bucket`` (opt-in) instead caps each variant bucket to its
+       deterministic lexicographic prefix — the mirror-farm bound used
+       by :func:`pmocr_ray.ops.text.typo_pairs`, which delegates here.
     4. global distinct of verified (a, b) — the same pair can be found
        under several shared variants in different partitions.
 
@@ -449,13 +461,17 @@ def edit1_pairs(ds: rd.Dataset, column: str, *, min_len: int = 1,
         return t.drop_columns(["_crc"]).append_column("_bkt", bkt)
 
     def pairs_partition(t: pa.Table) -> pa.Table:
-        if t.num_rows > max_bucket:
+        if t.num_rows > max_partition_rows:
             raise ValueError(
                 f"edit1_pairs variant partition holds {t.num_rows} rows "
-                f"(> max_bucket={max_bucket}); raise num_buckets/"
-                f"max_bucket for this key domain")
+                f"(> max_partition_rows={max_partition_rows}); raise "
+                f"num_buckets/max_partition_rows for this key domain")
         df = t.select(["variant", "term"]).to_pandas()
         df = df.drop_duplicates()
+        if cap_bucket is not None:
+            df = df.sort_values(["variant", "term"], kind="mergesort")
+            df = df[df.groupby("variant", sort=False).cumcount()
+                    < cap_bucket]
         m = df.merge(df, on="variant")
         keep = m["term_x"].to_numpy() < m["term_y"].to_numpy()
         cand = {(x, y) for x, y in zip(m["term_x"].to_numpy()[keep],

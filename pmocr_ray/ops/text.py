@@ -16,6 +16,8 @@ import pyarrow.compute as pc
 
 import ray
 
+from pmocr_ray.ops.joins import _lev1  # shared ED≤1 verification kernel
+
 # ------------------------------------------------------------ token stats
 
 _WS_RE = r"\s+"
@@ -1446,21 +1448,6 @@ def collocation_pairs(ds, column: str = "text", vocab_k: int = 200,
     return pairs.map_batches(attach, batch_format="pyarrow")
 
 
-def _lev1(a: str, b: str) -> bool:
-    """Exact edit-distance ≤ 1 check (verification kernel; candidates
-    are already blocked, so this runs on O(candidates) pairs only)."""
-    la, lb = len(a), len(b)
-    if abs(la - lb) > 1:
-        return False
-    if la == lb:
-        return sum(x != y for x, y in zip(a, b)) <= 1
-    if la > lb:
-        a, b, la, lb = b, a, lb, la
-    # b is a with one insertion
-    i = 0
-    while i < la and a[i] == b[i]:
-        i += 1
-    return a[i:] == b[i + 1:]
 
 
 def typo_pairs(ds, column: str = "text", max_bucket: int = 64):
@@ -1468,80 +1455,31 @@ def typo_pairs(ds, column: str = "text", max_bucket: int = 64):
     string-similarity join behind typo/variant normalization, WITHOUT
     a cross join.
 
-    Scale shape: symmetric-delete blocking.  (1) distinct vocabulary
-    via one groupby (the rollup, not the corpus, flows on); (2) each
-    term emits |term|+1 blocking keys — itself plus every single-char
-    deletion — so every distance-≤1 pair shares at least one key
-    (substitutions share a same-position deletion; insert/delete pairs
-    share the shorter term itself); (3) ``groupby(key).map_groups``
-    emits candidate pairs inside each bucket (capped at ``max_bucket``
-    terms, deterministic sorted prefix) and verifies with the exact
-    O(len) kernel — false key collisions (e.g. transpositions) die
-    here; (4) one final groupby dedups pairs found under several keys.
-    Emits (w1, w2, dist) with w1 < w2; dist is always 1 (int64).
+    Scale shape: symmetric-delete (FastSS) blocking, delegated to the
+    shared fuzzy-key self-join kernel
+    :func:`pmocr_ray.ops.joins.edit1_pairs` — this wrapper only
+    tokenizes the corpus into its vocabulary (per-batch distinct, so
+    the rollup, not the corpus, flows on) and renames the output.
+    ``max_bucket`` caps each deletion-variant bucket at a
+    deterministic sorted prefix (the mirror-farm bound: a pathological
+    vocabulary where thousands of terms share one deletion key cannot
+    emit O(bucket²) pairs).  Emits (w1, w2, dist) with w1 < w2; dist
+    is always 1 (int64).
     """
-    import pandas as pd
-
-    from ray.data.aggregate import Count
+    from pmocr_ray.ops.joins import edit1_pairs
 
     def toks(batch: pa.Table) -> pa.Table:
         flat = pc.list_flatten(
             pc.split_pattern_regex(batch[column], r"\s+"))
         flat = flat.filter(pc.not_equal(flat, ""))
-        g = pa.table({"term": flat}).group_by("term").aggregate([])
-        return g
+        return pa.table({"term": flat}).group_by("term").aggregate([])
 
-    from pmocr_ray.ops.vecagg import distinct as _vec_distinct
-
-    vocab = _vec_distinct(
-        ds.map_batches(toks, batch_format="pyarrow"), ["term"],
-        seed_schema=pa.schema([("term", pa.string())]))
-
-    def block_keys(batch: pa.Table) -> pa.Table:
-        keys, terms = [], []
-        for w in batch["term"].to_pylist():
-            keys.append(w)
-            terms.append(w)
-            for i in range(len(w)):
-                keys.append(w[:i] + w[i + 1:])
-                terms.append(w)
-        return pa.table({"bkey": pa.array(keys, pa.string()),
-                         "term": pa.array(terms, pa.string())})
-
-    blocked = vocab.map_batches(block_keys, batch_format="pyarrow")
-
-    # candidate generation WITHOUT a per-bkey Python call (bkeys are
-    # vocab × word-length scale, overwhelmingly singleton): bkeys hash
-    # to ~32 coarse partitions, each emits ALL its buckets' capped
-    # candidate pairs in one vectorized self-merge; the exact _lev1
-    # verification stays per CANDIDATE PAIR (bounded by the deletion
-    # blocking), the only inherently scalar step
-    from pmocr_ray.ops.vecagg import _bucket_of
-
-    def coarse(t: pa.Table) -> pa.Table:
-        return t.append_column("_bkt", _bucket_of(t, ["bkey"], 32))
-
-    def pairs_partition(df: pd.DataFrame) -> pd.DataFrame:
-        df = (df[["bkey", "term"]].drop_duplicates()
-              .sort_values(["bkey", "term"], kind="mergesort"))
-        df = df[df.groupby("bkey", sort=False).cumcount() < max_bucket]
-        m = df.merge(df, on="bkey")
-        m = m[m["term_x"].to_numpy() < m["term_y"].to_numpy()]
-        xs, ys = m["term_x"].to_numpy(), m["term_y"].to_numpy()
-        keep = np.fromiter((_lev1(x, y) for x, y in zip(xs, ys)),
-                           bool, len(m))
-        return pd.DataFrame({"w1": pd.Series(xs[keep], dtype="object"),
-                             "w2": pd.Series(ys[keep], dtype="object")})
-
-    pairs = (blocked.map_batches(coarse, batch_format="pyarrow")
-             .groupby("_bkt")
-             .map_groups(pairs_partition, batch_format="pandas"))
-    out = _vec_distinct(
-        pairs, ["w1", "w2"],
-        seed_schema=pa.schema([("w1", pa.string()), ("w2", pa.string())]))
-    return out.map_batches(
-        lambda t: t.append_column(
-            "dist", pa.array(np.ones(len(t), np.int64))),
+    pairs = edit1_pairs(ds.map_batches(toks, batch_format="pyarrow"),
+                        "term", cap_bucket=max_bucket)
+    return pairs.map_batches(
+        lambda t: pa.table({
+            "w1": t["a"], "w2": t["b"],
+            "dist": pa.array(np.ones(len(t), np.int64))}),
         batch_format="pyarrow")
 
 

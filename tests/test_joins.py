@@ -155,5 +155,25 @@ def test_edit1_pairs_bucket_guard(ray_session):
     from pmocr_ray.ops.joins import edit1_pairs
 
     ds = rd.from_pandas(pd.DataFrame({"h": [f"key{i:03d}" for i in range(40)]}))
-    with pytest.raises(ValueError, match="max_bucket"):
-        edit1_pairs(ds, "h", num_buckets=1, max_bucket=10).take_all()
+    with pytest.raises(ValueError, match="max_partition_rows"):
+        edit1_pairs(ds, "h", num_buckets=1, max_partition_rows=10).take_all()
+
+
+def test_edit1_pairs_cap_bucket_deterministic_prefix(ray_session):
+    """cap_bucket keeps only the lexicographic prefix of each
+    deletion-variant bucket: with 5 terms sharing every variant bucket
+    and cap 2, only the pair of the 2 smallest terms can survive."""
+    import pandas as pd
+    import ray.data as rd
+
+    from pmocr_ray.ops.joins import edit1_pairs
+
+    vals = [f"a{c}" for c in "bcdef"]  # ab..af: all share variant "a"
+    ds = rd.from_pandas(pd.DataFrame({"h": vals}))
+    full = {(r["a"], r["b"]) for r in
+            edit1_pairs(ds, "h", num_buckets=2).take_all()}
+    capped = {(r["a"], r["b"]) for r in
+              edit1_pairs(ds, "h", num_buckets=2, cap_bucket=2).take_all()}
+    assert full == {(x, y) for i, x in enumerate(vals)
+                    for y in vals[i + 1:]}
+    assert capped == {("ab", "ac")}
