@@ -170,3 +170,45 @@ def test_table_grid_inverse_property(grids):
             html_parts.append("</tr>")
         html_parts.append("</table>")
     assert extract_tables("".join(html_parts)) == expected
+
+
+def _dp_lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, x in enumerate(a, 1):
+        cur = [i]
+        for j, y in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (x != y)))
+        prev = cur
+    return prev[-1]
+
+
+@given(a=st.text(alphabet="abc", max_size=6),
+       b=st.text(alphabet="abc", max_size=6))
+@settings(max_examples=500, deadline=None)
+def test_lev1_kernel_matches_dp_levenshtein(a, b):
+    from pmocr_ray.ops.joins import _lev1
+
+    assert _lev1(a, b) == (_dp_lev(a, b) <= 1)
+
+
+@given(a=st.text(alphabet="ab", min_size=1, max_size=8),
+       pos=st.integers(0, 8), ch=st.sampled_from("ab"),
+       kind=st.sampled_from(["sub", "ins", "del"]))
+@settings(max_examples=500, deadline=None)
+def test_deletion_neighborhood_blocking_is_complete(a, pos, ch, kind):
+    """Any ED<=1 edit of `a` shares at least one deletion-neighborhood
+    variant key with `a` — the completeness invariant edit1_pairs'
+    candidate generation relies on."""
+    pos = pos % (len(a) + (kind == "ins"))
+    if kind == "sub":
+        b = a[:pos] + ch + a[pos + 1:]
+    elif kind == "ins":
+        b = a[:pos] + ch + a[pos:]
+    else:
+        b = a[:pos] + a[pos + 1:]
+
+    def hood(s):
+        return {s, *(s[:i] + s[i + 1:] for i in range(len(s)))}
+
+    assert hood(a) & hood(b)
