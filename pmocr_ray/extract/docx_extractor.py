@@ -54,14 +54,26 @@ _RELS = (
 # \n — both break the writer/parser inverse for arbitrary extracted
 # text.  OOXML's standard answer encodes each such char as _xHHHH_ and
 # protects literal look-alikes by escaping their leading underscore as
-# _x005F_.  Decode is one left-to-right non-overlapping substitution.
+# _x005F_.  Decode is one left-to-right non-overlapping substitution,
+# so encode must guarantee that the decoder's FIRST match at any
+# position is a generated sequence.  Two traps force the single-pass
+# lookahead form below: (1) look-alikes can OVERLAP ("_x0041_x0042_"
+# shares the middle underscore \u2014 a consuming match on the first hides
+# the second), so the escape must not consume the trailing underscore;
+# (2) a literal "_xHHHH" directly before a control char becomes a
+# decodable unit once the control char is encoded (its replacement
+# starts with "_"), so the lookahead's trailing position accepts a
+# control char as a future underscore.
+_X_CTRL = "\x00-\x08\x0a-\x1f\ufffe\uffff"
 _X_RX = re.compile(r"_x([0-9A-Fa-f]{4})_")
-_XML_INVALID = re.compile("[\x00-\x08\x0a-\x1f\ufffe\uffff]")
+_X_ENC_RX = re.compile(
+    "_(?=x[0-9A-Fa-f]{4}[_" + _X_CTRL + "])|[" + _X_CTRL + "]")
 
 
 def x_encode(s: str) -> str:
-    s = _X_RX.sub(lambda m: "_x005F_" + m.group(0)[1:], s)
-    return _XML_INVALID.sub(lambda m: "_x%04X_" % ord(m.group(0)), s)
+    return _X_ENC_RX.sub(
+        lambda m: "_x005F_" if m.group(0) == "_"
+        else "_x%04X_" % ord(m.group(0)), s)
 
 
 def x_decode(s: str) -> str:

@@ -15,6 +15,8 @@ import os
 import shutil
 
 import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
@@ -362,3 +364,30 @@ def test_xlsx_deterministic_bytes():
     from pmocr_ray.extract.xlsx_extractor import build_xlsx
 
     assert build_xlsx("a;b\nc") == build_xlsx("a;b\nc")
+
+
+def test_x_encode_overlapping_lookalikes_roundtrip():
+    """Overlapping _xHHHH_ look-alikes (shared underscore) and literal
+    '_xHHHH' prefixes adjacent to control chars must survive the
+    encode/decode inverse — the two traps of the decoder's
+    non-overlapping left-to-right scan."""
+    from pmocr_ray.extract.docx_extractor import (build_docx, extract_docx,
+                                                  x_decode, x_encode)
+    from pmocr_ray.extract.xlsx_extractor import build_xlsx, extract_xlsx
+
+    cases = ["_x0041_x0042_", "_x005F_x0041_", "_x0041\x01",
+             "_x0041_x0042\x01", "__x0041_", "_x005F", "_x005F_",
+             "_x0041", "\x01\x02", "a_xBEEF_b", "_x0041__x0042_",
+             "_x0009_", "tab\there", "_x", "_", "x0041_"]
+    for s in cases:
+        assert x_decode(x_encode(s)) == s, repr(s)
+        assert extract_docx(build_docx(s)) == s, repr(s)
+        assert extract_xlsx(build_xlsx(s)) == s, repr(s)
+
+
+@given(s=st.text(alphabet="_x0045Fab\x01\x02\x1f\r", max_size=24))
+@settings(max_examples=400, deadline=None)
+def test_x_encode_roundtrip_property(s):
+    from pmocr_ray.extract.docx_extractor import x_decode, x_encode
+
+    assert x_decode(x_encode(s)) == s
