@@ -119,16 +119,25 @@ def hash_anti_join(left: rd.Dataset, right: rd.Dataset, on: str,
     The right side is pre-aggregated to one row per key *before* the
     join, so the exchange moves distinct keys (plus a marker), never
     the right table's payload — the same shrink-before-shuffle
-    discipline as the aggregate-before-join star queries.
+    discipline as the aggregate-before-join star queries.  The rollup
+    is pinned and sizes the join's partitions (``num_partitions`` caps
+    them); an EMPTY right side — the normal first-run done manifest —
+    short-circuits to the left unchanged, because Ray's hash join
+    hands acero a zero-column table for any empty partition and fails
+    FieldRef resolution.
     """
     from pmocr_ray.ops.vecagg import grouped_aggregate
 
     r_on = right_on or on
     # key groups are RIGHT-TABLE-scale — Arrow-bucketed rollup
-    marker = grouped_aggregate(right.select_columns([r_on]),
-                               [r_on], [(None, "count", "__m")])
+    marker, parts = sized_for_join(
+        grouped_aggregate(right.select_columns([r_on]),
+                          [r_on], [(None, "count", "__m")]),
+        cap=num_partitions)
+    if marker.count() == 0:
+        return left
     joined = left.join(marker, join_type="left_outer",
-                       num_partitions=num_partitions,
+                       num_partitions=parts,
                        on=(on,), right_on=(r_on,))
     def keep_unmatched(t: pa.Table) -> pa.Table:
         out = t.filter(pc.is_null(t["__m"]))
@@ -148,14 +157,19 @@ def native_anti_join(left: rd.Dataset, right: rd.Dataset, on: str,
     predating native semi/anti support and as the seam the Bloom
     variant reuses); the right side is still pre-aggregated to one row
     per key before the exchange so the shuffle moves distinct keys,
-    never payload."""
+    never payload, with the same pinned-rollup partition sizing and
+    empty-right short-circuit."""
     from pmocr_ray.ops.vecagg import grouped_aggregate
 
     r_on = right_on or on
-    marker = grouped_aggregate(right.select_columns([r_on]),
-                               [r_on], [(None, "count", "__m")])
+    marker, parts = sized_for_join(
+        grouped_aggregate(right.select_columns([r_on]),
+                          [r_on], [(None, "count", "__m")]),
+        cap=num_partitions)
+    if marker.count() == 0:
+        return left
     return left.join(marker, join_type="left_anti",
-                     num_partitions=num_partitions,
+                     num_partitions=parts,
                      on=(on,), right_on=(r_on,))
 
 
@@ -209,7 +223,12 @@ def build_bloom(ds: rd.Dataset, key: str, n_bits: int = 1 << 23,
         merge=lambda a, b: np.bitwise_or(a, b),
         name="bloom",
     )
-    return ds.aggregate(agg)["bloom"]
+    res = ds.aggregate(agg)
+    # empty input (first-run done manifest): aggregate yields no row —
+    # the all-zeros bitmap is the correct empty-set filter
+    if not res or res.get("bloom") is None:
+        return np.zeros(n_bits // 8, np.uint8)
+    return res["bloom"]
 
 
 def bloom_anti_join(left: rd.Dataset, right: rd.Dataset, on: str,

@@ -201,6 +201,16 @@ def grouped_aggregate(
         seed = pa.Table.from_arrays(
             [pa.array([], f.type) for f in seed_schema],
             schema=seed_schema)
+
+        # Ray's groupby machinery emits SCHEMA-LESS (zero-column) empty
+        # blocks on empty input; a typed seed union alone is not enough
+        # for downstream hash joins, whose per-partition acero join
+        # crashes on any block lacking the key column.  Coerce those
+        # blocks to the seed schema so every block is typed.
+        def _coerce(t: pa.Table) -> pa.Table:
+            return seed if t.num_columns == 0 else t
+
+        merged = merged.map_batches(_coerce, batch_format="pyarrow")
         merged = merged.union(rd.from_arrow(seed))
     return merged
 

@@ -177,3 +177,22 @@ def test_edit1_pairs_cap_bucket_deterministic_prefix(ray_session):
     assert full == {(x, y) for i, x in enumerate(vals)
                     for y in vals[i + 1:]}
     assert capped == {("ab", "ac")}
+
+
+def test_anti_joins_with_empty_right_return_left(ray_session):
+    """First run: the done manifest is EMPTY — every anti-join variant
+    must pass the left side through unchanged instead of crashing on a
+    schema-less marker rollup."""
+    import pandas as pd
+    import ray.data as rd
+
+    from pmocr_ray.ops.joins import (bloom_anti_join, hash_anti_join,
+                                     native_anti_join)
+
+    left = rd.from_pandas(pd.DataFrame(
+        {"k": list(range(20)), "v": [f"x{i}" for i in range(20)]}))
+    empty = rd.from_pandas(pd.DataFrame({"k": pd.Series([], dtype="int64")}))
+    for fn in (hash_anti_join, bloom_anti_join, native_anti_join):
+        out = fn(left, empty, on="k", num_partitions=2)
+        got = sorted(r["k"] for r in out.take_all())
+        assert got == list(range(20)), fn.__name__
