@@ -103,14 +103,36 @@ class SessionBucket:
         return _sessions_table(closed)
 
 
-def _ts_bounds_us(events: rd.Dataset) -> tuple[int, int]:
-    """Global (min, max) of the ts column in µs — ONE aggregate pass."""
+def _ts_bounds_us(events: rd.Dataset) -> tuple[int, int] | None:
+    """Global (min, max) of the ts column in µs — ONE aggregate pass.
+    ``None`` on an empty input (callers return their typed empty
+    result, matching the batch operators they claim parity with)."""
     from ray.data.aggregate import Max, Min
 
     r = events.aggregate(Min("ts", alias_name="lo"),
                          Max("ts", alias_name="hi"))
+    if not r or r.get("lo") is None:
+        return None
     return (int(np.datetime64(r["lo"], "us").astype(np.int64)),
             int(np.datetime64(r["hi"], "us").astype(np.int64)))
+
+
+def _resolve_spool(spool_dir: str | None, prefix: str) -> tuple[str, bool]:
+    """Resolve a run's spool directory.  ``None`` (the default) makes a
+    fresh private tempdir, so two concurrent runs can NEVER clobber
+    each other — a fixed shared path + rmtree would silently delete
+    the other run's spool mid-rounds and yield partial results (the
+    per-round reader treats a missing chunk/bucket dir as a sparse
+    partition, which is normal).  A caller-supplied path is cleared
+    and reused: the caller owns its uniqueness and its lifetime.
+    Returns (path, owned); owned spools are deleted after a
+    successful run (kept on error, for debugging)."""
+    if spool_dir is None:
+        import tempfile
+
+        return tempfile.mkdtemp(prefix=prefix), True
+    shutil.rmtree(spool_dir, ignore_errors=True)
+    return spool_dir, False
 
 
 def _sessions_table(rows: list[tuple]) -> pa.Table:
@@ -197,7 +219,7 @@ def streaming_windows(
     max_delay_minutes: int = 7,
     n_chunks: int = 4,
     n_buckets: int = 4,
-    spool_dir: str = "/tmp/pmocr_ray_stream_wspool",
+    spool_dir: str | None = None,
 ) -> pa.Table:
     """Event-time tumbling windows with a watermark, streaming-shaped:
     rows are spooled in ARRIVAL order (chunk = arrival-time range,
@@ -228,9 +250,18 @@ def streaming_windows(
 
     tagged = events.map_batches(with_arrival, batch_format="pyarrow")
 
+    empty = pa.table({
+        "window_start": pa.array([], pa.timestamp("us")),
+        "n_events": pa.array([], pa.int64()),
+        "n_late": pa.array([], pa.int64()),
+        "status": pa.array([], pa.string()),
+    })
+
     from ray.data.aggregate import Max, Min
     lohi = tagged.aggregate(Min("arrival_us", alias_name="lo"),
                             Max("arrival_us", alias_name="hi"))
+    if not lohi or lohi.get("lo") is None:
+        return empty
     lo, hi = int(lohi["lo"]), int(lohi["hi"])
     span = max(hi - lo + 1, 1)
 
@@ -242,7 +273,7 @@ def streaming_windows(
                 .append_column("bucket",
                                pa.array(win_idx % n_buckets)))
 
-    shutil.rmtree(spool_dir, ignore_errors=True)
+    spool_dir, own_spool = _resolve_spool(spool_dir, "pmocr_wspool_")
     (tagged.map_batches(spool_tag, batch_format="pyarrow")
      .write_parquet(spool_dir, partition_cols=["chunk", "bucket"]))
 
@@ -262,7 +293,12 @@ def streaming_windows(
             futures.append(actor.feed.remote(paths, wm))
         parts.extend(ray.get(futures))
     parts.extend(ray.get([a.flush.remote() for a in actors]))
-    allw = pa.concat_tables([t for t in parts if t.num_rows])
+    if own_spool:
+        shutil.rmtree(spool_dir, ignore_errors=True)
+    parts = [t for t in parts if t.num_rows]
+    if not parts:
+        return empty
+    allw = pa.concat_tables(parts)
     final_wm = hi - lag_us
     closed = pc.less_equal(pc.add(allw["ws_us"], window_us),
                            pa.scalar(final_wm, pa.int64()))
@@ -310,7 +346,7 @@ def streaming_first_seen(
     *,
     n_chunks: int = 4,
     n_buckets: int = 4,
-    spool_dir: str = "/tmp/pmocr_ray_stream_fspool",
+    spool_dir: str | None = None,
 ) -> pa.Table:
     """Per-day new-user counts via a streaming first-seen index: events
     spool as (chunk=time-range, bucket=user-hash) and each bucket's
@@ -321,7 +357,13 @@ def streaming_first_seen(
     bucket — the streaming analogue of the done-manifest anti-join."""
     import pyarrow.compute as pc
 
-    lo64, hi64 = _ts_bounds_us(events)
+    empty = pa.table({"day": pa.array([], pa.int64()),
+                      "n_new": pa.array([], pa.int64()),
+                      "cum_users": pa.array([], pa.int64())})
+    bounds = _ts_bounds_us(events)
+    if bounds is None:
+        return empty
+    lo64, hi64 = bounds
     span = max(hi64 - lo64 + 1, 1)
 
     def tag(t: pa.Table) -> pa.Table:
@@ -336,7 +378,7 @@ def streaming_first_seen(
             "bucket": pa.array(uid % n_buckets),
         })
 
-    shutil.rmtree(spool_dir, ignore_errors=True)
+    spool_dir, own_spool = _resolve_spool(spool_dir, "pmocr_fspool_")
     (events.select_columns(["user_id", "ts"])
      .map_batches(tag, batch_format="pyarrow")
      .write_parquet(spool_dir, partition_cols=["chunk", "bucket"]))
@@ -353,7 +395,12 @@ def streaming_first_seen(
                            if f.endswith(".parquet"))
             futures.append(actor.feed.remote(paths))
         parts.extend(ray.get(futures))  # ordered rounds, parallel fan-out
-    firsts = pa.concat_tables([t for t in parts if t.num_rows])
+    if own_spool:
+        shutil.rmtree(spool_dir, ignore_errors=True)
+    parts = [t for t in parts if t.num_rows]
+    if not parts:
+        return empty
+    firsts = pa.concat_tables(parts)
     # tiny driver rollup: (day → n_new) + running total over day support
     import pandas as pd
 
@@ -371,7 +418,7 @@ def streaming_sessionize(
     gap_minutes: int = 30,
     n_chunks: int = 4,
     n_buckets: int = 4,
-    spool_dir: str = "/tmp/pmocr_ray_stream_spool",
+    spool_dir: str | None = None,
 ) -> pa.Table:
     """Sessionize via the stateful-streaming path; result equals the
     batch ``sessionize`` for ANY (n_chunks, n_buckets) because chunks
@@ -384,7 +431,10 @@ def streaming_sessionize(
     intra-round fan-out is parallel)."""
     import pyarrow.compute as pc
 
-    lo64, hi64 = _ts_bounds_us(events)
+    bounds = _ts_bounds_us(events)
+    if bounds is None:
+        return _sessions_table([])
+    lo64, hi64 = bounds
     span = max(hi64 - lo64 + 1, 1)
 
     def tag(t: pa.Table) -> pa.Table:
@@ -398,7 +448,7 @@ def streaming_sessionize(
         return (t.append_column("chunk", pa.array(chunk))
                 .append_column("bucket", pa.array(bucket)))
 
-    shutil.rmtree(spool_dir, ignore_errors=True)
+    spool_dir, own_spool = _resolve_spool(spool_dir, "pmocr_spool_")
     (events.select_columns(["user_id", "ts", "event_id"])
      .map_batches(tag, batch_format="pyarrow")
      .write_parquet(spool_dir, partition_cols=["chunk", "bucket"]))
@@ -416,4 +466,7 @@ def streaming_sessionize(
             futures.append(actor.feed.remote(paths))
         out.extend(ray.get(futures))  # barrier: next chunk needs state
     out.extend(ray.get([a.flush.remote() for a in actors]))
-    return pa.concat_tables([t for t in out if t.num_rows])
+    if own_spool:
+        shutil.rmtree(spool_dir, ignore_errors=True)
+    out = [t for t in out if t.num_rows]
+    return pa.concat_tables(out) if out else _sessions_table([])

@@ -940,3 +940,41 @@ def test_streaming_windows_chunk_invariant_and_incremental(ray_session, sf_small
     # watermark semantics: old windows closed, the trailing ones open
     assert (outs[0]["status"] == "closed").sum() > 0
     assert (outs[0]["status"] == "open").sum() > 0
+
+
+def test_streaming_ops_empty_input_and_private_spool(ray_session):
+    """Empty events: every streaming op returns its typed empty table
+    (parity with the batch operators) instead of crashing; the default
+    spool is a private tempdir, created and removed per run, so
+    concurrent default-arg runs can never clobber each other."""
+    import glob
+
+    import pandas as pd
+    import ray.data as rd
+
+    from pmocr_ray.ops.streaming import (streaming_first_seen,
+                                         streaming_sessionize,
+                                         streaming_windows)
+
+    empty = rd.from_pandas(pd.DataFrame({
+        "event_id": pd.Series([], dtype="int64"),
+        "user_id": pd.Series([], dtype="int64"),
+        "ts": pd.Series([], dtype="datetime64[us]"),
+    }))
+    w = streaming_windows(empty)
+    assert w.num_rows == 0 and w.column_names == [
+        "window_start", "n_events", "n_late", "status"]
+    f = streaming_first_seen(empty)
+    assert f.num_rows == 0 and f.column_names == ["day", "n_new", "cum_users"]
+    s = streaming_sessionize(empty)
+    assert s.num_rows == 0 and "session_start" in s.column_names
+
+    # non-empty run on the default (private) spool: works and cleans up
+    ev = rd.from_pandas(pd.DataFrame({
+        "event_id": range(20), "user_id": [1] * 20,
+        "ts": pd.to_datetime("2026-01-01")
+        + pd.to_timedelta(range(20), unit="m"),
+    }))
+    out = streaming_sessionize(ev, n_chunks=2, n_buckets=2)
+    assert out.num_rows == 1 and out["n_events"][0].as_py() == 20
+    assert glob.glob("/tmp/pmocr_spool_*") == []  # owned spool removed
