@@ -99,7 +99,11 @@ def broadcast_lookup(ds: rd.Dataset, key: str, mapping: dict,
         probe = [v for v in mapping.values() if v is not None]
         if default is not None:
             probe.append(default)
-        value_type = pa.array(probe[:1]).type if probe else pa.null()
+        # infer over ALL values (+ default), not just the first — a
+        # heterogeneous mapping (e.g. {1: 2, 2: 3.5}) must pin the
+        # common promoted type up front, not crash mid-pipeline on
+        # the first batch that hits the wider value
+        value_type = pa.array(probe).type if probe else pa.null()
 
     def fn(t: pa.Table) -> pa.Table:
         m = ray.get(ref)
@@ -294,7 +298,7 @@ def skew_hash_join(left: rd.Dataset, right: rd.Dataset, *, on: str,
     """
     import pandas as pd
 
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     def key_counts(t: pa.Table) -> pa.Table:
         g = t.select([on]).group_by(on).aggregate([([], "count_all")])
@@ -312,18 +316,42 @@ def skew_hash_join(left: rd.Dataset, right: rd.Dataset, *, on: str,
     n_cold_keys = counts.map_batches(
         lambda t: t.filter(pc.less_equal(t["n"], hot_threshold)),
         batch_format="pyarrow").count()
-    hot_keys = frozenset(r[on] for r in hot_rows)
-    hot_ref = ray.put(hot_keys)
+    hot_keys = sorted(r[on] for r in hot_rows)
+    hot_arr = pa.array(hot_keys)  # built ONCE, shared via object store
+    hot_ref = ray.put(hot_arr)
 
     def split(t: pa.Table, want_hot: bool) -> pa.Table:
         keys = ray.get(hot_ref)
-        if not keys:
+        if not len(keys):
             return t if not want_hot else t.slice(0, 0)
-        mask = pc.is_in(t[on], value_set=pa.array(sorted(keys)))
+        mask = pc.is_in(t[on], value_set=keys)
         return t.filter(mask if want_hot else pc.invert(mask))
 
-    n_rows = left.count()
+    # left's row total = sum over the (materialized) counts rollup —
+    # a bare left.count() would re-execute the whole left pipeline
+    nr = counts.aggregate(Sum("n", alias_name="nr"))
+    n_rows = int(nr["nr"]) if nr and nr.get("nr") is not None else 0
     parts = max(1, min(num_partitions, n_rows // 2048 + 1))
+
+    def _empty_df(ds: rd.Dataset) -> "pd.DataFrame":
+        # typed zero-row frame from the dataset's schema —
+        # ``limit(0).to_pandas()`` loses the columns entirely
+        base = ds.schema().base_schema
+        if isinstance(base, pa.Schema):
+            return base.empty_table().to_pandas()
+        return pd.DataFrame({n: pd.Series([], dtype=t)
+                             for n, t in zip(base.names, base.types)})
+
+    def empty_joined() -> rd.Dataset:
+        # typed empty result with the JOINED schema, built exactly like
+        # map_join's merge — joining an empty side through Ray's hash
+        # join is not an option (an empty partition reaches acero as a
+        # zero-column table and fails FieldRef resolution)
+        m = _empty_df(left).merge(_empty_df(right), left_on=on,
+                                  right_on=right_on, how="inner")
+        if right_on != on:
+            m = m.drop(columns=[right_on])
+        return rd.from_pandas(m)
     cold = None
     if n_cold_keys:  # an all-hot corpus would hand acero empty
         # zero-column partitions (known Ray join gotcha) — skip the
@@ -333,18 +361,19 @@ def skew_hash_join(left: rd.Dataset, right: rd.Dataset, *, on: str,
                 .join(right, join_type="inner", num_partitions=parts,
                       on=(on,), right_on=(right_on,)))
     if not hot_keys:
-        return cold if cold is not None else left.limit(0).join(
-            right, join_type="inner", num_partitions=1, on=(on,),
-            right_on=(right_on,))
+        return cold if cold is not None else empty_joined()
 
     # broadcast the right rows for hot keys (≤ |hot| dimension rows)
     hot_right = right.map_batches(
-        lambda t: t.filter(pc.is_in(
-            t[right_on], value_set=pa.array(sorted(hot_keys)))),
+        lambda t: t.filter(pc.is_in(t[right_on],
+                                    value_set=ray.get(hot_ref))),
         batch_format="pyarrow").take_all()
     if not hot_right:
-        # hot keys have no right match: inner join drops them
-        return cold if cold is not None else left.limit(0)
+        # hot keys have no right match: inner join drops them; the
+        # empty result must still carry the JOINED schema (an empty
+        # limit(0) with only left's columns breaks downstream selects
+        # of right-side columns)
+        return cold if cold is not None else empty_joined()
     hr_ref = ray.put(pd.DataFrame(hot_right))
 
     def map_join(t: pa.Table) -> pa.Table:

@@ -196,3 +196,14 @@ def test_anti_joins_with_empty_right_return_left(ray_session):
         out = fn(left, empty, on="k", num_partitions=2)
         got = sorted(r["k"] for r in out.take_all())
         assert got == list(range(20)), fn.__name__
+
+
+def test_broadcast_lookup_heterogeneous_value_types(ray_session):
+    """Mixed int/float mapping values: the output type is the promoted
+    common type, pinned up front (inferring from the first value only
+    would crash on the first batch hitting the wider value)."""
+    out = broadcast_lookup(_ds(None), "k", {1: 2, 2: 3.5}, "w",
+                           default=0).take_all()
+    got = {r["k"]: r["w"] for r in out}
+    assert got == {1: 2.0, 2: 3.5, 3: 0.0, 4: 0.0, 5: 0.0}
+    assert all(isinstance(v, float) for v in got.values())

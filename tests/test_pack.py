@@ -226,3 +226,22 @@ def test_byte_balanced_blocks_giant_row_isolated(ray_session):
                .to_pandas().set_index("doc_id")["block_id"])
         # cum-before: 0,100,200,5200,5300 → blocks 0,0,0,5,5
         assert out.to_dict() == {0: 0, 1: 0, 2: 0, 3: 5, 4: 5}
+
+
+def test_skew_hash_join_all_hot_no_right_match_keeps_joined_schema(ray_session):
+    """Every key hot, none present on the right: the empty result must
+    still carry the JOINED schema so downstream selects of right-side
+    columns see the column, matching the cold-path branch."""
+    import pandas as pd
+    import ray.data as rd
+
+    from pmocr_ray.ops.joins import skew_hash_join
+
+    left = rd.from_pandas(pd.DataFrame(
+        {"user_id": [7] * 50, "v": range(50)}))
+    right = rd.from_pandas(pd.DataFrame(
+        {"uid": [1, 2, 3], "name": ["a", "b", "c"]}))
+    out = skew_hash_join(left, right, on="user_id", right_on="uid",
+                         hot_threshold=10)
+    assert out.count() == 0
+    assert "name" in out.schema().names and "v" in out.schema().names
