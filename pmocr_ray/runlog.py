@@ -123,17 +123,26 @@ def fallback_transport(*transports):
 
 
 def get_run_logger(run_id: str, log_dir: str | None = None) -> logging.Logger:
+    """Per-run logger (stream + optional file sink).  Each REQUESTED
+    sink is checked independently: an early stream-only call must not
+    lock the run to stream-only — a later call that supplies
+    ``log_dir`` still attaches the file sink (to the requested path,
+    once per path)."""
     logger = logging.getLogger(f"pmocr_ray.{run_id}")
-    if logger.handlers:  # already configured for this run
-        return logger
     logger.setLevel(logging.INFO)
     logger.propagate = False
-    sh = logging.StreamHandler()
-    sh.setFormatter(logging.Formatter(_FMT))
-    logger.addHandler(sh)
+    if not any(type(h) is logging.StreamHandler for h in logger.handlers):
+        sh = logging.StreamHandler()
+        sh.setFormatter(logging.Formatter(_FMT))
+        logger.addHandler(sh)
     if log_dir:
-        os.makedirs(log_dir, exist_ok=True)
-        fh = logging.FileHandler(os.path.join(log_dir, f"{run_id}.log"))
-        fh.setFormatter(logging.Formatter(_FMT))
-        logger.addHandler(fh)
+        path = os.path.abspath(os.path.join(log_dir, f"{run_id}.log"))
+        have = any(isinstance(h, logging.FileHandler)
+                   and getattr(h, "baseFilename", None) == path
+                   for h in logger.handlers)
+        if not have:
+            os.makedirs(log_dir, exist_ok=True)
+            fh = logging.FileHandler(path)
+            fh.setFormatter(logging.Formatter(_FMT))
+            logger.addHandler(fh)
     return logger

@@ -20,6 +20,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
+import shutil
 from collections.abc import Callable
 
 import pyarrow as pa
@@ -145,13 +146,23 @@ def write_targets(result_ds: rd.Dataset, out_dir: str,
     the text output is orders of magnitude smaller than the page corpus
     and each derived write is an independent, resumable map-only pass.
     ``text`` is always written (it is the source of the derived ones).
+
+    Each per-target directory is CLEARED before its write: parquet/json
+    writers add uniquely-named files, so re-running into a non-empty
+    directory (the retry-after-crash case the derived passes exist
+    for) would silently append a second copy of every row and feed the
+    doubled text into every derived target.
     """
     unknown = [t for t in targets if t not in TARGETS]
     if unknown:
         raise KeyError(f"unknown targets {unknown!r}; known: {sorted(TARGETS)}")
 
+    def _fresh(path: str) -> str:
+        shutil.rmtree(path, ignore_errors=True)
+        return path
+
     paths: dict[str, str] = {}
-    text_dir = os.path.join(out_dir, "text")
+    text_dir = _fresh(os.path.join(out_dir, "text"))
     result_ds.write_parquet(text_dir)
     paths["text"] = text_dir
 
@@ -164,7 +175,7 @@ def write_targets(result_ds: rd.Dataset, out_dir: str,
             ds = ds.map_batches(spec.transform, batch_format="pyarrow")
         if spec.columns:
             ds = ds.select_columns(list(spec.columns))
-        target_dir = os.path.join(out_dir, name)
+        target_dir = _fresh(os.path.join(out_dir, name))
         getattr(ds, f"write_{spec.writer}")(target_dir, **spec.writer_kwargs)
         paths[name] = target_dir
     return paths

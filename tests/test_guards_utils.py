@@ -212,3 +212,24 @@ class TestAlertTransports:
         assert len(os.listdir(spool)) == 1
         hook({"counts": {"failed": 0, "done": 5}})  # below min: no alert
         assert len(os.listdir(spool)) == 1
+
+
+def test_run_logger_late_log_dir_attaches_file_sink(tmp_path):
+    """A stream-only first call must not lock the run's logger: a later
+    call that supplies log_dir still creates the run log file."""
+    import logging
+    import os
+
+    from pmocr_ray.runlog import get_run_logger
+
+    lg1 = get_run_logger("latefile")
+    assert not any(isinstance(h, logging.FileHandler) for h in lg1.handlers)
+    lg2 = get_run_logger("latefile", log_dir=str(tmp_path))
+    assert lg2 is lg1
+    lg2.info("hello")
+    path = os.path.join(str(tmp_path), "latefile.log")
+    assert os.path.exists(path) and "hello" in open(path).read()
+    # idempotent: same dir again does not stack a second file handler
+    get_run_logger("latefile", log_dir=str(tmp_path))
+    assert sum(isinstance(h, logging.FileHandler)
+               for h in lg1.handlers) == 1

@@ -391,3 +391,23 @@ def test_x_encode_roundtrip_property(s):
     from pmocr_ray.extract.docx_extractor import x_decode, x_encode
 
     assert x_decode(x_encode(s)) == s
+
+
+def test_write_targets_rerun_does_not_duplicate(tmp_path, ray_session):
+    """Re-running write_targets into the same out_dir (retry after a
+    crash) must not append a second copy of every row."""
+    import pandas as pd
+    import ray.data as rd
+
+    from pmocr_ray.targets import write_targets
+
+    ds = rd.from_pandas(pd.DataFrame({
+        "url": [f"u{i}" for i in range(10)],
+        "extracted_text": [f"t{i}" for i in range(10)],
+        "status": ["done"] * 10,
+    }))
+    out = str(tmp_path / "tgt")
+    for _ in range(2):
+        paths = write_targets(ds, out, ["text", "jsonl"])
+    assert rd.read_parquet(paths["text"]).count() == 10
+    assert rd.read_json(paths["jsonl"]).count() == 10
