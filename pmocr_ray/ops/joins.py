@@ -470,7 +470,7 @@ def edit1_pairs(ds: rd.Dataset, column: str, *, min_len: int = 1,
 
     def batch_distinct(t: pa.Table) -> pa.Table:
         v = pc.unique(pc.drop_null(t[column]))
-        if min_len > 1:
+        if min_len > 0:  # enforce the default too: '' is excluded at 1
             v = v.filter(pc.greater_equal(pc.utf8_length(v), min_len))
         return pa.table({column: v})
 

@@ -140,11 +140,15 @@ def test_edit1_pairs_matches_brute_force(ray_session):
             "a", "b", "ab", "", "www1.example.com"]  # dup value on purpose
     ds = rd.from_pandas(pd.DataFrame({"h": vals})).repartition(4)
     got = [(r["a"], r["b"]) for r in
-           edit1_pairs(ds, "h", num_buckets=3).take_all()]
+           edit1_pairs(ds, "h", num_buckets=3, min_len=0).take_all()]
     distinct = sorted(set(vals))
     expect = sorted((x, y) for x, y in itertools.combinations(distinct, 2)
                     if _is_ed1(x, y))
     assert got == expect and len(expect) >= 4
+    # default min_len=1 excludes the empty string from the key domain
+    got1 = [(r["a"], r["b"]) for r in
+            edit1_pairs(ds, "h", num_buckets=3).take_all()]
+    assert got1 == [p for p in expect if p[0] != ""]
 
 
 def test_edit1_pairs_bucket_guard(ray_session):
