@@ -1485,6 +1485,8 @@ def decontaminate(ds: rd.Dataset, bench_shingles: set[str], *,
     Arrow ``is_in`` against the broadcast shingle array, and per-row
     "any hit" is a numpy scatter — no Python loop over tokens.
     """
+    if n < 1:
+        raise ValueError(f"decontaminate needs n >= 1 (got {n})")
     ref = ray.put(pa.array(sorted(bench_shingles), pa.string()))
 
     class Flag:
@@ -1502,13 +1504,15 @@ def decontaminate(ds: rd.Dataset, bench_shingles: set[str], *,
             pn = parent.filter(mask).to_numpy(zero_copy_only=False)
             hit_rows = np.zeros(len(batch), bool)
             if len(flat) >= n and len(self.shingles):
-                # windows whose first and last token share a row
-                same = pa.array(pn[: -(n - 1)] == pn[n - 1:])
+                # windows whose first and last token share a row —
+                # sliced by explicit length (pn[:-(n-1)] would be the
+                # EMPTY slice at n=1, crashing single-word overlap)
                 L = len(flat) - (n - 1)
+                same = pa.array(pn[:L] == pn[n - 1:n - 1 + L])
                 parts = [flat.slice(j, L).filter(same) for j in range(n)]
                 grams = pc.binary_join_element_wise(*parts, " ")
                 hits = pc.is_in(grams, value_set=self.shingles)
-                gram_rows = pn[: -(n - 1)][same.to_numpy(zero_copy_only=False)]
+                gram_rows = pn[:L][same.to_numpy(zero_copy_only=False)]
                 hit_rows[gram_rows[hits.to_numpy(zero_copy_only=False)]] = True
             return pa.table({key: batch[key],
                              "contaminated": pa.array(hit_rows)})

@@ -70,6 +70,9 @@ def top_users_by_value(events: rd.Dataset, k: int = 10) -> pa.Table:
     )
     top = (per_user.sort(["total_cents", "user_id"], descending=[True, False])
            .limit(k).take_all())
+    if not top:  # empty events: typed empty, not a zero-column table
+        return pa.table({"user_id": pa.array([], pa.int64()),
+                         "total_cents": pa.array([], pa.int64())})
     return pa.Table.from_pylist(top).select(["user_id", "total_cents"])
 
 
@@ -238,24 +241,36 @@ def event_type_pivot(events: rd.Dataset) -> rd.Dataset:
 
 def hopping_window_value(events: rd.Dataset, window_hours: int = 2,
                          hop_hours: int = 1) -> rd.Dataset:
-    """Hopping (sliding) window: total cents + count per 2h window
-    hopping 1h.  Each event belongs to ``window/hop`` windows; the
+    """Hopping (sliding) window: total cents + count per
+    ``window_hours`` window hopping ``hop_hours``.  Window starts live
+    on the GLOBAL epoch-aligned hop grid (not per-event offsets — with
+    hop > 1 an event-relative grid would give different events
+    incoherent window sets); each event lands in every grid window
+    covering its hour, up to ``ceil(window/hop)`` of them.  The
     expansion happens INSIDE the per-batch combiner (emit one partial
     row per (window, ) it saw, not one per event×window), so the
     shuffle fan-in stays windows-sized.
     """
-    k = window_hours // hop_hours
-    hop = np.timedelta64(hop_hours, "h")
+    if window_hours < 1 or hop_hours < 1:
+        raise ValueError(
+            f"hopping_window_value needs window_hours >= 1 and "
+            f"hop_hours >= 1 (got {window_hours}, {hop_hours})")
+    k = (window_hours + hop_hours - 1) // hop_hours  # ceil: covers h0
 
     def partial(batch: pa.Table) -> pa.Table:
         b = add_value_cents(batch)
         h0 = pc.floor_temporal(b["ts"], unit="hour") \
                .to_numpy(zero_copy_only=False)
         cents = b["value_cents"].to_numpy(zero_copy_only=False)
-        ws = np.concatenate([h0 - i * hop for i in range(k)])
+        hours = h0.astype("datetime64[h]").astype(np.int64)
+        w0 = (hours // hop_hours) * hop_hours  # grid start at/below h0
+        ws_h = np.concatenate([w0 - i * hop_hours for i in range(k)])
+        hh = np.tile(hours, k)
         cs = np.tile(cents, k)
+        keep = (hh - ws_h) < window_hours  # window still covers h0
+        ws = ws_h[keep].astype("datetime64[h]").astype(h0.dtype)
         g = pa.table({"window_start": pa.array(ws),
-                      "cents": pa.array(cs, pa.int64())}) \
+                      "cents": pa.array(cs[keep], pa.int64())}) \
             .group_by("window_start") \
             .aggregate([("cents", "sum"), ("cents", "count")])
         return pa.table({"window_start": g["window_start"],
@@ -713,10 +728,12 @@ def value_trend_components(events: rd.Dataset, *,
                 Sum("sum_x2", alias_name="sum_x2")))
 
 
-def value_mad(events: rd.Dataset) -> rd.Dataset:
+def value_mad(events: rd.Dataset) -> pa.Table:
     """Per-type robust stats: exact median and MAD (median absolute
     deviation) of integer cents, both under the ``quantile_disc`` rule
-    (value at 1-based rank ceil(n/2)).
+    (value at 1-based rank ceil(n/2)).  Returns the (types-bounded)
+    rollup as a pyarrow Table — the driver-contract result shape for
+    tiny collected rollups.
 
     ONE distributed pass: the (type, cents) value-counts combiner
     rollup — bounded by types × distinct cent values, never rows —

@@ -205,8 +205,10 @@ def chunk_tokens(docs: rd.Dataset, window: int, stride: int,
     """Sliding-window token chunking (the RAG / long-context prep op):
     each document's whitespace tokens are cut into chunks of
     ``window`` tokens every ``stride`` tokens (overlapping when
-    stride < window; the final chunk may be short).  Emits
-    (key, chunk_idx, n_tokens, chunk_text) — a flat-map explode.
+    stride < window, gap-sampling when stride > window; the final
+    chunk may be short, and chunk starts always fall inside the
+    document — no empty or negative-length chunks in either regime).
+    Emits (key, chunk_idx, n_tokens, chunk_text) — a flat-map explode.
 
     Map-only and fully vectorized: tokens are flattened once per
     batch; chunk token indices are built with numpy repeat/arange
@@ -214,6 +216,11 @@ def chunk_tokens(docs: rd.Dataset, window: int, stride: int,
     rebuilt ListArray + ``binary_join``.  No per-row Python loop, no
     shuffle, no state — scales as a pure map stage.
     """
+    if window < 1 or stride < 1:
+        raise ValueError(
+            f"chunk_tokens needs window >= 1 and stride >= 1 "
+            f"(got window={window}, stride={stride})")
+
     def explode(batch: pa.Table) -> pa.Table:
         toks = pc.split_pattern_regex(
             pc.fill_null(batch[column], ""), r"\s+")
@@ -227,10 +234,16 @@ def chunk_tokens(docs: rd.Dataset, window: int, stride: int,
         t_cnt = np.bincount(parent, minlength=n_rows).astype(np.int64)
         row_off = np.concatenate([[0], np.cumsum(t_cnt)])[:-1]
 
-        n_chunks = np.where(
-            t_cnt == 0, 0,
-            np.where(t_cnt <= window, 1,
-                     (t_cnt - window + stride - 1) // stride + 1))
+        # two regimes, one count: the cover-minimal start count (last
+        # start >= t-window; exact for stride <= window) capped by the
+        # number of stride-multiple starts INSIDE the document (the
+        # binding bound when stride > window, where the cover formula
+        # would emit starts past the end — negative-length chunks)
+        n_cover = np.where(t_cnt <= window, 1,
+                           (t_cnt - window + stride - 1) // stride + 1)
+        n_inside = (np.maximum(t_cnt, 1) - 1) // stride + 1
+        n_chunks = np.where(t_cnt == 0, 0,
+                            np.minimum(n_cover, n_inside))
         total_chunks = int(n_chunks.sum())
         if total_chunks == 0:
             return pa.table({key: pa.array([], batch[key].type),
@@ -521,6 +534,14 @@ def bucketed_join(dir_a: str, dir_b: str, *, key_a: str, key_b: str,
     # one file of each side (driver-side metadata read only)
     fa = sorted(glob.glob(os.path.join(dir_a, "bucket=*", "*.parquet")))
     fb = sorted(glob.glob(os.path.join(dir_b, "bucket=*", "*.parquet")))
+    if not fa or not fb:
+        # an empty bucketed dataset wrote zero files — there is no
+        # schema to join against; fail loudly (repo loud-guard rule)
+        # instead of IndexError deep in the schema read
+        missing = dir_a if not fa else dir_b
+        raise ValueError(
+            f"bucketed_join: no bucket parquet files under {missing!r} "
+            f"(was the side empty when bucketed_write ran?)")
     empty = (pq_.read_schema(fa[0]).empty_table().to_pandas().merge(
         pq_.read_schema(fb[0]).empty_table().to_pandas(),
         left_on=key_a, right_on=key_b, how="inner"))

@@ -260,7 +260,19 @@ def run_extraction_bloom_skip(
     done urls you do not re-emit a skip row per done url every run.
     Non-done rows produce byte-identical output to the broadcast path
     (tested).
+
+    ``retry_failed`` is rejected loudly: the anti-join drops EVERY
+    manifest url (done and quarantined alike) before extraction, so a
+    silently-forwarded retry flag could never re-drive anything — use
+    :func:`run_extraction` (broadcast path) for retry runs, whose
+    retry map is |failed|-sized, not |done|-sized.
     """
+    if kwargs.get("retry_failed"):
+        raise ValueError(
+            "run_extraction_bloom_skip cannot honor retry_failed: the "
+            "bloom anti-join drops every manifest url (done AND "
+            "quarantined) before extraction; re-drive quarantined urls "
+            "via run_extraction(..., retry_failed=True)")
     from pmocr_ray.ops.joins import bloom_anti_join
     from pmocr_ray.state.manifest import _manifest_shard_files
 

@@ -978,3 +978,67 @@ def test_streaming_ops_empty_input_and_private_spool(ray_session):
     out = streaming_sessionize(ev, n_chunks=2, n_buckets=2)
     assert out.num_rows == 1 and out["n_events"][0].as_py() == 20
     assert glob.glob("/tmp/pmocr_spool_*") == []  # owned spool removed
+
+
+def test_review_fix_edge_cases(ray_session):
+    """Round-3 review fixes: empty events, hopping-window parameter
+    regimes, n=1 decontamination, bloom-skip retry guard, empty
+    bucketed join."""
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from pmocr_ray.ops.events import hopping_window_value, top_users_by_value
+
+    empty_ev = rd.from_pandas(pd.DataFrame({
+        "event_id": pd.Series([], dtype="int64"),
+        "user_id": pd.Series([], dtype="int64"),
+        "event_type": pd.Series([], dtype="object"),
+        "value": pd.Series([], dtype="float64"),
+        "ts": pd.Series([], dtype="datetime64[us]"),
+    }))
+    t = top_users_by_value(empty_ev)
+    assert t.num_rows == 0 and t.column_names == ["user_id", "total_cents"]
+
+    ev = rd.from_pandas(pd.DataFrame({
+        "event_id": [1, 2], "user_id": [1, 1],
+        "event_type": ["view", "view"], "value": [1.0, 2.0],
+        "ts": pd.to_datetime(["2026-01-01 00:30", "2026-01-01 03:30"]),
+    }))
+    # window < hop (k would be 0 under the old floor formula): grid
+    # windows are [0,1), [2,3), ... — hour 0 is covered, hour 3 falls
+    # in the sampling gap (that's the semantics of window < hop)
+    out = hopping_window_value(ev, window_hours=1, hop_hours=2).to_pandas()
+    assert list(out["n_events"]) == [1] and out["window_start"][0].hour == 0
+    # window=3/hop=2: h0 falls in grid windows [22(prev-day),1) and
+    # [0,3); h3 in [2,5) only (grid start 0's [0,3) misses it and
+    # start 4 is after it) — k=ceil(3/2)=2 back-steps from each grid
+    # anchor cover exactly these
+    out = hopping_window_value(ev, window_hours=3, hop_hours=2).to_pandas()
+    got = {(r.window_start.day, r.window_start.hour): r.n_events
+           for r in out.itertuples()}
+    assert got == {(31, 22): 1, (1, 0): 1, (1, 2): 1}
+    with pytest.raises(ValueError, match="hop_hours >= 1"):
+        hopping_window_value(ev, window_hours=2, hop_hours=0)
+
+    from pmocr_ray.ops.dedup import decontaminate
+
+    docs = rd.from_pandas(pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["alpha beta", "gamma delta"]}))
+    out = decontaminate(docs, {"beta"}, n=1).to_pandas()
+    assert dict(zip(out["doc_id"], out["contaminated"])) == {1: True,
+                                                             2: False}
+
+    from pmocr_ray.pipeline import run_extraction_bloom_skip
+
+    with pytest.raises(ValueError, match="retry_failed"):
+        run_extraction_bloom_skip("/nonexistent", "/nonexistent",
+                                  retry_failed=True)
+
+    import tempfile
+
+    from pmocr_ray.ops.pack import bucketed_join
+
+    with tempfile.TemporaryDirectory() as td:
+        with pytest.raises(ValueError, match="no bucket parquet files"):
+            bucketed_join(td + "/a", td + "/b", key_a="k", key_b="k")

@@ -245,3 +245,34 @@ def test_skew_hash_join_all_hot_no_right_match_keeps_joined_schema(ray_session):
                          hot_threshold=10)
     assert out.count() == 0
     assert "name" in out.schema().names and "v" in out.schema().names
+
+
+def test_chunk_tokens_stride_regimes(ray_session):
+    """stride > window (gap sampling) must not crash or emit empty
+    chunks; stride <= window keeps the cover-minimal chunking."""
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from pmocr_ray.ops.pack import chunk_tokens
+
+    def chunks(text, window, stride):
+        ds = rd.from_pandas(pd.DataFrame({"doc_id": [1], "text": [text]}))
+        out = chunk_tokens(ds, window, stride).to_pandas()
+        return list(zip(out["chunk_idx"], out["n_tokens"],
+                        out["chunk_text"]))
+
+    toks12 = " ".join(f"t{i}" for i in range(12))
+    # gap sampling: starts 0 and 10 only, tail chunk short
+    assert chunks(" ".join(f"t{i}" for i in range(4)), 3, 10) == [
+        (0, 3, "t0 t1 t2")]
+    assert chunks(toks12, 3, 10) == [(0, 3, "t0 t1 t2"), (1, 2, "t10 t11")]
+    # start==t_cnt would be an empty chunk: must not be emitted
+    assert chunks(" ".join(f"t{i}" for i in range(10)), 3, 10) == [
+        (0, 3, "t0 t1 t2")]
+    # overlap regime unchanged: cover-minimal starts 0,3,6
+    assert [c[0] for c in chunks(" ".join(f"t{i}" for i in range(10)),
+                                 4, 3)] == [0, 1, 2]
+    with pytest.raises(ValueError, match="window >= 1"):
+        chunk_tokens(rd.from_pandas(
+            pd.DataFrame({"doc_id": [1], "text": ["a"]})), 0, 1)
