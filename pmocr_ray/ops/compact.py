@@ -28,7 +28,15 @@ def compact_latest(ds: rd.Dataset, key: str, order_cols: list[str],
     sorted with ``descending`` flags (default: all descending — i.e.
     the row with the greatest (version, …) wins; ties must be broken
     by including a unique column last)."""
+    if not order_cols:
+        # with no order there is no total winner — the kept row would
+        # depend on partitioning/batch order, silently nondeterministic
+        raise ValueError("compact_latest needs at least one order column")
     desc = descending if descending is not None else [True] * len(order_cols)
+    if len(desc) != len(order_cols):
+        raise ValueError(
+            f"compact_latest: descending has {len(desc)} flags for "
+            f"{len(order_cols)} order columns")
     ascending = [not d for d in desc]
 
     def local_cap(batch: pa.Table) -> pa.Table:

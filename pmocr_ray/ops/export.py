@@ -24,6 +24,8 @@ def assign_shard(batch: pa.Table, *, key: str = "url", n_shards: int = 16,
     """shard = first 8 md5 hex digits of the key, mod ``n_shards`` —
     the same value DuckDB computes as
     ``CAST('0x' || substr(md5(key),1,8) AS UBIGINT) % n_shards``."""
+    if n_shards < 1:
+        raise ValueError(f"assign_shard needs n_shards >= 1 (got {n_shards})")
     shards = pa.array(
         [int(hashlib.md5(k.encode()).hexdigest()[:8], 16) % n_shards
          for k in batch[key].to_pylist()],
@@ -109,6 +111,9 @@ def webdataset_export(ds: rd.Dataset, out_dir: str, *, key: str = "doc_id",
 def _assign_int_shard(batch: pa.Table, *, key: str,
                       n_shards: int) -> pa.Table:
     """assign_shard for non-string keys: hash str(key) — same md5 rule."""
+    if n_shards < 1:
+        raise ValueError(f"webdataset_export needs n_shards >= 1 "
+                         f"(got {n_shards})")
     shards = pa.array(
         [int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16) % n_shards
          for k in batch[key].to_pylist()],

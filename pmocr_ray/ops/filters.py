@@ -163,9 +163,11 @@ def c4_line_filter(batch: pa.Table, column: str = "text",
         n_lines_out.append(pa.array(n_lines, pa.int64()))
         n_kept_out.append(pa.array(n_kept, pa.int64()))
         kept_text_out.append(kept_text)
-    n_lines_col = pa.chunked_array(n_lines_out)
-    n_kept_col = pa.chunked_array(n_kept_out)
-    kept_text_col = pa.chunked_array(kept_text_out)
+    # a zero-chunk (empty) batch leaves the accumulators empty, and a
+    # typeless pa.chunked_array([]) is invalid — pass the types
+    n_lines_col = pa.chunked_array(n_lines_out, pa.int64())
+    n_kept_col = pa.chunked_array(n_kept_out, pa.int64())
+    kept_text_col = pa.chunked_array(kept_text_out, pa.string())
     has_lorem = pc.match_substring(pc.utf8_lower(col), "lorem ipsum")
     has_brace = pc.match_substring(col, "{")
     keep = pc.and_(

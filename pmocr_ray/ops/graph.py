@@ -97,8 +97,16 @@ def _local_contract(t: pa.Table) -> pa.Table:
     mask = lab != np.arange(len(nodes))
     # nodes sorted ascending ⇒ index order == id order ⇒ the min index
     # IS the min node id of the local component
-    return pa.table({"a": pa.array(nodes[mask], pa.int64()),
-                     "b": pa.array(nodes[lab[mask]], pa.int64())})
+    star_a, star_b = nodes[mask], nodes[lab[mask]]
+    # roots that no star points at (single-node components — reachable
+    # only via self-loop edges) would otherwise vanish from the edge
+    # set entirely; keep them alive as explicit self-edges so the
+    # final label table covers every input node
+    roots = nodes[~mask]
+    isolated = roots[~np.isin(roots, star_b)]
+    return pa.table({
+        "a": pa.array(np.concatenate([star_a, isolated]), pa.int64()),
+        "b": pa.array(np.concatenate([star_b, isolated]), pa.int64())})
 
 
 def connected_components_distributed(edges: rd.Dataset,
@@ -117,6 +125,10 @@ def connected_components_distributed(edges: rd.Dataset,
     edges = edges.map_batches(_local_contract, batch_format="pyarrow")
     sym = _sym_edges(edges).materialize()
     n_edges = sym.count()
+    if n_edges == 0:
+        # typed empty — the join loop below loses the schema on a
+        # zero-row dataset and Arrow rejects the key field reference
+        return rd.from_arrow(_NODE_LABEL.empty_table())
     parts = max(1, min(num_partitions, n_edges // 2048 + 1))
 
     # initial labels: every distinct endpoint labels itself
@@ -385,6 +397,8 @@ def triangle_count(edges: rd.Dataset, *, num_partitions: int = 8) -> int:
         edges.map_batches(canon, batch_format="pyarrow"),
         ["u", "v"]).materialize()
     n_edges = und.count()
+    if n_edges == 0:  # joins below lose the schema on zero-row inputs
+        return 0
     parts = max(1, min(num_partitions, n_edges // 2048 + 1))
 
     sym = _sym_edges(und.map_batches(

@@ -65,6 +65,10 @@ class _BatchTopK:
         self.column = column
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # (Q,D) @ (0,0).T would crash
+            return pa.table({"query_idx": pa.array([], pa.int32()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
         ids = batch[self.key].to_numpy(zero_copy_only=False).astype(np.int64)
         mat = _normalize(list_matrix(batch[self.column]))
         sims = self.q @ mat.T  # (Q, B)
@@ -99,8 +103,9 @@ def knn_cosine(
 ) -> pa.Table:
     """Exact cosine top-k for each query row → table
     (query_idx, vec_id, cosine, rank), rank 1-based, ties broken by
-    vec_id ascending (deterministic)."""
-    query_ref = ray.put(np.asarray(queries, dtype=np.float64))
+    vec_id ascending (deterministic).  A single query may be passed as
+    a 1-D vector (promoted to a one-row matrix)."""
+    query_ref = ray.put(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
     partials = ds.map_batches(
         _BatchTopK,
         fn_constructor_kwargs={"query_ref": query_ref, "k": k,
@@ -140,6 +145,10 @@ def train_centroids(ds: rd.Dataset, n_cells: int, *, column: str = "embedding",
     deterministic).  The centroid matrix is tiny (cells × dim) and is
     broadcast to the assignment stage."""
     sample = ds.select_columns([column]).limit(sample_limit).take_all()
+    if not sample:
+        raise ValueError(
+            f"train_centroids: dataset has no rows (column {column!r}) — "
+            "cannot seed centroids from an empty corpus")
     X = _normalize(np.asarray([r[column] for r in sample], dtype=np.float64))
     rng = np.random.RandomState(seed)
     cent = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
@@ -245,6 +254,11 @@ def knn_cosine_ivf_indexed(
     paths = [f for c in cells
              for f in sorted(_glob.glob(
                  os.path.join(index_dir, "cells", f"cell={c}", "*.parquet")))]
+    if not paths:
+        raise ValueError(
+            f"knn_cosine_ivf_indexed: no parquet files under "
+            f"{os.path.join(index_dir, 'cells')!r} for probed cells "
+            f"{cells} — was the index built with ivf_build_index?")
     cand = rd.read_parquet(paths, columns=[key, column])
     return knn_cosine(cand, queries, k, key=key, column=column,
                       concurrency=concurrency)
@@ -343,6 +357,10 @@ def kmeans_distributed(ds: rd.Dataset, k: int, *, column: str = "embedding",
     from ray.data.aggregate import Sum
 
     init_rows = ds.select_columns([column]).limit(10 * k).take_all()
+    if not init_rows:
+        raise ValueError(
+            f"kmeans_distributed: dataset has no rows (column {column!r}) "
+            "— cannot seed centroids from an empty corpus")
     X0 = _normalize(np.asarray([r[column] for r in init_rows],
                                dtype=np.float64))
     rng = np.random.RandomState(seed)
@@ -405,6 +423,10 @@ def quantize_embeddings(ds: rd.Dataset, *, key: str = "vec_id",
     from ray.data.aggregate import Max, Min
 
     def bounds_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # min/max over zero rows would crash
+            return pa.table({"dim": pa.array([], pa.int64()),
+                             "mn": pa.array([], pa.float64()),
+                             "mx": pa.array([], pa.float64())})
         mat = list_matrix(batch[column])
         d = mat.shape[1]
         return pa.table({
@@ -461,10 +483,23 @@ def embedding_dim_stats(ds, column: str = "embedding",
     from ray.data.aggregate import Max, Min, Sum
 
     def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"dim": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "sum_e6": pa.array([], pa.int64()),
+                             "min_e6": pa.array([], pa.int64()),
+                             "max_e6": pa.array([], pa.int64())})
         col = t[column].combine_chunks()
+        sizes = pc.list_value_length(col)
+        if (col.null_count or
+                pc.min(sizes).as_py() != pc.max(sizes).as_py()):
+            # flatten+reshape would silently misalign rows — fail loud
+            raise ValueError(
+                f"embedding_dim_stats: column {column!r} has null or "
+                "ragged embeddings; fixed-width list<float> required")
         flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
         n = len(t)
-        d = len(flat) // n if n else 0
+        d = len(flat) // n
         v = np.floor(flat.astype(np.float64) * scale).astype(np.int64)
         m = v.reshape(n, d)
         return pa.table({

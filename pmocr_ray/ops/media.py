@@ -55,6 +55,11 @@ class MediaResizeStage:
 
     def __init__(self, column: str = "media", out_width: int = 64,
                  out_height: int = 48) -> None:
+        if out_width < 1 or out_height < 1:
+            # struct ">I" would fail per-batch with an opaque error
+            raise ValueError(
+                f"MediaResizeStage needs positive target dims "
+                f"(got {out_width}x{out_height})")
         self.column = column
         self.out_width = out_width
         self.out_height = out_height
@@ -132,6 +137,8 @@ class FrameSampleStage:
 
     def __init__(self, column: str = "media", key_column: str = "doc_id",
                  step: int = 3) -> None:
+        if step < 1:  # range(0, n, 0) would fail per-batch
+            raise ValueError(f"FrameSampleStage needs step >= 1 (got {step})")
         self.column = column
         self.key_column = key_column
         self.step = step

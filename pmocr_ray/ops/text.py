@@ -448,6 +448,10 @@ def length_quantiles(ds, column: str = "n_chars",
                   ds.map_batches(partial, batch_format="pyarrow"),
                   ["value"], [("n", "sum", "n")])
                 .sort("value").take_all())
+    if not rollup:
+        raise ValueError(
+            f"length_quantiles: dataset has no rows (column {column!r}) "
+            "— quantiles of an empty corpus are undefined")
     values = np.array([r["value"] for r in rollup], np.int64)
     cum = np.cumsum(np.array([r["n"] for r in rollup], np.int64))
     total = int(cum[-1]) if len(cum) else 0
@@ -1057,6 +1061,10 @@ def domain_reweight(ds, group_column: str = "lang",
     counts = {r[group_column]: r["n"] for r in
               ds.select_columns([group_column]).groupby(group_column)
               .aggregate(Count(alias_name="n")).take_all()}
+    if not counts:
+        raise ValueError(
+            f"domain_reweight: dataset has no rows (group column "
+            f"{group_column!r}) — no group mix to rebalance")
     target_n = min(counts.values())
     mod = 1 << bucket_bits
     thresholds = {g: target_n * mod // n for g, n in counts.items()}

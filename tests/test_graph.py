@@ -208,3 +208,34 @@ def test_pagerank_driver_merge_and_exchange_merge_bit_identical(
     via_exchange = (G.pagerank(ds, iters=3)
                     .to_pandas().sort_values("node").reset_index(drop=True))
     assert via_driver.equals(via_exchange)
+
+
+def test_graph_empty_and_self_loop_inputs(ray_session):
+    """Empty edge sets return typed empties / zero (the joins would
+    otherwise crash on schema-less zero-row datasets); self-loop-only
+    nodes keep a (node, label=node) row instead of vanishing."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pmocr_ray.ops.graph import (connected_components_distributed,
+                                     pagerank, triangle_count)
+
+    empty_ab = rd.from_arrow(pa.table({"a": pa.array([], pa.int64()),
+                                       "b": pa.array([], pa.int64())}))
+    out = connected_components_distributed(empty_ab)
+    assert out.count() == 0
+    assert set(out.schema().names) == {"node", "label"}
+
+    empty_sd = rd.from_arrow(pa.table({"src": pa.array([], pa.int64()),
+                                       "dst": pa.array([], pa.int64())}))
+    assert pagerank(empty_sd, iters=2).count() == 0
+    assert triangle_count(empty_sd.map_batches(
+        lambda t: pa.table({"src": t["src"], "dst": t["dst"]}),
+        batch_format="pyarrow")) == 0
+
+    loop_edges = rd.from_arrow(pa.table({"a": pa.array([1, 2], pa.int64()),
+                                         "b": pa.array([1, 3], pa.int64())}))
+    got = sorted((r["node"], r["label"])
+                 for r in connected_components_distributed(
+                     loop_edges).take_all())
+    assert got == [(1, 1), (2, 2), (3, 2)]

@@ -1042,3 +1042,121 @@ def test_review_fix_edge_cases(ray_session):
     with tempfile.TemporaryDirectory() as td:
         with pytest.raises(ValueError, match="no bucket parquet files"):
             bucketed_join(td + "/a", td + "/b", key_a="k", key_b="k")
+
+
+def test_knn_edge_cases(ray_session, vec_ds):
+    """Round-3 knn hardening: 1-D query promotion, empty batches,
+    empty corpora, ragged embeddings, missing IVF index files."""
+    import pytest
+    import ray.data as rd
+
+    from pmocr_ray.ops.knn import (_BatchTopK, embedding_dim_stats,
+                                   knn_cosine_ivf_indexed,
+                                   quantize_embeddings, train_centroids)
+
+    ds, mat = vec_ds
+    # a single query passed as a bare vector == its one-row-matrix form
+    flat = knn_cosine(ds, mat[5], k=5).to_pandas()
+    twod = knn_cosine(ds, mat[5:6], k=5).to_pandas()
+    assert flat.equals(twod)
+
+    # empty batch through the per-batch kernel: typed empty, no matmul
+    empty = pa.table({"vec_id": pa.array([], pa.int64()),
+                      "embedding": pa.array([], pa.list_(pa.float32()))})
+    out = _BatchTopK(mat[:2], k=3, key="vec_id", column="embedding")(empty)
+    assert out.num_rows == 0
+    assert out.column_names == ["query_idx", "vec_id", "cosine"]
+
+    # empty corpus: loud, not an opaque numpy shape error
+    empty_ds = rd.from_arrow(empty)
+    with pytest.raises(ValueError, match="no rows"):
+        train_centroids(empty_ds, 4)
+    assert quantize_embeddings(empty_ds).count() == 0
+
+    # ragged embeddings: loud, not a silent reshape misalignment
+    ragged = rd.from_arrow(pa.table({
+        "vec_id": pa.array([1, 2], pa.int64()),
+        "embedding": pa.array([[1.0, 2.0], [3.0]], pa.list_(pa.float32())),
+    }))
+    with pytest.raises(Exception, match="ragged"):
+        embedding_dim_stats(ragged).take_all()
+
+    # missing index data dir: loud with the probed cells in the message
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    with tempfile.TemporaryDirectory() as td:
+        pq.write_table(pa.table({
+            "cell": pa.array([0, 1], pa.int32()),
+            "centroid": pa.array([[1.0, 0.0], [0.0, 1.0]],
+                                 pa.list_(pa.float64())),
+        }), os.path.join(td, "centroids.parquet"))
+        with pytest.raises(ValueError, match="no parquet files"):
+            knn_cosine_ivf_indexed(td, np.array([[1.0, 0.0]]), k=2)
+
+
+def test_text_ops_empty_corpus_loud(ray_session):
+    """Quantiles / domain rebalancing over an empty corpus fail loudly
+    instead of IndexError / bare min() errors."""
+    import pytest
+    import ray.data as rd
+
+    from pmocr_ray.ops.text import domain_reweight, length_quantiles
+
+    empty = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "lang": pa.array([], pa.string()),
+        "n_chars": pa.array([], pa.int64()),
+    }))
+    with pytest.raises(ValueError, match="no rows"):
+        length_quantiles(empty)
+    with pytest.raises(ValueError, match="no rows"):
+        domain_reweight(empty)
+
+
+def test_media_and_c4_edge_cases(ray_session):
+    """Media stage constructor validation; C4 line filter on an empty
+    (zero-chunk) batch keeps its typed schema."""
+    import pytest
+
+    from pmocr_ray.ops.filters import c4_line_filter
+    from pmocr_ray.ops.media import FrameSampleStage, MediaResizeStage
+
+    with pytest.raises(ValueError, match="step >= 1"):
+        FrameSampleStage(step=0)
+    with pytest.raises(ValueError, match="positive target dims"):
+        MediaResizeStage(out_width=0)
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "text": pa.array([], pa.string())})
+    out = c4_line_filter(empty)
+    assert out.num_rows == 0
+    assert out.column_names == ["doc_id", "n_lines", "n_kept_lines",
+                                "kept_text", "keep"]
+
+
+def test_compact_and_export_param_guards(ray_session):
+    """compact_latest rejects orderless / mismatched specs (the kept
+    row would be partition-order-dependent); shard assignment rejects
+    n_shards < 1."""
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from pmocr_ray.ops.compact import compact_latest
+    from pmocr_ray.ops.export import assign_shard
+
+    ds = rd.from_pandas(pd.DataFrame({"k": [1, 1], "v": [1, 2]}))
+    with pytest.raises(ValueError, match="order column"):
+        compact_latest(ds, "k", [])
+    with pytest.raises(ValueError, match="flags for"):
+        compact_latest(ds, "k", ["v"], descending=[True, False])
+    # valid call still compacts to the max-v row
+    out = compact_latest(ds, "k", ["v"]).to_pandas()
+    assert out.to_dict("records") == [{"k": 1, "v": 2}]
+
+    with pytest.raises(ValueError, match="n_shards >= 1"):
+        assign_shard(pa.table({"url": pa.array(["a"], pa.string())}),
+                     n_shards=0)
