@@ -1257,6 +1257,33 @@ def _q_curate(sf_dir: str):
     return out.select_columns(["doc_id", "lang_pred", "quality", "keep"])
 
 
+def _q_corpus_build(sf_dir: str):
+    """The flagship end-to-end corpus build: the extraction output's
+    done rows (url parsed back to the page's int key = seq) → exact
+    dedup → curate (lang-ID + quality + near-dup) → 512-token packing.
+    Every stage is exactly recomputable, so the whole composition has
+    one chained SQL twin — the reference's full batch story
+    (/root/reference/pmocr.sh:2546-2593 per-target dispatch over
+    discover→skip→convert→archive) as ONE streaming dataflow."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from pmocr_ray.pipelines import corpus_build
+
+    def to_corpus(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["status"], "done"))
+        m = pc.extract_regex(t["url"], r"page/(?P<d>\d+)-(?P<r>\d+)$")
+        d = pc.cast(pc.struct_field(m, "d"), pa.int64())
+        r = pc.cast(pc.struct_field(m, "r"), pa.int64())
+        return pa.table({
+            "doc_id": pc.add(pc.multiply(d, pa.scalar(REPS, pa.int64())), r),
+            "text": t["extracted_text"],
+        })
+
+    ds = _read_output(sf_dir).map_batches(to_corpus, batch_format="pyarrow")
+    return corpus_build(ds)
+
+
 def _q_media_meta(sf_dir: str):
     import pyarrow as pa
 
@@ -6443,6 +6470,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_parts_per_brand": _q_top_parts_per_brand,
         # composed curation
         "curate": _q_curate,
+        "corpus_build": _q_corpus_build,
         # multimodal
         "media_meta": _q_media_meta,
         "media_resize": _q_media_resize,
@@ -9221,6 +9249,75 @@ def oracle_sql() -> dict[str, str]:
             JOIN qual USING (doc_id)
             JOIN roots USING (doc_id)
             WHERE roots.root = d.doc_id AND qual.quality >= 0.0""",
+        # corpus_build = the whole downstream story chained: page
+        # universe → done-row extraction reconstruction → exact dedup
+        # (min-seq winner per distinct text) → lang/quality/near-dup
+        # curation over the SURVIVORS (the three curate fragments,
+        # re-pointed from `documents` to the survivor CTE) → 512-token
+        # concat-then-chunk packing in ascending key order
+        "corpus_build": f"""
+            WITH RECURSIVE
+            pg AS (
+              {_PAGE_CTE}
+              SELECT seq AS pkey, {_EXTRACTED_EXPR} AS text
+              FROM c WHERE {_STATUS_EXPR} = 'done'
+            ),
+            corpus AS (
+              SELECT pkey AS doc_id, text FROM (
+                SELECT pkey, text,
+                       row_number() OVER (PARTITION BY text
+                                          ORDER BY pkey) AS rn
+                FROM pg) WHERE rn = 1
+            ),
+            lang AS ({_lang_id_sql().replace("FROM documents",
+                                             "FROM corpus")}),
+            qual AS ({_quality_cte().replace("FROM documents",
+                                             "FROM corpus")}
+                     SELECT doc_id, quality FROM quality_m),
+            pairs AS ({_WORD_SHINGLES_CTE.replace("FROM documents",
+                                                  "FROM corpus")}
+                      SELECT a, b FROM (
+                        SELECT x.doc_id AS a, y.doc_id AS b,
+                               CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+                                 / len(list_distinct(list_concat(x.s, y.s)))
+                                 AS jaccard
+                        FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+                      ) WHERE jaccard >= 0.8),
+            edges(x, y) AS (SELECT a, b FROM pairs
+                            UNION ALL SELECT b, a FROM pairs),
+            cc(n, m) AS (
+              SELECT doc_id, doc_id FROM corpus
+              UNION
+              SELECT e.y, cc.m FROM edges e JOIN cc ON cc.n = e.x
+            ),
+            roots AS (SELECT n AS doc_id, min(m) AS root FROM cc GROUP BY n),
+            kept AS (
+              SELECT c2.doc_id, c2.text, lang.lang_pred, qual.quality
+              FROM corpus c2
+              JOIN lang USING (doc_id)
+              JOIN qual USING (doc_id)
+              JOIN roots USING (doc_id)
+              WHERE roots.root = c2.doc_id AND qual.quality >= 0.1
+            ),
+            cnt AS (
+              SELECT doc_id, lang_pred, quality,
+                     CAST(length(regexp_extract_all(text, '\\S+'))
+                          AS BIGINT) AS n_tokens
+              FROM kept),
+            sq AS (
+              SELECT doc_id, lang_pred, quality, n_tokens,
+                     CAST(coalesce(sum(n_tokens) OVER (
+                            ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS BIGINT)
+                       AS tok_start
+              FROM cnt)
+            SELECT doc_id, lang_pred, quality, n_tokens, tok_start,
+                   tok_start // 512 AS block_start,
+                   CASE WHEN n_tokens > 0
+                        THEN (tok_start + n_tokens - 1) // 512
+                        ELSE tok_start // 512 END AS block_end
+            FROM sq""",
         # SimHash pinned to its exact regime: md5 word hashes
         # (md5_number_upper = little-endian first 8 digest bytes,
         # matching the engine's word_hash="md5") reconstruct the

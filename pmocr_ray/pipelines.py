@@ -19,7 +19,7 @@ import pyarrow.compute as pc
 
 import ray.data as rd
 
-from pmocr_ray.ops.dedup import minhash_dedup_keep
+from pmocr_ray.ops.dedup import exact_dedup, minhash_dedup_keep
 from pmocr_ray.ops.text import LangIdStage, quality_score
 
 
@@ -71,3 +71,62 @@ def curate(
         return t.filter(mask)
 
     return ds.map_batches(keep_filter, batch_format="pyarrow")
+
+
+def corpus_build(
+    corpus: rd.Dataset,
+    *,
+    key: str = "doc_id",
+    column: str = "text",
+    block_tokens: int = 512,
+    min_quality: float = 0.1,
+    dedup_threshold: float = 0.8,
+    concurrency: int = 2,
+) -> rd.Dataset:
+    """The complete training-corpus build over an extracted corpus —
+    the engine's flagship composition (extraction's downstream half of
+    the 100 TB story, every stage an existing operator):
+
+    exact dedup (min-``key`` winner per distinct ``column``) →
+    :func:`curate` (lang-ID + quality + MinHash-LSH near-dup keep) →
+    :func:`pmocr_ray.ops.pack.pack_sequences` (concat-then-chunk token
+    packing in ascending ``key`` order).
+
+    Returns one row per surviving document: (key, lang_pred, quality,
+    n_tokens, tok_start, block_start, block_end).
+
+    Shuffle budget on top of curate's: the exact-dedup decision
+    exchange moves (fp, keep_id, n) triples only; the survivor
+    semi-join and the final pack⋈meta join are both survivor-scale
+    with data-sized partitions (:func:`pmocr_ray.ops.joins
+    .parts_for_rows`); pack's exchange is per-part token totals.  The
+    corpus text itself crosses the wires exactly as in curate — never
+    the driver.
+    """
+    from pmocr_ray.ops.joins import parts_for_rows
+    from pmocr_ray.ops.pack import pack_sequences
+
+    # exact-dedup survivors: keep_id values are unique by construction
+    # (one fp per distinct content, one winner per fp), so the decision
+    # table is itself the semi-join probe side
+    dec = exact_dedup(corpus, column=column, key=key)
+    keep = dec.map_batches(
+        lambda t: pa.table({key: t["keep_id"]}),
+        batch_format="pyarrow").materialize()
+    survivors = corpus.join(
+        keep, join_type="left_semi", on=(key,),
+        num_partitions=parts_for_rows(keep.count())).materialize()
+
+    curated = curate(
+        survivors, key=key, column=column, min_quality=min_quality,
+        dedup_threshold=dedup_threshold, concurrency=concurrency,
+    ).materialize()  # consumed twice: pack + meta join-back
+
+    packed = pack_sequences(curated, block_tokens, key=key, column=column)
+    meta = curated.select_columns([key, "lang_pred", "quality"])
+    out = packed.join(
+        meta, join_type="inner", on=(key,),
+        num_partitions=parts_for_rows(curated.count()))
+    return out.select_columns(
+        [key, "lang_pred", "quality", "n_tokens", "tok_start",
+         "block_start", "block_end"])

@@ -81,6 +81,47 @@ def test_minhash_dedup_keep_annotate_ds(ray_session):
         assert out[1]["dup_of"] == 0 and out[2]["dup_of"] == 0
 
 
+def test_corpus_build(ray_session):
+    """End-to-end corpus build: exact dedup -> curate -> packing.
+
+    doc 1 (exact dup of 0) must fall at the EXACT stage, doc 2 (near
+    dup) at the curate stage, doc 3 (junk) at the quality gate; the
+    survivors' pack spans must be the contiguous concat-then-chunk
+    assignment in ascending key order."""
+    from pmocr_ray.pipelines import corpus_build
+
+    rows = {r["doc_id"]: r for r in
+            corpus_build(_corpus(ray_session), block_tokens=16,
+                         min_quality=0.1,
+                         dedup_threshold=0.5).take_all()}
+    assert set(rows) == {0, 4}
+    n0 = len(GOOD.split())
+    assert rows[0]["n_tokens"] == n0 and rows[0]["tok_start"] == 0
+    assert rows[0]["block_start"] == 0
+    assert rows[0]["block_end"] == (n0 - 1) // 16
+    assert rows[4]["tok_start"] == n0          # exclusive prefix sum
+    assert rows[4]["block_start"] == n0 // 16
+    for r in rows.values():
+        assert {"lang_pred", "quality"} <= set(r)
+        assert r["quality"] >= 0.1
+
+
+def test_corpus_build_partition_invariance(ray_session):
+    """The composed result is identical at any input partitioning."""
+    from pmocr_ray.pipelines import corpus_build
+
+    def run(ds):
+        return sorted(
+            (r["doc_id"], r["n_tokens"], r["tok_start"], r["block_start"],
+             r["block_end"], r["lang_pred"], r["quality"])
+            for r in corpus_build(ds, block_tokens=16, min_quality=0.1,
+                                  dedup_threshold=0.5).take_all())
+
+    one = run(_corpus(ray_session).repartition(1))
+    many = run(_corpus(ray_session).repartition(5))
+    assert one == many and len(one) == 2
+
+
 def test_curate_distributed_cc(ray_session):
     """curate survives (and matches) with the distributed CC route."""
     base = {r["doc_id"] for r in
