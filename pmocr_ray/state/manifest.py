@@ -375,3 +375,54 @@ def serve(pages_dir: str, out_dir: str, manifest_dir: str,
         rounds += 1
         if max_rounds is None or rounds < max_rounds:
             time.sleep(interval_s)
+
+
+def serve_push(pages_dir: str, out_dir: str, manifest_dir: str,
+               done_manifest_path: str | None = None,
+               max_wait_s: float = 86400.0,
+               poll_interval_s: float = 30.0,
+               max_rounds: int | None = None,
+               extract_kwargs: dict | None = None) -> dict:
+    """Push-based service loop: block on **inotify** events for
+    ``pages_dir`` between rounds, waking the instant a new partition
+    file lands — the reference's primary service mode (``inotifywait -e
+    create -e moved_to --timeout $MAX_WAIT``, pmocr.sh:2268-2270) —
+    with ``max_wait_s`` forcing a periodic round regardless
+    (``MAX_WAIT``, pmocr.sh:24-26).
+
+    Events are only the wake signal; every round is the same manifest
+    snapshot-diff (:func:`poll_once`), so overflowed/dropped events
+    cost latency, never correctness.  On platforms without inotify the
+    loop degrades to :func:`serve`'s fixed-interval poller (the
+    reference's ``_InotifyWaitPoller`` fallback, pmocr.sh:2272-2275).
+
+    The first round runs immediately (the reference's first-run kick,
+    pmocr.sh:2262-2265).  ``max_rounds`` bounds the loop for tests.
+    Returns a summary: rounds run, mode, last wake's event names.
+    """
+    from pmocr_ray.state.inotify import DirWatcher
+
+    watcher = None
+    try:
+        watcher = DirWatcher(pages_dir, suffix=".parquet")
+    except OSError:
+        pass  # degrade to the poller below
+
+    rounds, last_events = 0, []
+    try:
+        while max_rounds is None or rounds < max_rounds:
+            poll_once(pages_dir, out_dir, manifest_dir, done_manifest_path,
+                      extract_kwargs=extract_kwargs)
+            rounds += 1
+            if max_rounds is not None and rounds >= max_rounds:
+                break
+            if watcher is not None:
+                last_events = watcher.wait(max_wait_s)
+            else:
+                time.sleep(poll_interval_s)
+    finally:
+        if watcher is not None:
+            watcher.close()
+    return {"rounds": rounds,
+            "mode": "inotify" if watcher is not None else "poller",
+            "last_events": last_events}

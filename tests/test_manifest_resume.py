@@ -72,6 +72,71 @@ def test_new_partition_picked_up_by_poll(tmp_env):
     assert len(s["processed"]) == 1 and len(s["skipped"]) == 2
 
 
+def test_dirwatcher_push_events(tmp_path):
+    """The ctypes inotify binding delivers created/renamed-in file
+    names and times out cleanly (the reference's inotifywait contract,
+    pmocr.sh:2268-2270)."""
+    import threading
+    import time as _t
+
+    from pmocr_ray.state.inotify import DirWatcher, inotify_available
+
+    if not inotify_available():  # pragma: no cover - non-Linux
+        pytest.skip("platform lacks inotify")
+    d = tmp_path / "watched"
+    d.mkdir()
+    with DirWatcher(str(d), suffix=".parquet") as w:
+        assert w.wait(0.05) == []  # timeout -> forced-run wake
+
+        def arrive():
+            _t.sleep(0.1)
+            (d / "ignored.tmp").write_bytes(b"x")   # filtered by suffix
+            tmp = d / "part-0.parquet.tmp"
+            tmp.write_bytes(b"x")
+            os.replace(tmp, d / "part-0.parquet")   # rename-in (MOVED_TO)
+
+        t = threading.Thread(target=arrive)
+        t.start()
+        events = w.wait(5.0)
+        t.join()
+        assert events == ["part-0.parquet"]
+
+
+def test_serve_push_wakes_on_new_partition(tmp_env):
+    """serve_push: first round immediate, second round woken by the
+    partition file landing (push, not poll) — and the woken round
+    processes exactly the new partition."""
+    import threading
+    import time as _t
+
+    from pmocr_ray.state.inotify import inotify_available
+    from pmocr_ray.state.manifest import serve_push
+
+    new = tmp_env["remaining"][0]
+
+    def arrive():
+        _t.sleep(0.3)
+        shutil.copy(new, os.path.join(tmp_env["monitored"],
+                                      os.path.basename(new)))
+
+    t = threading.Thread(target=arrive)
+    t.start()
+    # max_wait_s far above the arrival delay: only the push event can
+    # wake round 2 quickly; the poller fallback (non-Linux) still
+    # terminates via poll_interval_s
+    summary = serve_push(tmp_env["monitored"], tmp_env["out"],
+                         tmp_env["manifest"], tmp_env["done"],
+                         max_wait_s=30.0, poll_interval_s=1.0,
+                         max_rounds=2)
+    t.join()
+    assert summary["rounds"] == 2
+    if inotify_available():
+        assert summary["mode"] == "inotify"
+        assert summary["last_events"] == [os.path.basename(new)]
+    manifest = LineageManifest(tmp_env["manifest"])
+    assert len(manifest.committed()) == 3  # 2 initial + the pushed one
+
+
 def test_torn_run_is_discarded_and_redone(tmp_env):
     """Kill-mid-run: a partition with output but no manifest commit is
     rerun from scratch; exactly-once per url still holds."""
