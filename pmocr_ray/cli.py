@@ -63,6 +63,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--interval", dest="poll_interval_s", type=float)
     p.add_argument("--rounds", type=int, default=None,
                    help="service mode: stop after N poll rounds")
+    p.add_argument("--push", action="store_true",
+                   help="service mode: block on inotify events between "
+                        "rounds (the reference's inotifywait mode, "
+                        "pmocr.sh:2268-2270) instead of a fixed poll "
+                        "interval; degrades to the poller where inotify "
+                        "is unavailable")
+    p.add_argument("--max-wait", dest="max_wait_s", type=float,
+                   default=86400.0,
+                   help="push mode: force a round after this many "
+                        "seconds without events (MAX_WAIT, "
+                        "pmocr.sh:24-26)")
     return p
 
 
@@ -115,15 +126,24 @@ def run_batch(pages: str, cfg: PipelineConfig, update_done: bool = False) -> dic
     return status_counts(rd.read_parquet(status_dir, columns=["status"]))
 
 
-def run_service(pages: str, cfg: PipelineConfig, rounds: int | None) -> dict:
-    from pmocr_ray.state.manifest import serve
+def run_service(pages: str, cfg: PipelineConfig, rounds: int | None,
+                push: bool = False, max_wait_s: float = 86400.0) -> dict:
+    from pmocr_ray.state.manifest import LineageManifest, serve, serve_push
 
-    serve(pages, cfg.out_dir, cfg.resolved_manifest_dir(), cfg.done_manifest,
-          interval_s=cfg.poll_interval_s, max_rounds=rounds)
-    from pmocr_ray.state.manifest import LineageManifest
+    out: dict = {}
+    if push:
+        out = serve_push(pages, cfg.out_dir, cfg.resolved_manifest_dir(),
+                         cfg.done_manifest, max_wait_s=max_wait_s,
+                         poll_interval_s=cfg.poll_interval_s,
+                         max_rounds=rounds)
+    else:
+        serve(pages, cfg.out_dir, cfg.resolved_manifest_dir(),
+              cfg.done_manifest, interval_s=cfg.poll_interval_s,
+              max_rounds=rounds)
 
     entries = LineageManifest(cfg.resolved_manifest_dir()).committed()
-    return {"partitions": len(entries)}
+    out["partitions"] = len(entries)
+    return out
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -160,7 +180,8 @@ def main(argv: list[str] | None = None) -> int:
         if args.batch:
             out = run_batch(args.batch, cfg, update_done=args.update_done)
         else:
-            out = run_service(args.service, cfg, args.rounds)
+            out = run_service(args.service, cfg, args.rounds,
+                              push=args.push, max_wait_s=args.max_wait_s)
         print(json.dumps(out))
         return 0
     finally:

@@ -119,3 +119,22 @@ class TestCli:
         assert rc == 0 and out["partitions"] == len(
             glob.glob(os.path.join(pages, "*.parquet"))
         )
+
+    def test_service_mode_push(self, pages_fixture, tmp_path, capsys):
+        """--push: the inotify-event service loop through the CLI
+        (single immediate round; the push wait only gates LATER
+        rounds, so --rounds 1 terminates without an event)."""
+        pages, done = pages_fixture
+        rc, out = self._run(
+            ["--service", pages, "--out", str(tmp_path / "o5"),
+             "--done-manifest", done, "--rounds", "1", "--push",
+             "--max-wait", "5"],
+            capsys,
+        )
+        assert rc == 0 and out["partitions"] == len(
+            glob.glob(os.path.join(pages, "*.parquet"))
+        )
+        from pmocr_ray.state.inotify import inotify_available
+
+        assert out["mode"] == ("inotify" if inotify_available()
+                               else "poller")
