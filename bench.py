@@ -435,49 +435,53 @@ def _update_baseline_md(summary: dict, results: dict) -> None:
         text = open(path).read()
     except FileNotFoundError:
         text = "# BASELINE\n"
+    new_eff = summary["scaling_efficiency"]
+    kept = True
+    old = None
     if _MARK_BEGIN in text:
         # keep-better policy: this host's capacity drifts 2-3x between
         # windows (see the measurement-history table), so a capped
         # window must not clobber a bar-meeting steady-state number.
-        # The auto block keeps the best paired measurement; every run
-        # is still appended to the history table below it.
+        # The auto block keeps the best paired measurement; EVERY run
+        # (kept or unkept) is appended to the history table below it.
         old = re.search(r"Scaling efficiency \d+→\d+: ([0-9.]+)\*\*",
                         text.split(_MARK_BEGIN)[1].split(_MARK_END)[0])
-        new_eff = summary["scaling_efficiency"]
-        if old and new_eff < float(old.group(1)):
-            now = datetime.datetime.now().strftime("%m-%d %H:%M")
-            hist = (f"| auto ({now}) "
-                    f"| {summary['pages']/1e6:.1f}M "
-                    f"| {summary['sec_lo']} | {summary['sec_hi']} "
-                    f"| {summary['docs_per_sec_hi']:,.0f} | {new_eff} "
-                    f"| unkept (< {old.group(1)} committed block); probes "
-                    f"{summary['host_probe_pre']['host_efficiency']}/"
-                    f"{summary['host_probe_post']['host_efficiency']}, membw "
-                    f"{summary['host_probe_pre'].get('membw_gbs_hi', '?')}/"
-                    f"{summary['host_probe_post'].get('membw_gbs_hi', '?')} GB/s |")
-            lines = text.splitlines()
-            # anchor to the measurement-history table explicitly (its
-            # header names the first column), not "any wide table row"
-            hdr = [i for i, ln in enumerate(lines)
-                   if ln.lstrip().startswith("| when ")]
-            if hdr:
-                j = hdr[0] + 1
-                while j < len(lines) and lines[j].lstrip().startswith("|"):
-                    j += 1
-                lines.insert(j, hist)
-                text = "\n".join(lines) + ("\n" if text.endswith("\n") else "")
-            else:
-                # no history table: append one after the auto block
-                text = (text.rstrip() + "\n\n## Measurement history\n\n"
-                        "| when (UTC-ish) | pages | t_8 (s) | t_32 (s) "
-                        "| docs/s @32 | efficiency | engine |\n"
-                        "|---|---|---|---|---|---|---|\n" + hist + "\n")
-        else:
+        kept = not (old and new_eff < float(old.group(1)))
+        if kept:
             pre = text.split(_MARK_BEGIN)[0]
             post = text.split(_MARK_END)[-1]
             text = pre + block + post
     else:
         text = text.rstrip() + "\n\n" + block + "\n"
+    now = datetime.datetime.now().strftime("%m-%d %H:%M")
+    status = ("KEPT (new committed block)" if kept else
+              f"unkept (< {old.group(1)} committed block)")
+    hist = (f"| auto ({now}) "
+            f"| {summary['pages']/1e6:.1f}M "
+            f"| {summary['sec_lo']} | {summary['sec_hi']} "
+            f"| {summary['docs_per_sec_hi']:,.0f} | {new_eff} "
+            f"| {status}; probes "
+            f"{summary['host_probe_pre']['host_efficiency']}/"
+            f"{summary['host_probe_post']['host_efficiency']}, membw "
+            f"{summary['host_probe_pre'].get('membw_gbs_hi', '?')}/"
+            f"{summary['host_probe_post'].get('membw_gbs_hi', '?')} GB/s |")
+    lines = text.splitlines()
+    # anchor to the measurement-history table explicitly (its
+    # header names the first column), not "any wide table row"
+    hdr = [i for i, ln in enumerate(lines)
+           if ln.lstrip().startswith("| when ")]
+    if hdr:
+        j = hdr[0] + 1
+        while j < len(lines) and lines[j].lstrip().startswith("|"):
+            j += 1
+        lines.insert(j, hist)
+        text = "\n".join(lines) + ("\n" if text.endswith("\n") else "")
+    else:
+        # no history table: append one after the auto block
+        text = (text.rstrip() + "\n\n## Measurement history\n\n"
+                "| when (UTC-ish) | pages | t_8 (s) | t_32 (s) "
+                "| docs/s @32 | efficiency | engine |\n"
+                "|---|---|---|---|---|---|---|\n" + hist + "\n")
     with open(path, "w") as f:
         f.write(text)
 

@@ -513,25 +513,48 @@ def bucketed_write(ds: rd.Dataset, out_dir: str, *, key: str,
 
 
 def bucketed_join(dir_a: str, dir_b: str, *, key_a: str, key_b: str,
-                  n_buckets: int = 16) -> rd.Dataset:
+                  n_buckets: int = 16,
+                  hot_bucket_bytes: int = 256 << 20) -> rd.Dataset:
     """Shuffle-free equi-join of two directories written by
     :func:`bucketed_write` with the same ``n_buckets``: one task per
     bucket id reads BOTH sides' bucket partition and hash-joins
-    locally — keys are co-located by the layout, so no all-to-all
-    exchange ever runs.  This is the bucketed-table join every
-    warehouse uses to amortize one shuffle (at write time) across
-    every future join on the key.
+    locally (Arrow-native ``pa.Table.join`` — no pandas copy) — keys
+    are co-located by the layout, so no all-to-all exchange ever
+    runs.  This is the bucketed-table join every warehouse uses to
+    amortize one shuffle (at write time) across every future join on
+    the key.
 
-    Returns the joined rows (left columns + right columns).  Missing
+    **Hot-bucket handling** (skew discipline, same as the dedup
+    family's hot-bucket splits): a driver-side METADATA scan (file
+    sizes only, no data read) sizes each bucket; a bucket whose larger
+    side exceeds ``hot_bucket_bytes`` on disk is star-split across
+    ``ceil(bytes / hot_bucket_bytes)`` tasks — each sub-task reads a
+    disjoint row-group slice of the LARGER side (row-group-granular,
+    so the hot side is never fully materialized in one worker) and
+    joins it against the full smaller side.  Row-slicing (not
+    key-hashing) is what makes a single mega-key splittable: each
+    left-slice × full-right is a disjoint part of the inner join.
+    Memory bound per task: smaller side + one row-group slice + its
+    join output.  If BOTH sides of one bucket are huge, raise
+    ``n_buckets`` at write time (the smaller side is the hash-table
+    side and is read whole per sub-task).
+
+    Returns the joined rows (left columns + right columns; when the
+    key names differ the right key is re-attached as a copy of the
+    left key, matching SQL ``JOIN ... ON a = b`` output).  Missing
     bucket directories (empty buckets) contribute nothing.
     """
     import glob
+    import math
     import os
 
     import pyarrow.parquet as pq_
 
-    # schema-stable empty result: derive the merged frame shape from
-    # one file of each side (driver-side metadata read only)
+    def _files(d: str, b: int) -> list:
+        return sorted(glob.glob(os.path.join(d, f"bucket={b}", "*.parquet")))
+
+    # schema-stable empty result: derive the joined shape from one
+    # file of each side (driver-side metadata read only)
     fa = sorted(glob.glob(os.path.join(dir_a, "bucket=*", "*.parquet")))
     fb = sorted(glob.glob(os.path.join(dir_b, "bucket=*", "*.parquet")))
     if not fa or not fb:
@@ -542,28 +565,81 @@ def bucketed_join(dir_a: str, dir_b: str, *, key_a: str, key_b: str,
         raise ValueError(
             f"bucketed_join: no bucket parquet files under {missing!r} "
             f"(was the side empty when bucketed_write ran?)")
-    empty = (pq_.read_schema(fa[0]).empty_table().to_pandas().merge(
-        pq_.read_schema(fb[0]).empty_table().to_pandas(),
-        left_on=key_a, right_on=key_b, how="inner"))
+    sch_a, sch_b = pq_.read_schema(fa[0]), pq_.read_schema(fb[0])
+
+    def _join(ta: pa.Table, tb: pa.Table) -> pa.Table:
+        if tb.schema.field(key_b).type != ta.schema.field(key_a).type:
+            tb = tb.set_column(
+                tb.column_names.index(key_b), key_b,
+                pc.cast(tb[key_b], ta.schema.field(key_a).type))
+        j = ta.join(tb, keys=key_a, right_keys=key_b, join_type="inner")
+        if key_b != key_a and key_b not in j.column_names:
+            # Arrow coalesces the right key away; re-attach it
+            # (zero-copy reference to the left key — equal by the
+            # inner-join predicate) so both key columns survive as in
+            # SQL SELECT *.
+            j = j.append_column(key_b, j[key_a])
+        return j
+
+    empty = _join(sch_a.empty_table(), sch_b.empty_table())
+
+    # ---- driver metadata scan: size buckets, plan star-splits ----
+    items = []
+    for b in range(n_buckets):
+        files_a, files_b = _files(dir_a, b), _files(dir_b, b)
+        if not files_a or not files_b:
+            continue  # empty bucket on either side joins to nothing
+        bytes_a = sum(os.path.getsize(f) for f in files_a)
+        bytes_b = sum(os.path.getsize(f) for f in files_b)
+        split_a = bytes_a >= bytes_b
+        n_subs = max(1, math.ceil(max(bytes_a, bytes_b) / hot_bucket_bytes))
+        for s in range(n_subs):
+            items.append({"bucket": b, "sub": s, "n_subs": n_subs,
+                          "split_a": split_a})
+
+    if not items:
+        return rd.from_arrow(empty)
+
+    def _read_bucket(d: str, b: int, schema: pa.Schema,
+                     sub: int = 0, n_subs: int = 1) -> pa.Table:
+        files = _files(d, b)
+        if n_subs == 1:
+            if not files:
+                return schema.empty_table()
+            # select() guards against pq.read_table inferring the hive
+            # `bucket=` path key as an extra column (it does, even for
+            # an explicit file list)
+            return pq_.read_table(files).select(schema.names)
+        # row-group-granular slice: list (file, row_group) units in
+        # deterministic order, take every n_subs-th starting at sub —
+        # a disjoint, exhaustive partition of the bucket's rows that
+        # never materializes the full hot side in one task
+        units = []
+        for f in files:
+            units.extend((f, i)
+                         for i in range(pq_.ParquetFile(f).num_row_groups))
+        mine = units[sub::n_subs]
+        if not mine:
+            return schema.empty_table()
+        parts = [pq_.ParquetFile(f).read_row_group(i) for f, i in mine]
+        return pa.concat_tables(parts, promote_options="default")
 
     def join_buckets(batch: pa.Table) -> pa.Table:
-        frames = [empty]
-        for b in batch["bucket"].to_pylist():
-            pa_dir = os.path.join(dir_a, f"bucket={b}")
-            pb_dir = os.path.join(dir_b, f"bucket={b}")
-            if not (os.path.isdir(pa_dir) and os.path.isdir(pb_dir)):
-                continue
-            ta = pq_.read_table(pa_dir).to_pandas()
-            tb = pq_.read_table(pb_dir).to_pandas()
-            frames.append(ta.merge(tb, left_on=key_a, right_on=key_b,
-                                   how="inner"))
-        j = pd.concat(frames, ignore_index=True) if len(frames) > 1 \
-            else empty
-        return pa.Table.from_pandas(j, preserve_index=False)
+        out = [empty]
+        for row in batch.to_pylist():
+            b, s, n = row["bucket"], row["sub"], row["n_subs"]
+            sa, na = (s, n) if row["split_a"] else (0, 1)
+            sb, nb = (0, 1) if row["split_a"] else (s, n)
+            ta = _read_bucket(dir_a, b, sch_a, sa, na)
+            tb = _read_bucket(dir_b, b, sch_b, sb, nb)
+            if ta.num_rows and tb.num_rows:
+                out.append(_join(ta, tb))
+        j = pa.concat_tables(out, promote_options="default")
+        return j.select(empty.column_names)
 
-    ids = rd.from_items([{"bucket": b} for b in range(n_buckets)])
-    # batch_size=1 → one task per bucket: per-bucket parallelism with
-    # no shuffle anywhere
+    ids = rd.from_items(items)
+    # batch_size=1 → one task per (bucket, sub): per-bucket AND
+    # per-hot-slice parallelism with no shuffle anywhere
     return ids.map_batches(join_buckets, batch_format="pyarrow",
                            batch_size=1)
 

@@ -147,6 +147,37 @@ def test_bucketed_join_matches_plain_join(ray_session, tmp_path):
     assert got == exp
 
 
+def test_bucketed_join_hot_bucket_split(ray_session, tmp_path):
+    """One key = 50% of rows (all landing in one bucket): a tiny
+    hot_bucket_bytes must star-split that bucket across multiple
+    tasks (row-group slices of the larger side x full smaller side)
+    and still produce the exact inner join."""
+    from pmocr_ray.ops.pack import bucketed_join, bucketed_write
+
+    n = 20_000
+    rng = np.random.default_rng(0)
+    lk = np.concatenate([np.full(n // 2, 42, dtype=np.int64),
+                         rng.integers(0, 10_000, n // 2)])
+    left = pd.DataFrame({"k": lk, "lv": np.arange(n)})
+    right = pd.DataFrame({"rk": np.arange(10_050, dtype=np.int64),
+                          "rv": np.arange(10_050) * 2})
+    da = bucketed_write(rd.from_pandas(left).repartition(8),
+                        str(tmp_path / "l"), key="k", n_buckets=4)
+    db = bucketed_write(rd.from_pandas(right).repartition(4),
+                        str(tmp_path / "r"), key="rk", n_buckets=4)
+    joined = bucketed_join(da, db, key_a="k", key_b="rk", n_buckets=4,
+                           hot_bucket_bytes=20_000)
+    mat = joined.materialize()
+    # the split planner must have emitted more tasks than buckets
+    assert mat.num_blocks() > 4
+    out = mat.to_pandas().sort_values("lv").reset_index(drop=True)
+    exp = (left.merge(right, left_on="k", right_on="rk")
+           .sort_values("lv").reset_index(drop=True))
+    assert len(out) == len(exp)
+    assert (out["lv"].values == exp["lv"].values).all()
+    assert (out["rv"].values == exp["rv"].values).all()
+
+
 def test_token_budget_trim_rule(ray_session):
     import pandas as pd
 
