@@ -8,17 +8,20 @@ schema (url, warc_ts, html, text, lang) so every downstream stage is
 source-agnostic.
 
 JSONL carries binary html as base64 (JSON has no bytes type); the
-decode is per-batch inside the read pipeline, not a driver loop.
+codec is the batched zero-copy kernel in :mod:`pmocr_ray.ops.b64`
+(whole-buffer numpy for small elements, per-element C over memoryview
+slices for large), applied per batch inside the read pipeline — never
+a driver loop, never ``to_pylist``.
 """
 
 from __future__ import annotations
-
-import base64
 
 import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data as rd
+
+from pmocr_ray.ops.b64 import b64decode_array, b64encode_array
 
 PAGES_COLUMNS = ("url", "warc_ts", "html", "text", "lang")
 
@@ -27,13 +30,8 @@ def pages_to_jsonl(pages_dir: str, out_dir: str) -> None:
     """Export canonical pages to JSONL shards (html base64-encoded) —
     the fixture writer for the JSONL ingest path and a real export."""
     def encode(batch: pa.Table) -> pa.Table:
-        b64 = pa.array(
-            [base64.b64encode(v).decode("ascii") if v is not None else None
-             for v in batch["html"].to_pylist()],
-            pa.string(),
-        )
         t = batch.set_column(batch.schema.get_field_index("html"),
-                             "html_b64", b64)
+                             "html_b64", b64encode_array(batch["html"]))
         return t
 
     (rd.read_parquet(pages_dir)
@@ -45,11 +43,7 @@ def read_pages_jsonl(path: str) -> rd.Dataset:
     """Read JSONL page shards into the canonical pages schema: base64
     html decoded per batch, warc_ts restored to timestamp[us]."""
     def decode(batch: pa.Table) -> pa.Table:
-        html = pa.array(
-            [base64.b64decode(v) if v is not None else None
-             for v in batch["html_b64"].to_pylist()],
-            pa.binary(),
-        )
+        html = b64decode_array(batch["html_b64"])
         ts = batch["warc_ts"]
         if not pa.types.is_timestamp(ts.type):
             ts = pc.cast(ts, pa.timestamp("us"))

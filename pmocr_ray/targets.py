@@ -36,6 +36,11 @@ class TargetSpec:
     writer: str                                        # parquet | csv | json
     writer_kwargs: dict = dataclasses.field(default_factory=dict)
     columns: tuple[str, ...] | None = None             # projection, post-transform
+    # columns the TRANSFORM consumes — pushed into the derived pass's
+    # read_parquet so only those leave storage (None = read everything;
+    # when transform is None the post-projection doubles as the input
+    # set, so the read is pruned either way)
+    input_columns: tuple[str, ...] | None = None
 
 
 def _csv_transform(t: pa.Table) -> pa.Table:
@@ -114,22 +119,26 @@ TARGETS: dict[str, TargetSpec] = {
     "text": TargetSpec(transform=None, writer="parquet"),
     # the reference's primary pdf target (text-layer PDF per document)
     "pdf": TargetSpec(transform=pdf_transform, writer="parquet",
-                      columns=("url", "status", "pdf")),
+                      columns=("url", "status", "pdf"),
+                      input_columns=("url", "status", "extracted_text")),
     # the reference's CSV hack (pmocr.sh:2013-2043) as a derived format,
     # written as real .csv files
     "csv": TargetSpec(transform=_csv_transform, writer="csv",
-                      columns=("url", "status", "csv_text")),
+                      columns=("url", "status", "csv_text"),
+                      input_columns=("url", "status", "extracted_text")),
     # JSONL — one object per line (write_json emits exactly that)
     "jsonl": TargetSpec(transform=None, writer="json",
                         columns=("url", "status", "extracted_text")),
     # the reference's WORD target analogue (structured document:
     # real minimal docx ZIP, one paragraph per line)
     "docx": TargetSpec(transform=docx_transform, writer="parquet",
-                       columns=("url", "status", "docx")),
+                       columns=("url", "status", "docx"),
+                       input_columns=("url", "status", "extracted_text")),
     # the reference's EXCEL target analogue (structured spreadsheet:
     # real minimal xlsx ZIP, one row per line, one cell per ;-field)
     "xlsx": TargetSpec(transform=xlsx_transform, writer="parquet",
-                       columns=("url", "status", "xlsx")),
+                       columns=("url", "status", "xlsx"),
+                       input_columns=("url", "status", "extracted_text")),
 }
 
 
@@ -170,7 +179,14 @@ def write_targets(result_ds: rd.Dataset, out_dir: str,
         if name == "text":
             continue
         spec = TARGETS[name]
-        ds = rd.read_parquet(text_dir)
+        # prune at the read: only the transform's declared inputs (or,
+        # for identity targets, the output projection itself) leave
+        # storage — a 3-column jsonl target must not stream every
+        # column of the text table
+        read_cols = spec.input_columns or (
+            spec.columns if spec.transform is None else None)
+        ds = rd.read_parquet(
+            text_dir, columns=list(read_cols) if read_cols else None)
         if spec.transform is not None:
             ds = ds.map_batches(spec.transform, batch_format="pyarrow")
         if spec.columns:

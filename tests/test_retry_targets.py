@@ -204,6 +204,41 @@ def test_write_targets_fan_out(tmp_path, pages_fixture):
         pass
 
 
+def test_write_targets_column_pruned_read(tmp_path, pages_fixture):
+    """Derived-target passes must read ONLY the spec's declared input
+    columns from the text parquet: a probe transform sees exactly
+    input_columns, never the full text-table schema."""
+    from pmocr_ray.targets import TARGETS, TargetSpec, register_target
+
+    from pmocr_ray.targets import write_targets
+
+    src, done = _one_shard(pages_fixture, tmp_path)
+    ds = run_extraction(src, done, run_id="prune")
+    text_cols = set(ds.schema().names)
+    assert len(text_cols) > 3  # the prune must be observable
+
+    def probe(t):
+        # runs in a Ray worker: fail the task (-> the test) on any
+        # unpruned read, and record what was seen in the output
+        got = tuple(sorted(t.column_names))
+        if got != ("extracted_text", "status", "url"):
+            raise ValueError(f"unpruned read: {got}")
+        return t
+
+    register_target("_probe", TargetSpec(
+        transform=probe, writer="parquet",
+        columns=("url", "status"),
+        input_columns=("url", "status", "extracted_text")))
+    try:
+        paths = write_targets(run_extraction(src, done, run_id="prune2"),
+                              str(tmp_path / "pruned"), ["text", "_probe"])
+    finally:
+        TARGETS.pop("_probe", None)
+    probed = _read(paths["_probe"]).to_pandas()
+    assert len(probed) > 0
+    assert sorted(probed.columns) == ["status", "url"]
+
+
 def test_cli_targets_and_retry_flags(tmp_path, pages_fixture):
     """CLI: --targets fan-out writes per-format dirs; --retry-failed is
     accepted and a rerun after --update-done skips everything."""
