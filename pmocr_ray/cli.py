@@ -28,8 +28,14 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="pmocr_ray", description=__doc__)
     mode = p.add_mutually_exclusive_group(required=True)
     mode.add_argument("--batch", metavar="PAGES", help="one conversion pass")
-    mode.add_argument("--service", metavar="PAGES",
-                      help="poll for new partitions and process them")
+    mode.add_argument("--service", metavar="PAGES[:tgt1+tgt2]", nargs="+",
+                      help="poll for new partitions and process them; "
+                           "multiple directories run in ONE service "
+                           "process (the reference's one-daemon-N-dirs "
+                           "mode, pmocr.sh:2519-2537), each with its own "
+                           "lineage manifest, output subdir and optional "
+                           "per-dir target bundle appended as "
+                           ":tgt1+tgt2 (default.conf:116-126)")
     p.add_argument("--config", help="KEY=value config file")
     p.add_argument("--out", dest="out_dir")
     p.add_argument("--done-manifest", dest="done_manifest")
@@ -126,23 +132,60 @@ def run_batch(pages: str, cfg: PipelineConfig, update_done: bool = False) -> dic
     return status_counts(rd.read_parquet(status_dir, columns=["status"]))
 
 
-def run_service(pages: str, cfg: PipelineConfig, rounds: int | None,
-                push: bool = False, max_wait_s: float = 86400.0) -> dict:
-    from pmocr_ray.state.manifest import LineageManifest, serve, serve_push
+def _parse_service_entry(entry: str) -> tuple[str, tuple[str, ...] | None]:
+    """``PAGES[:tgt1+tgt2]`` -> (pages_dir, targets-or-None)."""
+    path, sep, tgts = entry.rpartition(":")
+    if not sep or os.path.sep in tgts or not path:
+        return entry, None
+    return path, tuple(t for t in tgts.split("+") if t) or None
 
-    out: dict = {}
+
+def run_service(pages: str | list[str], cfg: PipelineConfig,
+                rounds: int | None, push: bool = False,
+                max_wait_s: float = 86400.0) -> dict:
+    from pmocr_ray.state.manifest import (LineageManifest, ServiceDirSpec,
+                                          serve, serve_push, serve_multi)
+
+    entries = [pages] if isinstance(pages, str) else list(pages)
+    parsed = [_parse_service_entry(e) for e in entries]
+
+    if len(parsed) > 1 or parsed[0][1] is not None:
+        # one service process, N watched dirs (pmocr.sh:2519-2537):
+        # per-dir output subdir + lineage manifest + target bundle,
+        # names disambiguated by position so equal basenames never
+        # collide
+        specs = []
+        for i, (pages_dir, targets) in enumerate(parsed):
+            name = f"{os.path.basename(os.path.normpath(pages_dir))}-{i}"
+            specs.append(ServiceDirSpec(
+                pages_dir=pages_dir,
+                out_dir=os.path.join(cfg.out_dir, name),
+                manifest_dir=os.path.join(cfg.resolved_manifest_dir(), name),
+                done_manifest_path=(os.path.join(cfg.done_manifest, name)
+                                    if cfg.done_manifest else None),
+                targets=targets or (tuple(cfg.target_list()) or None),
+            ))
+        out = serve_multi(specs, push=push, max_wait_s=max_wait_s,
+                          poll_interval_s=cfg.poll_interval_s,
+                          max_rounds=rounds)
+        out["partitions"] = sum(d["partitions"]
+                                for d in out["per_dir"].values())
+        return out
+
+    pages_dir = parsed[0][0]
+    out = {}
     if push:
-        out = serve_push(pages, cfg.out_dir, cfg.resolved_manifest_dir(),
+        out = serve_push(pages_dir, cfg.out_dir, cfg.resolved_manifest_dir(),
                          cfg.done_manifest, max_wait_s=max_wait_s,
                          poll_interval_s=cfg.poll_interval_s,
                          max_rounds=rounds)
     else:
-        serve(pages, cfg.out_dir, cfg.resolved_manifest_dir(),
+        serve(pages_dir, cfg.out_dir, cfg.resolved_manifest_dir(),
               cfg.done_manifest, interval_s=cfg.poll_interval_s,
               max_rounds=rounds)
 
-    entries = LineageManifest(cfg.resolved_manifest_dir()).committed()
-    out["partitions"] = len(entries)
+    entries_committed = LineageManifest(cfg.resolved_manifest_dir()).committed()
+    out["partitions"] = len(entries_committed)
     return out
 
 

@@ -150,3 +150,42 @@ class DirWatcher:
 
     def __exit__(self, *exc) -> None:
         self.close()
+
+
+def wait_any(watchers: list["DirWatcher"],
+             timeout_s: float | None) -> dict[str, list[str]]:
+    """Block until at least one of ``watchers`` has a matching event —
+    the multi-directory analogue of :meth:`DirWatcher.wait` (the
+    reference daemon selects over up to 5 per-dir inotifywait children,
+    pmocr.sh:2519-2537).  Returns ``{watched_path: [names]}`` for every
+    directory that fired, or ``{}`` on timeout (the forced-run wake).
+    Filtered-out noise (temp files) does not end the wait early; a
+    burst is coalesced into one wake, same as the single-dir path.
+    """
+    import time
+
+    deadline = None if timeout_s is None else time.monotonic() + timeout_s
+    by_fd = {w._fd: w for w in watchers}
+    hits: dict[str, set] = {}
+
+    def _drain_ready(ready) -> None:
+        for fd in ready:
+            names = by_fd[fd]._drain()
+            if names:
+                hits.setdefault(by_fd[fd].path, set()).update(names)
+
+    while not hits:
+        remaining = (None if deadline is None
+                     else max(0.0, deadline - time.monotonic()))
+        r, _, _ = select.select(list(by_fd), [], [], remaining)
+        if not r:
+            return {}
+        _drain_ready(r)
+        if deadline is not None and time.monotonic() >= deadline:
+            break
+    while True:
+        r = select.select(list(by_fd), [], [], 0)[0]
+        if not r:
+            break
+        _drain_ready(r)
+    return {k: sorted(v) for k, v in hits.items()}

@@ -30,6 +30,7 @@ partitions not yet committed (see pipeline.py).
 
 from __future__ import annotations
 
+import dataclasses
 import datetime
 import glob
 import hashlib
@@ -98,6 +99,7 @@ def run_incremental(
     on_complete=None,
     update_row_manifest: bool = False,
     extract_kwargs: dict | None = None,
+    targets: tuple[str, ...] | list[str] | None = None,
 ) -> dict:
     """Process every input partition lacking a committed lineage entry.
 
@@ -119,6 +121,13 @@ def run_incremental(
     change (or a broken engine) takes effect at the next poll, never
     mid-partition.  A failing engine quarantines rows; the partition
     still commits with its failure counts (fault isolation, SURVEY §4).
+
+    ``targets`` selects a multi-format bundle per partition (the
+    reference's per-monitor-dir format list, default.conf:116-126):
+    each committed partition directory then holds ``text/`` plus one
+    subdir per derived format (see :func:`pmocr_ray.targets
+    .write_targets`); lineage counts and the done-manifest fold read
+    the canonical ``text/`` output.
     """
     from pmocr_ray.pipeline import run_extraction  # local import: no ray at module load
 
@@ -149,8 +158,15 @@ def run_incremental(
             concurrency=concurrency,
             **(extract_kwargs or {}),
         )
-        ds.write_parquet(tmp_out)
+        if targets:
+            from pmocr_ray.targets import write_targets
+
+            write_targets(ds, tmp_out, targets)
+        else:
+            ds.write_parquet(tmp_out)
         os.replace(tmp_out, part_out)
+        # the canonical text output (counts + done-manifest fold read it)
+        status_root = os.path.join(part_out, "text") if targets else part_out
         wall_s = round(time.perf_counter() - t0, 3)
 
         # per-partition metrics from the written output (columnar read
@@ -158,7 +174,7 @@ def run_incremental(
         import pyarrow.compute as _pc
 
         counts: dict[str, int] = {}
-        for f in glob.glob(os.path.join(part_out, "*.parquet")):
+        for f in glob.glob(os.path.join(status_root, "*.parquet")):
             for s in _pc.value_counts(
                     pq.read_table(f, columns=["status"])["status"]).to_pylist():
                 counts[s["values"]] = counts.get(s["values"], 0) + s["counts"]
@@ -184,7 +200,8 @@ def run_incremental(
         # recorded (exactly-once-per-url would then be violated by a
         # duplicate url in a later partition).
         if update_row_manifest and done_manifest_path:
-            update_done_manifest(part_out, done_manifest_path, run_id=run_id)
+            update_done_manifest(status_root, done_manifest_path,
+                                 run_id=run_id)
         manifest.commit(key, entry)
         manifest.heartbeat()
         log.info("partition %s committed: %s", key, counts)
@@ -426,3 +443,96 @@ def serve_push(pages_dir: str, out_dir: str, manifest_dir: str,
     return {"rounds": rounds,
             "mode": "inotify" if watcher is not None else "poller",
             "last_events": last_events}
+
+
+@dataclasses.dataclass(frozen=True)
+class ServiceDirSpec:
+    """One watched directory of a multi-directory service process —
+    the analogue of the reference's per-monitor-dir config bundle
+    (MONITOR_DIR_1..5 + per-dir format lists, default.conf:116-126):
+    its own pages source, output root, lineage manifest, optional done
+    manifest and target-format bundle, fully isolated from the other
+    directories the same process watches."""
+
+    pages_dir: str
+    out_dir: str
+    manifest_dir: str
+    done_manifest_path: str | None = None
+    targets: tuple[str, ...] | None = None
+    extract_kwargs: dict | None = None
+
+
+def serve_multi(specs, *, push: bool = True, max_wait_s: float = 86400.0,
+                poll_interval_s: float = 30.0,
+                max_rounds: int | None = None) -> dict:
+    """One service process watching N directories — the reference
+    daemon spawns up to 5 per-dir monitors inside one process
+    (pmocr.sh:2519-2537); this is the same shape for partitioned
+    Parquet: one round = a manifest snapshot-diff poll of EVERY spec
+    (each with its own manifest/out/targets — isolation is per spec),
+    then one blocking :func:`pmocr_ray.state.inotify.wait_any` across
+    all the dirs' inotify fds (``push=True``), so a partition landing
+    in any one directory wakes the whole loop.  Degrades to the
+    fixed-interval poller where inotify is unavailable.  As in the
+    single-dir loops, events are only the wake signal — correctness
+    comes from the per-round snapshot diff.
+
+    ``max_rounds`` bounds the loop for tests.  Returns a summary with
+    per-directory processed/partition counts.
+    """
+    from pmocr_ray.state.inotify import DirWatcher, wait_any
+
+    specs = list(specs)
+    if not specs:
+        raise ValueError("serve_multi: no directory specs given")
+    seen: dict[str, str] = {}
+    for s in specs:
+        key = os.path.abspath(s.manifest_dir)
+        if key in seen:
+            raise ValueError(
+                f"serve_multi: manifest dir {s.manifest_dir!r} is shared "
+                f"by {seen[key]!r} and {s.pages_dir!r} — two watched "
+                "directories would interleave lineage; give each spec "
+                "its own manifest_dir")
+        seen[key] = s.pages_dir
+
+    watchers: list = []
+    if push:
+        try:
+            for s in specs:
+                watchers.append(DirWatcher(s.pages_dir, suffix=".parquet"))
+        except OSError:
+            for w in watchers:
+                w.close()
+            watchers = []  # degrade every dir to the poller together
+
+    rounds = 0
+    last_events: dict = {}
+    per_dir: dict[str, dict] = {
+        s.pages_dir: {"partitions": 0, "counts": {}} for s in specs}
+    try:
+        while max_rounds is None or rounds < max_rounds:
+            for s in specs:
+                out = run_incremental(
+                    s.pages_dir, s.out_dir, s.manifest_dir,
+                    s.done_manifest_path,
+                    extract_kwargs=s.extract_kwargs,
+                    targets=s.targets)
+                d = per_dir[s.pages_dir]
+                d["partitions"] += len(out["processed"])
+                for k, v in out["counts"].items():
+                    d["counts"][k] = d["counts"].get(k, 0) + v
+            rounds += 1
+            if max_rounds is not None and rounds >= max_rounds:
+                break
+            if watchers:
+                last_events = wait_any(watchers, max_wait_s)
+            else:
+                time.sleep(poll_interval_s)
+    finally:
+        for w in watchers:
+            w.close()
+    return {"rounds": rounds,
+            "mode": "inotify" if watchers else "poller",
+            "last_events": last_events,
+            "per_dir": per_dir}

@@ -120,6 +120,34 @@ class TestCli:
             glob.glob(os.path.join(pages, "*.parquet"))
         )
 
+    def test_service_mode_multi_dir_cli(self, pages_fixture, tmp_path,
+                                        capsys):
+        """--service DIR1:tgts DIR2:tgts — one CLI invocation watches
+        both dirs with per-dir target bundles (one-daemon-N-dirs,
+        pmocr.sh:2519-2537)."""
+        import shutil
+
+        pages, done = pages_fixture
+        src = sorted(glob.glob(os.path.join(pages, "*.parquet")))
+        d0, d1 = tmp_path / "in0", tmp_path / "in1"
+        d0.mkdir(), d1.mkdir()
+        shutil.copy(src[0], d0 / os.path.basename(src[0]))
+        shutil.copy(src[1], d1 / os.path.basename(src[1]))
+        out_dir = str(tmp_path / "o6")
+        rc, out = self._run(
+            ["--service", f"{d0}:text+csv", f"{d1}:text+jsonl",
+             "--out", out_dir, "--done-manifest", done,
+             "--rounds", "1", "--interval", "0.1"],
+            capsys,
+        )
+        assert rc == 0 and out["partitions"] == 2
+        assert out["per_dir"][str(d0)]["partitions"] == 1
+        assert out["per_dir"][str(d1)]["partitions"] == 1
+        p0 = glob.glob(os.path.join(out_dir, "in0-0", "part-*"))[0]
+        p1 = glob.glob(os.path.join(out_dir, "in1-1", "part-*"))[0]
+        assert sorted(os.listdir(p0)) == ["csv", "text"]
+        assert sorted(os.listdir(p1)) == ["jsonl", "text"]
+
     def test_service_mode_push(self, pages_fixture, tmp_path, capsys):
         """--push: the inotify-event service loop through the CLI
         (single immediate round; the push wait only gates LATER

@@ -137,6 +137,104 @@ def test_serve_push_wakes_on_new_partition(tmp_env):
     assert len(manifest.committed()) == 3  # 2 initial + the pushed one
 
 
+def test_serve_multi_two_dirs_isolated_targets(tmp_path, pages_fixture):
+    """One service process, two watched dirs with DIFFERENT target
+    bundles (reference: one daemon, up to 5 monitor dirs with per-dir
+    format lists, pmocr.sh:2519-2537 / default.conf:116-126): each dir
+    gets its own manifest, output subtree and formats; manifests are
+    isolated; a second round skips everything."""
+    from pmocr_ray.state.manifest import ServiceDirSpec, serve_multi
+
+    pages, done = pages_fixture
+    src = sorted(glob.glob(os.path.join(pages, "*.parquet")))
+    dirs, specs = [], []
+    for i, targets in enumerate((("text", "csv"), ("text", "jsonl"))):
+        d = tmp_path / f"incoming{i}"
+        d.mkdir()
+        shutil.copy(src[i], d / os.path.basename(src[i]))
+        dirs.append(str(d))
+        specs.append(ServiceDirSpec(
+            pages_dir=str(d),
+            out_dir=str(tmp_path / f"out{i}"),
+            manifest_dir=str(tmp_path / f"manifest{i}"),
+            done_manifest_path=done,
+            targets=targets))
+
+    summary = serve_multi(specs, push=False, max_rounds=1)
+    assert summary["rounds"] == 1
+    assert summary["per_dir"][dirs[0]]["partitions"] == 1
+    assert summary["per_dir"][dirs[1]]["partitions"] == 1
+
+    # per-dir target bundles landed (and ONLY those bundles)
+    part0 = glob.glob(str(tmp_path / "out0" / "part-*"))
+    part1 = glob.glob(str(tmp_path / "out1" / "part-*"))
+    assert len(part0) == 1 and len(part1) == 1
+    assert sorted(os.listdir(part0[0])) == ["csv", "text"]
+    assert sorted(os.listdir(part1[0])) == ["jsonl", "text"]
+    assert glob.glob(os.path.join(part0[0], "csv", "*.csv"))
+    assert glob.glob(os.path.join(part1[0], "jsonl", "*.json"))
+
+    # manifest isolation: each lineage records exactly its own partition
+    m0 = LineageManifest(str(tmp_path / "manifest0")).committed()
+    m1 = LineageManifest(str(tmp_path / "manifest1")).committed()
+    assert len(m0) == 1 and len(m1) == 1
+    assert {e["partition"] for e in m0.values()} == {os.path.basename(src[0])}
+    assert {e["partition"] for e in m1.values()} == {os.path.basename(src[1])}
+
+    # second round: snapshot diff finds nothing new in either dir
+    summary2 = serve_multi(specs, push=False, max_rounds=1)
+    assert summary2["per_dir"][dirs[0]]["partitions"] == 0
+    assert summary2["per_dir"][dirs[1]]["partitions"] == 0
+
+    # a shared manifest dir is refused loudly
+    with pytest.raises(ValueError, match="shared"):
+        serve_multi([specs[0],
+                     ServiceDirSpec(pages_dir=dirs[1],
+                                    out_dir=str(tmp_path / "oX"),
+                                    manifest_dir=str(tmp_path / "manifest0"))],
+                    push=False, max_rounds=1)
+
+
+def test_serve_multi_push_wakes_on_any_dir(tmp_path, pages_fixture):
+    """Push mode over two dirs: round 2 is woken by a partition landing
+    in the SECOND dir only (wait_any over both inotify fds)."""
+    import threading
+    import time as _t
+
+    from pmocr_ray.state.inotify import inotify_available
+    from pmocr_ray.state.manifest import ServiceDirSpec, serve_multi
+
+    pages, done = pages_fixture
+    src = sorted(glob.glob(os.path.join(pages, "*.parquet")))
+    specs = []
+    for i in range(2):
+        d = tmp_path / f"incoming{i}"
+        d.mkdir()
+        specs.append(ServiceDirSpec(
+            pages_dir=str(d), out_dir=str(tmp_path / f"out{i}"),
+            manifest_dir=str(tmp_path / f"manifest{i}"),
+            done_manifest_path=done))
+    shutil.copy(src[0], tmp_path / "incoming0" / os.path.basename(src[0]))
+
+    def arrive():
+        _t.sleep(0.3)
+        shutil.copy(src[1],
+                    tmp_path / "incoming1" / os.path.basename(src[1]))
+
+    t = threading.Thread(target=arrive)
+    t.start()
+    summary = serve_multi(specs, push=True, max_wait_s=30.0,
+                          poll_interval_s=1.0, max_rounds=2)
+    t.join()
+    assert summary["rounds"] == 2
+    if inotify_available():
+        assert summary["mode"] == "inotify"
+        assert summary["last_events"] == {
+            str(tmp_path / "incoming1"): [os.path.basename(src[1])]}
+    m1 = LineageManifest(str(tmp_path / "manifest1")).committed()
+    assert {e["partition"] for e in m1.values()} == {os.path.basename(src[1])}
+
+
 def test_torn_run_is_discarded_and_redone(tmp_env):
     """Kill-mid-run: a partition with output but no manifest commit is
     rerun from scratch; exactly-once per url still holds."""
