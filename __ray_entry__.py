@@ -1477,17 +1477,21 @@ def _q_dedup_embedding_lsh(sf_dir: str):
     w.p. 1-acos(0.45)/π ≈ 0.649, so a 5-plane table catches a pair
     w.p. 0.649⁵ ≈ 0.115 and 64 tables miss it w.p. (1-0.115)⁶⁴ ≈
     4e-4 — and the planes are seeded, so the observed complete
-    candidate set is reproducible bit-for-bit.  The sparse production
-    regime (16 planes × 8 tables, for thresholds ≥0.9 where the
-    plane-agreement contrast is strong) is benchmarked separately in
-    bench.py (``dedup_embedding_lsh_fast``)."""
+    candidate set is reproducible bit-for-bit.  ``max_bucket`` is
+    raised past the corpus size (same pinning as ``dedup_simhash``):
+    5-plane tables have only 32 buckets, so at sf0.1 (2 k vectors,
+    mean occupancy 62.5) the default hot-bucket star emit silently
+    dropped 3/144 pairs — the sf0.1 heavy-tail selfcheck caught it.
+    The sparse production regime (16 planes × 8 tables, for
+    thresholds ≥0.9 where the plane-agreement contrast is strong) is
+    benchmarked separately in bench.py (``dedup_embedding_lsh_fast``)."""
     import ray.data as rd
 
     from pmocr_ray.ops.dedup import embedding_dedup_pairs_lsh
 
     return embedding_dedup_pairs_lsh(
         rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet")),
-        threshold=0.45, n_planes=5, n_tables=64,
+        threshold=0.45, n_planes=5, n_tables=64, max_bucket=1 << 20,
     ).select_columns(["a", "b"])
 
 

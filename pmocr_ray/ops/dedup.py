@@ -1073,6 +1073,7 @@ def embedding_dedup_pairs_lsh(
     n_tables: int = 8,
     concurrency: int = 2,
     max_broadcast_rows: int = 100_000,
+    max_bucket: int = 64,
 ) -> rd.Dataset:
     """Scale path for embedding near-dup: SRP-LSH bucketing bounds the
     candidate set (vs the O(n²) brute force of
@@ -1080,6 +1081,16 @@ def embedding_dedup_pairs_lsh(
     Returns (a, b, cosine) with cosine ≥ threshold.  Approximate:
     recall < 1 by construction, validated against the brute-force
     baseline in tests.
+
+    ``max_bucket`` is the hot-bucket star-emit cap of
+    :func:`lsh_candidate_pairs`.  NOTE: star emit preserves CLUSTER
+    connectivity (the keep/dedup consumers), but for PAIR output it
+    drops a hot bucket's non-minimum pairs unless another table
+    catches them — with few planes, buckets are occupancy ∝ n/2^planes
+    and the default cap silently costs recall as the corpus grows
+    (measured: 3/144 pairs lost at 2 k vectors × 5 planes, where mean
+    occupancy 62.5 put half the buckets over the cap).  Dense
+    exact-regime runs must raise it past the corpus size.
 
     Verification is size-gated like :func:`attach_pair_sides`: a corpus
     within ``max_broadcast_rows`` broadcasts ONE normalized matrix
@@ -1096,7 +1107,7 @@ def embedding_dedup_pairs_lsh(
         batch_format="pyarrow",
         concurrency=(1, concurrency),
     )
-    candidates = lsh_candidate_pairs(band_rows)
+    candidates = lsh_candidate_pairs(band_rows, max_bucket=max_bucket)
 
     n = ds.count()
     if n <= max_broadcast_rows:
