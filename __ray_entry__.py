@@ -6573,6 +6573,21 @@ SELECT a, b, jaccard FROM (
 ) WHERE jaccard >= 0.8
 """
 
+# (a, b)-only variant for composite oracles (curate / corpus_build)
+# whose pair CTE only feeds component labeling — same inverted-index
+# candidate generation, no jaccard column
+_PAIR_AB_INVERTED = """
+, sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+post AS (SELECT doc_id, unnest(s) AS g FROM sh),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+  FROM post x JOIN post y ON x.g = y.g AND x.doc_id < y.doc_id
+  GROUP BY 1, 2)
+SELECT a, b FROM inter
+JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+"""
+
 # quality_score arithmetic, reproduced term-for-term (same IEEE ops in
 # the same order as pmocr_ray/ops/text.py quality_score)
 _QUALITY_CTE = r"""
@@ -9247,14 +9262,7 @@ def oracle_sql() -> dict[str, str]:
             lang AS ({_lang_id_sql()}),
             qual AS ({_quality_cte()}
                      SELECT doc_id, quality FROM quality_m),
-            pairs AS ({_WORD_SHINGLES_CTE}
-                      SELECT a, b FROM (
-                        SELECT x.doc_id AS a, y.doc_id AS b,
-                               CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
-                                 / len(list_distinct(list_concat(x.s, y.s)))
-                                 AS jaccard
-                        FROM sh x JOIN sh y ON x.doc_id < y.doc_id
-                      ) WHERE jaccard >= 0.8),
+            pairs AS ({_WORD_SHINGLES_CTE}{_PAIR_AB_INVERTED}),
             edges(x, y) AS (SELECT a, b FROM pairs
                             UNION ALL SELECT b, a FROM pairs),
             cc(n, m) AS (
@@ -9296,13 +9304,7 @@ def oracle_sql() -> dict[str, str]:
                      SELECT doc_id, quality FROM quality_m),
             pairs AS ({_WORD_SHINGLES_CTE.replace("FROM documents",
                                                   "FROM corpus")}
-                      SELECT a, b FROM (
-                        SELECT x.doc_id AS a, y.doc_id AS b,
-                               CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
-                                 / len(list_distinct(list_concat(x.s, y.s)))
-                                 AS jaccard
-                        FROM sh x JOIN sh y ON x.doc_id < y.doc_id
-                      ) WHERE jaccard >= 0.8),
+                      {_PAIR_AB_INVERTED}),
             edges(x, y) AS (SELECT a, b FROM pairs
                             UNION ALL SELECT b, a FROM pairs),
             cc(n, m) AS (
