@@ -1237,15 +1237,21 @@ def _q_pps_sample(sf_dir: str):
 
 
 def _q_distinct_by_type(sf_dir: str):
-    """Per-group KMV distinct-count sketch (k=256; distinct users per
-    type ≤ 150 < k, so the sketch is provably exact here)."""
+    """Per-group KMV distinct-count sketch pinned EXACT at any scale:
+    k is sized past the per-group distinct bound (user ids are dense,
+    so max+1 bounds the distinct count — one column-pruned max scan).
+    A fixed k=256 was exact at sf0.01 (≤150 users/type) but silently
+    approximate at sf0.1 (1,500 users/type) — the sf0.1 heavy-tail
+    pass caught the hash drift.  The approximation regime itself is
+    exercised by the ``kmv_sketch`` query."""
     import ray.data as rd
 
     from pmocr_ray.ops.text import group_distinct_kmv
 
-    return group_distinct_kmv(
-        rd.read_parquet(os.path.join(sf_dir, "events.parquet")),
-        "event_type", "user_id", k=256)
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "user_id"])
+    k = max(256, int(ev.max("user_id")) + 2)
+    return group_distinct_kmv(ev, "event_type", "user_id", k=k)
 
 
 def _q_curate(sf_dir: str):
@@ -2572,21 +2578,37 @@ def _q_schema_evolve(sf_dir: str):
 
 def _q_rare_term_pairs(sf_dir: str):
     """Doc pairs sharing a rare marker token (df ≤ 3 blocking — the
-    rarity filter IS the bucket cap)."""
+    rarity filter IS the bucket cap).  The marker modulus scales with
+    the corpus (≈ df 3 at any sf): a fixed modulus made every marker
+    common at sf0.1, leaving an empty result — and a zero-row Ray
+    Dataset cannot carry a schema (from_arrow(empty).schema() is
+    empty in this Ray version), so the result is also returned as a
+    TYPED pandas frame with an explicit empty-schema fallback."""
+    import math
+
+    import pandas as pd
     import pyarrow as pa
 
     from pmocr_ray.ops.text import rare_term_pairs
 
+    n_docs = _docs(sf_dir).count()
+    mod_val = max(149, math.ceil(n_docs / 3))
+
     def add_marker(t: pa.Table) -> pa.Table:
         mk = pc.binary_join_element_wise(
             t["text"], pc.binary_join_element_wise(
-                "mk", pc.cast(_mod(t["doc_id"], 149), pa.string()), ""),
+                "mk", pc.cast(_mod(t["doc_id"], mod_val), pa.string()), ""),
             " ")
         return pa.table({"doc_id": t["doc_id"], "text": mk})
 
     ds = (_docs(sf_dir).select_columns(["doc_id", "text"])
           .map_batches(add_marker, batch_format="pyarrow"))
-    return rare_term_pairs(ds, max_df=3)
+    df = rare_term_pairs(ds, max_df=3).to_pandas()
+    if df.shape[1] == 0:  # Ray dropped the schema with the last row
+        df = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                           "b": pd.Series(dtype="int64"),
+                           "n_shared_terms": pd.Series(dtype="int64")})
+    return df
 
 
 def _q_priority_semi(sf_dir: str):
@@ -8579,7 +8601,7 @@ def oracle_sql() -> dict[str, str]:
         "rare_term_pairs": r"""
             WITH d AS (
               SELECT doc_id,
-                     text || ' mk' || CAST(doc_id % 149 AS VARCHAR)
+                     text || ' mk' || CAST(doc_id % (SELECT greatest(149, CAST(ceil(count(*) / 3.0) AS BIGINT)) FROM documents) AS VARCHAR)
                        AS text
               FROM documents
             ), inc AS (

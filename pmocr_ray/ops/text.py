@@ -1558,7 +1558,10 @@ def rare_term_pairs(ds, column: str = "text", key: str = "doc_id",
                      pc.less_equal(t["df"], max_df)),
                      batch_format="pyarrow")
                  .select_columns(["term"]).take_all())
-    rare = pa.array(sorted(r["term"] for r in rare_rows))
+    # explicit type: an EMPTY rare set (every term common — the sf0.1
+    # regime under a fixed max_df) otherwise infers null type and
+    # pc.is_in raises "string vs null"
+    rare = pa.array(sorted(r["term"] for r in rare_rows), type=pa.string())
     ref = ray.put(rare)
 
     def incidence(batch: pa.Table) -> pa.Table:

@@ -212,6 +212,13 @@ def grouped_aggregate(
 
         merged = merged.map_batches(_coerce, batch_format="pyarrow")
         merged = merged.union(rd.from_arrow(seed))
+        # NOTE: the seed union preserves Dataset.schema() and typed
+        # blocks for downstream Ray consumers, but this Ray version's
+        # to_pandas()/iter_batches() still drop a ZERO-ROW dataset's
+        # schema entirely (even plain from_arrow(empty_typed_table)
+        # yields a zero-column frame).  Callers that hand a possibly-
+        # empty result to pandas must re-type the empty frame
+        # themselves (see _q_rare_term_pairs).
     return merged
 
 
