@@ -956,7 +956,15 @@ def simhash_dedup_pairs(ds: rd.Dataset, *, key: str = "doc_id",
     complete (any pair within distance 3 shares an exact chunk), so —
     bucket cap aside — the output is EXACTLY the brute-force Hamming
     self-join over the signatures; ``word_hash="md5"`` makes those
-    signatures SQL-recomputable (see :class:`SimHashStage`)."""
+    signatures SQL-recomputable (see :class:`SimHashStage`).
+
+    ``max_bucket``: past the cap a bucket star-emits (members pair
+    with the bucket minimum only) — cluster connectivity is preserved
+    for keep/dedup consumers, but the PAIR output is then partial for
+    that bucket (same semantics as the LSH family; see
+    :func:`embedding_dedup_pairs_lsh`).  Exact-regime runs that need
+    the complete pair set must raise it past the worst bucket
+    occupancy (the ``dedup_simhash`` catalog query pins 2^20)."""
     chunks = ds.map_batches(
         SimHashStage,
         fn_constructor_kwargs={"key": key, "column": column,
