@@ -147,6 +147,13 @@ def run_service(pages: str | list[str], cfg: PipelineConfig,
                                           serve, serve_push, serve_multi)
 
     entries = [pages] if isinstance(pages, str) else list(pages)
+    if entries == ["auto"]:
+        # config-driven watcher list — the reference's service reads
+        # MONITOR_DIR_1..5 from its conf file (pmocr.sh:2519-2537)
+        entries = cfg.service_dir_list()
+        if not entries:
+            raise SystemExit(
+                "--service auto: the config file defines no service_dirs")
     parsed = [_parse_service_entry(e) for e in entries]
 
     if len(parsed) > 1 or parsed[0][1] is not None:

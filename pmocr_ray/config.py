@@ -69,12 +69,19 @@ class PipelineConfig:
     # fan-out (per-target dispatch loop, pmocr.sh:2546-2593)
     emit_csv: bool = False
     targets: str = ""                    # e.g. "text,csv,jsonl"; empty = single sink
+    # multi-directory service (MONITOR_DIR_1..5 + per-dir format lists,
+    # pmocr.sh:2519-2537 / default.conf:116-126): comma-separated
+    # "DIR[:tgt1+tgt2]" entries; `--service auto` reads them from here
+    service_dirs: str = ""
 
     def resolved_manifest_dir(self) -> str:
         return self.manifest_dir or os.path.join(self.out_dir, "_manifest")
 
     def target_list(self) -> list[str]:
         return [t.strip() for t in self.targets.split(",") if t.strip()]
+
+    def service_dir_list(self) -> list[str]:
+        return [d.strip() for d in self.service_dirs.split(",") if d.strip()]
 
     def preprocessor_list(self) -> list[str]:
         return [p.strip() for p in self.preprocessors.split(",") if p.strip()]

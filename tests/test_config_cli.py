@@ -148,6 +148,34 @@ class TestCli:
         assert sorted(os.listdir(p0)) == ["csv", "text"]
         assert sorted(os.listdir(p1)) == ["jsonl", "text"]
 
+    def test_service_mode_auto_from_config(self, pages_fixture, tmp_path,
+                                           capsys):
+        """--service auto: the watcher list comes from the config
+        file's service_dirs (the reference's MONITOR_DIR_1..5,
+        default.conf:116-126)."""
+        import shutil
+
+        pages, done = pages_fixture
+        src = sorted(glob.glob(os.path.join(pages, "*.parquet")))
+        d0, d1 = tmp_path / "cin0", tmp_path / "cin1"
+        d0.mkdir(), d1.mkdir()
+        shutil.copy(src[0], d0 / os.path.basename(src[0]))
+        shutil.copy(src[1], d1 / os.path.basename(src[1]))
+        conf = tmp_path / "svc.conf"
+        conf.write_text(f"service_dirs={d0}:text+csv,{d1}\n")
+        out_dir = str(tmp_path / "o7")
+        rc, out = self._run(
+            ["--service", "auto", "--config", str(conf), "--out", out_dir,
+             "--done-manifest", done, "--rounds", "1", "--interval", "0.1"],
+            capsys,
+        )
+        assert rc == 0 and out["partitions"] == 2
+        p0 = glob.glob(os.path.join(out_dir, "cin0-0", "part-*"))[0]
+        assert sorted(os.listdir(p0)) == ["csv", "text"]
+        # plain parquet partition for the bundle-less dir
+        assert glob.glob(os.path.join(out_dir, "cin1-1", "part-*",
+                                      "*.parquet"))
+
     def test_service_mode_push(self, pages_fixture, tmp_path, capsys):
         """--push: the inotify-event service loop through the CLI
         (single immediate round; the push wait only gates LATER
