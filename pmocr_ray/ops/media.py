@@ -2,13 +2,18 @@
 
 Image/audio/video travel as ``binary`` columns with small typed
 metadata columns beside them — exactly how the extraction pipeline
-treats ``html``.  The real decode libraries (PIL/ffmpeg) are not in
-this container, so the codec is a deterministic synthetic format
-(``FAKEIMG`` header + big-endian dims + payload); the Ray-side
-machinery — schema, actor-pool decode stage, batch sizing for wide
-binary rows, feature output layout — is real and tested.  A production
-deployment registers a real decoder behind the same stage interface
-(the pmOCR pluggable-engine pattern, /root/reference/default.conf:24-87).
+treats ``html``.  Uncompressed rasters (binary PPM ``P6`` and 24-bit
+BMP) are decoded/resized/re-encoded for REAL with pure-numpy codecs
+(:func:`decode_ppm` / :func:`decode_bmp` / :func:`resize_nearest`), so
+the actor-pool stages are end-to-end functional on those formats with
+zero extra dependencies.  Compressed formats (JPEG/PNG/ffmpeg video)
+need libraries this container lacks, so they are stood in by a
+deterministic synthetic format (``FAKEIMG`` header + big-endian dims +
+payload); the Ray-side machinery — schema, actor-pool decode stage,
+batch sizing for wide binary rows, feature output layout — is the same
+either way.  A production deployment registers a real compressed-codec
+decoder behind the same stage interface (the pmOCR pluggable-engine
+pattern, /root/reference/default.conf:24-87).
 """
 
 from __future__ import annotations
@@ -42,6 +47,94 @@ def decode_header(payload: bytes) -> tuple[int, int, int]:
     return w, h, c
 
 
+# ---- real raster formats (pure numpy, no image libraries) -----------
+#
+# PPM (P6) and uncompressed 24-bit BMP are fully decodable without
+# PIL/libvips, so the media stages are REAL end-to-end for them; the
+# synthetic FAKEIMG codec remains the stand-in for compressed formats
+# (JPEG/PNG) whose decoders this container lacks.
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6, maxval 255) -> (h, w, 3) uint8 array."""
+    if payload[:2] != b"P6":
+        raise ValueError("media: not a P6 PPM")
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":  # comment to end of line
+            while pos < len(payload) and payload[pos:pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and payload[pos:pos + 1].isdigit():
+            pos += 1
+        if start == pos:
+            raise ValueError("media: malformed PPM header")
+        vals.append(int(payload[start:pos]))
+    w, h, maxval = vals
+    if maxval != 255:
+        raise ValueError(f"media: PPM maxval {maxval} unsupported (255 only)")
+    pos += 1  # the single whitespace byte after maxval
+    need = w * h * 3
+    body = np.frombuffer(payload, dtype=np.uint8, count=need, offset=pos)
+    return body.reshape(h, w, 3)
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 array -> binary PPM (P6)."""
+    h, w, c = arr.shape
+    if c != 3:
+        raise ValueError(f"media: PPM needs 3 channels, got {c}")
+    return b"P6\n%d %d\n255\n" % (w, h) + \
+        np.ascontiguousarray(arr, dtype=np.uint8).tobytes()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP (BI_RGB) -> (h, w, 3) uint8 RGB array.
+    Handles bottom-up (positive height) and top-down rows and the
+    4-byte row padding; other depths/compressions raise loudly."""
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise ValueError("media: not a BMP")
+    data_off, = struct.unpack_from("<I", payload, 10)
+    w, h_signed = struct.unpack_from("<ii", payload, 18)
+    bpp, = struct.unpack_from("<H", payload, 28)
+    comp, = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or comp != 0:
+        raise ValueError(
+            f"media: only uncompressed 24-bit BMP supported "
+            f"(got {bpp} bpp, compression {comp})")
+    h, bottom_up = abs(h_signed), h_signed > 0
+    stride = (w * 3 + 3) & ~3
+    body = np.frombuffer(payload, dtype=np.uint8, count=h * stride,
+                         offset=data_off)
+    rows = body.reshape(h, stride)[:, :w * 3].reshape(h, w, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return rows[..., ::-1].copy()  # BGR -> RGB
+
+
+def decode_raster(payload: bytes) -> np.ndarray:
+    """Dispatch a REAL raster payload (PPM/BMP) by magic."""
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    raise ValueError("media: unknown raster format")
+
+
+def is_raster(payload: bytes) -> bool:
+    return payload[:2] in (b"P6", b"BM")
+
+
+def resize_nearest(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Vectorized nearest-neighbor resize of an (h, w, c) array."""
+    h, w = arr.shape[:2]
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return arr[ys][:, xs]
+
+
 class MediaResizeStage:
     """Actor-pool resize over a binary media column: emits a NEW binary
     payload at the target dimensions plus typed out-dims metadata.
@@ -69,6 +162,18 @@ class MediaResizeStage:
         outs, widths, heights, sizes, errors = [], [], [], [], []
         for p in payloads:
             try:
+                if is_raster(p or b""):
+                    # REAL path: decode, vectorized nearest-neighbor
+                    # resize, re-encode as PPM (the lossless raster
+                    # interchange of this module)
+                    arr = resize_nearest(decode_raster(p), self.out_width,
+                                         self.out_height)
+                    out = encode_ppm(arr)
+                    outs.append(out)
+                    widths.append(self.out_width)
+                    heights.append(self.out_height)
+                    sizes.append(len(out)); errors.append(None)
+                    continue
                 _, _, c = decode_header(p or b"")
                 body = np.frombuffer((p or b"")[_HEADER.size:], dtype=np.uint8)
                 n_out = min(self.out_width * self.out_height * c, 4096)

@@ -274,6 +274,56 @@ def test_media_resize_stage():
     assert again["media"].to_pylist()[0] == resized[0]
 
 
+def test_media_real_raster_codecs():
+    """PPM/BMP are decoded for REAL (pure numpy): round-trips, BMP
+    padding/bottom-up handling, and true nearest-neighbor resize
+    through the actor stage."""
+    import struct as _struct
+
+    import numpy as np
+
+    from pmocr_ray.ops.media import (MediaResizeStage, decode_bmp,
+                                     decode_ppm, decode_raster, encode_ppm,
+                                     resize_nearest)
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)
+
+    # PPM round-trip (incl. a header comment)
+    ppm = encode_ppm(img)
+    assert (decode_ppm(ppm) == img).all()
+    commented = b"P6\n# a comment\n7 5\n255\n" + img.tobytes()
+    assert (decode_ppm(commented) == img).all()
+
+    # hand-built 24-bit BMP: bottom-up rows, stride padded to 4 bytes
+    h, w = img.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = b""
+    for y in range(h - 1, -1, -1):
+        bgr = img[y][:, ::-1].tobytes()
+        rows += bgr + b"\0" * (stride - len(bgr))
+    bmp = (b"BM" + _struct.pack("<IHHI", 54 + len(rows), 0, 0, 54)
+           + _struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows),
+                          0, 0, 0, 0) + rows)
+    assert (decode_bmp(bmp) == img).all()
+    assert (decode_raster(bmp) == decode_raster(ppm)).all()
+
+    # real resize through the stage: PPM out, exact nearest-neighbor
+    t = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "media": pa.array([ppm, bmp], pa.binary())})
+    out = MediaResizeStage(column="media", out_width=3, out_height=2)(t)
+    exp = resize_nearest(img, 3, 2)
+    for p in out["media"].to_pylist():
+        assert (decode_ppm(p) == exp).all()
+    assert out["media_error"].to_pylist() == [None, None]
+
+    # unsupported depth fails loudly (-> quarantine path)
+    bad = bmp[:28] + _struct.pack("<H", 8) + bmp[30:]
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="24-bit"):
+        decode_bmp(bad)
+
+
 def test_frame_sample_stage_explodes_rows():
     from pmocr_ray.ops.media import FrameSampleStage, encode_fake_video
 
