@@ -293,6 +293,18 @@ class MediaDecodeStage:
         for p in payloads:
             sizes.append(len(p) if p is not None else 0)
             try:
+                if is_raster(p or b""):
+                    # REAL path: decoded pixel statistics as features
+                    arr = decode_raster(p)
+                    h, w, c = arr.shape
+                    widths.append(w); heights.append(h); channels.append(c)
+                    px = arr.reshape(-1, c).astype(np.float32) / 255.0
+                    stat = np.concatenate([px.mean(axis=0), px.std(axis=0)])
+                    feats.append(
+                        stat[:self.feature_dims].tolist()
+                        + [0.0] * max(0, self.feature_dims - len(stat)))
+                    errors.append(None)
+                    continue
                 w, h, c = decode_header(p or b"")
                 widths.append(w); heights.append(h); channels.append(c)
                 body = np.frombuffer((p or b"")[_HEADER.size:], dtype=np.uint8)

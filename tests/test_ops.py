@@ -323,6 +323,18 @@ def test_media_real_raster_codecs():
     with _pytest.raises(ValueError, match="24-bit"):
         decode_bmp(bad)
 
+    # decode stage: real pixel statistics for rasters
+    from pmocr_ray.ops.media import MediaDecodeStage
+
+    d = MediaDecodeStage(column="media", feature_dims=6)(t)
+    assert d["width"].to_pylist() == [7, 7]
+    assert d["height"].to_pylist() == [5, 5]
+    assert d["channels"].to_pylist() == [3, 3]
+    px = img.reshape(-1, 3).astype(np.float32) / 255.0
+    exp_feat = np.concatenate([px.mean(axis=0), px.std(axis=0)])
+    for f in d["features"].to_pylist():
+        assert np.allclose(f, exp_feat, atol=1e-6)
+
 
 def test_frame_sample_stage_explodes_rows():
     from pmocr_ray.ops.media import FrameSampleStage, encode_fake_video
