@@ -1332,6 +1332,53 @@ def _q_media_resize(sf_dir: str):
     return ds.select_columns(["doc_id", "out_width", "out_height", "out_bytes"])
 
 
+def _q_media_resize_real(sf_dir: str):
+    """REAL raster decode → nearest-neighbor resize → re-encode,
+    oracle-gated at the PIXEL level: each doc gets a binary PPM whose
+    pixel values are an arithmetic function of (doc_id, y, x, c), the
+    actor stage resizes it to 4×3 through the real codec
+    (ops/media.decode_ppm → resize_nearest → encode_ppm), and the
+    query emits the SUM of the output pixel bytes — which DuckDB
+    recomputes exactly from the same arithmetic + the same
+    nearest-index formula ``src = (dst * in_dim) // out_dim``.  A
+    byte-level functional gate on the real media path, not just the
+    metadata contract."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pmocr_ray.ops.media import (MediaResizeStage, decode_ppm,
+                                     encode_ppm)
+
+    def attach(t: pa.Table) -> pa.Table:
+        media = []
+        for d in t["doc_id"].to_pylist():
+            w, h = 8 + d % 5, 6 + d % 4
+            y, x, c = np.meshgrid(np.arange(h), np.arange(w),
+                                  np.arange(3), indexing="ij")
+            px = ((d + y * 31 + x * 7 + c * 3) % 256).astype(np.uint8)
+            media.append(encode_ppm(px))
+        return pa.table({"doc_id": t["doc_id"],
+                         "media": pa.array(media, pa.binary())})
+
+    def checksum(t: pa.Table) -> pa.Table:
+        sums = [int(decode_ppm(p).astype(np.int64).sum())
+                for p in t["media"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"],
+                         "out_width": t["out_width"],
+                         "out_height": t["out_height"],
+                         "pixel_sum": pa.array(sums, pa.int64())})
+
+    ds = (_docs(sf_dir).select_columns(["doc_id"])
+          .map_batches(attach, batch_format="pyarrow")
+          .map_batches(MediaResizeStage, batch_format="pyarrow",
+                       batch_size=64, concurrency=2,
+                       fn_constructor_kwargs={"column": "media",
+                                              "out_width": 4,
+                                              "out_height": 3})
+          .map_batches(checksum, batch_format="pyarrow"))
+    return ds
+
+
 def _q_frame_sample(sf_dir: str):
     """Flat-map-shaped frame sampling: one output row per sampled frame
     (every 3rd) of each synthetic video payload."""
@@ -6500,6 +6547,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal
         "media_meta": _q_media_meta,
         "media_resize": _q_media_resize,
+        "media_resize_real": _q_media_resize_real,
         "frame_sample": _q_frame_sample,
     }
 
@@ -9218,6 +9266,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(18 + least(64 * 48 * (doc_id % 3 + 1), 4096)
                         AS BIGINT) AS out_bytes
             FROM documents""",
+        "media_resize_real": """
+            -- recompute the REAL codec's resized pixel sum from the
+            -- same (doc_id, y, x, c) arithmetic and the same
+            -- nearest-index formula src = (dst * in) // out
+            SELECT d.doc_id,
+                   CAST(4 AS INTEGER) AS out_width,
+                   CAST(3 AS INTEGER) AS out_height,
+                   CAST(sum((d.doc_id
+                             + ((y2.range * (6 + d.doc_id % 4)) // 3) * 31
+                             + ((x2.range * (8 + d.doc_id % 5)) // 4) * 7
+                             + ch.range * 3) % 256) AS BIGINT) AS pixel_sum
+            FROM documents d
+            CROSS JOIN range(3) y2 CROSS JOIN range(4) x2
+            CROSS JOIN range(3) ch
+            GROUP BY d.doc_id""",
         "frame_sample": """
             SELECT doc_id, CAST(f.range AS INTEGER) AS frame_idx
             FROM documents CROSS JOIN range(0, 10, 3) f
