@@ -1379,6 +1379,57 @@ def _q_media_resize_real(sf_dir: str):
     return ds
 
 
+def _audio_payloads(t):
+    """Deterministic WAV-per-doc: n = 64 + d%37 mono s16 samples at
+    rate 8000 + (d%3)*4000, sample[i] = ((d*7 + i*13) % 4001) - 2000 —
+    arithmetic the SQL oracles recompute exactly."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pmocr_ray.ops.media import encode_wav
+
+    media = []
+    for d in t["doc_id"].to_pylist():
+        n = 64 + d % 37
+        rate = 8000 + (d % 3) * 4000
+        i = np.arange(n, dtype=np.int64)
+        x = ((d * 7 + i * 13) % 4001 - 2000).astype(np.int16)
+        media.append(encode_wav(x, rate))
+    return pa.table({"doc_id": t["doc_id"],
+                     "media": pa.array(media, pa.binary())})
+
+
+def _q_audio_meta(sf_dir: str):
+    """REAL WAV decode (RIFF/PCM s16le, pure numpy) gated at the
+    SIGNAL level: integer-exact statistics (sum |x|, sum x², zero
+    crossings) over arithmetic payloads, recomputed by SQL."""
+    from pmocr_ray.ops.media import AudioDecodeStage
+
+    return (_docs(sf_dir).select_columns(["doc_id"])
+            .map_batches(_audio_payloads, batch_format="pyarrow")
+            .map_batches(AudioDecodeStage, batch_format="pyarrow",
+                         batch_size=64, concurrency=2,
+                         fn_constructor_kwargs={"column": "media"}))
+
+
+def _q_audio_resample_real(sf_dir: str):
+    """REAL nearest-index resample to 4 kHz through the WAV codec:
+    the output sample SUM is recomputed by SQL from the same
+    ``src = (dst * n_in) // n_out`` formula."""
+    import pyarrow as pa
+
+    from pmocr_ray.ops.media import AudioResampleStage
+
+    ds = (_docs(sf_dir).select_columns(["doc_id"])
+          .map_batches(_audio_payloads, batch_format="pyarrow")
+          .map_batches(AudioResampleStage, batch_format="pyarrow",
+                       batch_size=64, concurrency=2,
+                       fn_constructor_kwargs={"column": "media",
+                                              "target_rate": 4000}))
+    return ds.select_columns(["doc_id", "out_rate", "out_samples",
+                              "sample_sum"])
+
+
 def _q_frame_sample(sf_dir: str):
     """Flat-map-shaped frame sampling: one output row per sampled frame
     (every 3rd) of each synthetic video payload."""
@@ -6548,6 +6599,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_meta": _q_media_meta,
         "media_resize": _q_media_resize,
         "media_resize_real": _q_media_resize_real,
+        "audio_meta": _q_audio_meta,
+        "audio_resample_real": _q_audio_resample_real,
         "frame_sample": _q_frame_sample,
     }
 
@@ -9281,6 +9334,51 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN range(3) y2 CROSS JOIN range(4) x2
             CROSS JOIN range(3) ch
             GROUP BY d.doc_id""",
+        "audio_meta": """
+            WITH s AS (
+              SELECT d.doc_id, i.range AS i,
+                     ((d.doc_id * 7 + i.range * 13) % 4001) - 2000 AS x,
+                     64 + d.doc_id % 37 AS n
+              FROM documents d CROSS JOIN range(100) i
+              WHERE i.range < 64 + d.doc_id % 37
+            ), z AS (
+              SELECT doc_id, n, x,
+                     lag(x) OVER (PARTITION BY doc_id ORDER BY i) AS px
+              FROM s
+            )
+            SELECT doc_id,
+                   CAST(8000 + (doc_id % 3) * 4000 AS INTEGER)
+                     AS sample_rate,
+                   CAST(max(n) AS BIGINT) AS n_samples,
+                   CAST(1 AS INTEGER) AS n_channels,
+                   CAST(sum(abs(x)) AS BIGINT) AS sum_abs,
+                   CAST(sum(x * x) AS BIGINT) AS sum_sq,
+                   CAST(sum(CASE WHEN px IS NOT NULL
+                                  AND ((x >= 0) <> (px >= 0))
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                     AS zero_crossings,
+                   CAST(NULL AS VARCHAR) AS media_error
+            FROM z GROUP BY doc_id""",
+        "audio_resample_real": """
+            WITH p AS (
+              SELECT doc_id, 64 + doc_id % 37 AS n,
+                     8000 + (doc_id % 3) * 4000 AS rate
+              FROM documents
+            ), q AS (
+              SELECT doc_id, n, (n * 4000) // rate AS n_out FROM p
+            ), j AS (
+              SELECT q.doc_id, q.n_out,
+                     ((q.doc_id * 7
+                       + ((jj.range * q.n) // q.n_out) * 13) % 4001)
+                       - 2000 AS x
+              FROM q CROSS JOIN range(51) jj
+              WHERE jj.range < q.n_out
+            )
+            SELECT doc_id,
+                   CAST(4000 AS INTEGER) AS out_rate,
+                   CAST(max(n_out) AS BIGINT) AS out_samples,
+                   CAST(sum(x) AS BIGINT) AS sample_sum
+            FROM j GROUP BY doc_id""",
         "frame_sample": """
             SELECT doc_id, CAST(f.range AS INTEGER) AS frame_idx
             FROM documents CROSS JOIN range(0, 10, 3) f

@@ -326,3 +326,148 @@ class MediaDecodeStage:
             .append_column("features", pa.array(feats, pa.list_(pa.float32())))
             .append_column("media_error", pa.array(errors, pa.string()))
         )
+
+
+# ---- audio: real WAV (RIFF/PCM s16le) codec + stages ----------------
+#
+# WAV with 16-bit PCM needs no external library: RIFF chunk walk +
+# numpy frombuffer.  Like the raster path, the audio stages are REAL
+# end-to-end for this format; compressed audio (mp3/ogg/flac) would
+# register a decoder behind the same stage interface.
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """(n_samples,) or (n_samples, n_channels) int16 -> WAV bytes."""
+    arr = np.asarray(samples, dtype=np.int16)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n, ch = arr.shape
+    data = np.ascontiguousarray(arr).tobytes()
+    block = ch * 2
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate,
+                      sample_rate * block, block, 16)
+    return (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes -> ((n_samples, n_channels) int16, sample_rate).
+    PCM s16le only; other codecs/depths raise loudly (-> quarantine).
+    Walks RIFF chunks, skipping unknown ones (LIST/INFO etc.)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("media: not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size, = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("media: WAV missing fmt/data chunk")
+    audio_format, ch, rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(
+            f"media: only PCM s16 WAV supported "
+            f"(got format {audio_format}, {bits}-bit)")
+    arr = np.frombuffer(data, dtype="<i2")
+    if ch > 1:
+        arr = arr[: (len(arr) // ch) * ch].reshape(-1, ch)
+    else:
+        arr = arr[:, None]
+    return arr, rate
+
+
+def resample_nearest_audio(arr: np.ndarray, src_rate: int,
+                           dst_rate: int) -> np.ndarray:
+    """Nearest-index resample: same ``(dst * in) // out`` formula as
+    the raster path, applied on the time axis."""
+    n_in = arr.shape[0]
+    n_out = (n_in * dst_rate) // src_rate
+    if n_out == 0:
+        return arr[:0]
+    idx = (np.arange(n_out) * n_in) // n_out
+    return arr[idx]
+
+
+class AudioDecodeStage:
+    """Actor-pool audio decode/feature stage over a binary WAV column.
+
+    Emits typed metadata (sample_rate / n_samples / n_channels) plus
+    INTEGER-exact signal statistics — sum |x|, sum x², zero crossings
+    (sign-change count with x ≥ 0 as the sign rule) — which are
+    SQL-recomputable for the arithmetic-payload gate query.  Junk
+    rows produce nulls + ``media_error``, never task failures.
+    """
+
+    def __init__(self, column: str = "media") -> None:
+        self.column = column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rates, counts, chans = [], [], []
+        sum_abs, sum_sq, zcr, errors = [], [], [], []
+        for p in batch[self.column].to_pylist():
+            try:
+                arr, rate = decode_wav(p or b"")
+                x = arr.astype(np.int64)
+                rates.append(rate)
+                counts.append(arr.shape[0]); chans.append(arr.shape[1])
+                sum_abs.append(int(np.abs(x).sum()))
+                sum_sq.append(int((x * x).sum()))
+                nn = (arr >= 0)
+                zcr.append(int((nn[1:] != nn[:-1]).sum()))
+                errors.append(None)
+            except ValueError as exc:
+                rates.append(None); counts.append(None); chans.append(None)
+                sum_abs.append(None); sum_sq.append(None); zcr.append(None)
+                errors.append(f"{type(exc).__name__}: {exc}")
+        drop = batch.drop_columns([self.column])
+        return (
+            drop.append_column("sample_rate", pa.array(rates, pa.int32()))
+            .append_column("n_samples", pa.array(counts, pa.int64()))
+            .append_column("n_channels", pa.array(chans, pa.int32()))
+            .append_column("sum_abs", pa.array(sum_abs, pa.int64()))
+            .append_column("sum_sq", pa.array(sum_sq, pa.int64()))
+            .append_column("zero_crossings", pa.array(zcr, pa.int64()))
+            .append_column("media_error", pa.array(errors, pa.string()))
+        )
+
+
+class AudioResampleStage:
+    """Actor-pool nearest-index resample to ``target_rate``: new WAV
+    payload + typed out metadata, per-row errors -> quarantine."""
+
+    def __init__(self, column: str = "media",
+                 target_rate: int = 8000) -> None:
+        if target_rate < 1:
+            raise ValueError(f"AudioResampleStage needs a positive "
+                             f"target_rate (got {target_rate})")
+        self.column = column
+        self.target_rate = target_rate
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        outs, rates, counts, sums, errors = [], [], [], [], []
+        for p in batch[self.column].to_pylist():
+            try:
+                arr, rate = decode_wav(p or b"")
+                res = resample_nearest_audio(arr, rate, self.target_rate)
+                outs.append(encode_wav(res, self.target_rate))
+                rates.append(self.target_rate)
+                counts.append(res.shape[0])
+                sums.append(int(res.astype(np.int64).sum()))
+                errors.append(None)
+            except ValueError as exc:
+                outs.append(None); rates.append(None); counts.append(None)
+                sums.append(None)
+                errors.append(f"{type(exc).__name__}: {exc}")
+        drop = batch.drop_columns([self.column])
+        return (
+            drop.append_column("media", pa.array(outs, pa.binary()))
+            .append_column("out_rate", pa.array(rates, pa.int32()))
+            .append_column("out_samples", pa.array(counts, pa.int64()))
+            .append_column("sample_sum", pa.array(sums, pa.int64()))
+            .append_column("media_error", pa.array(errors, pa.string()))
+        )

@@ -336,6 +336,62 @@ def test_media_real_raster_codecs():
         assert np.allclose(f, exp_feat, atol=1e-6)
 
 
+def test_media_real_wav_codec_and_stages():
+    """WAV (RIFF/PCM s16le) is decoded for REAL: round-trips (mono +
+    stereo), unknown-chunk skipping, integer-exact signal stats
+    through AudioDecodeStage, nearest-index resample through
+    AudioResampleStage, junk -> per-row quarantine."""
+    import struct as _struct
+
+    import numpy as np
+
+    from pmocr_ray.ops.media import (AudioDecodeStage, AudioResampleStage,
+                                     decode_wav, encode_wav,
+                                     resample_nearest_audio)
+
+    x = ((np.arange(100) * 37) % 4001 - 2000).astype(np.int16)
+    arr, rate = decode_wav(encode_wav(x, 16000))
+    assert rate == 16000 and arr.shape == (100, 1) and (arr[:, 0] == x).all()
+    st = np.arange(100, dtype=np.int16).reshape(50, 2)
+    arr2, r2 = decode_wav(encode_wav(st, 44100))
+    assert r2 == 44100 and arr2.shape == (50, 2) and (arr2 == st).all()
+
+    # unknown chunk (LIST) between fmt and data is skipped
+    w = encode_wav(x, 8000)
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + _struct.pack("<I", 4) + b"INFO"
+    w2 = w[:fmt_end] + extra + w[fmt_end:]
+    arr3, r3 = decode_wav(w2)
+    assert r3 == 8000 and (arr3[:, 0] == x).all()
+
+    # stages: integer-exact stats + resample, junk quarantined
+    t = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "media": pa.array([encode_wav(x, 16000), b"notwav"],
+                                    pa.binary())})
+    d = AudioDecodeStage(column="media")(t)
+    xi = x.astype(np.int64)
+    assert d["sum_abs"].to_pylist()[0] == int(np.abs(xi).sum())
+    assert d["sum_sq"].to_pylist()[0] == int((xi * xi).sum())
+    nn = x >= 0
+    assert d["zero_crossings"].to_pylist()[0] == int((nn[1:] != nn[:-1]).sum())
+    assert d["sample_rate"].to_pylist() == [16000, None]
+    assert d["media_error"].to_pylist()[1].startswith("ValueError")
+
+    r = AudioResampleStage(column="media", target_rate=4000)(t)
+    exp = resample_nearest_audio(x[:, None], 16000, 4000)
+    assert r["out_samples"].to_pylist() == [25, None]
+    got, _ = decode_wav(r["media"].to_pylist()[0])
+    assert (got == exp).all()
+    assert r["sample_sum"].to_pylist()[0] == int(exp.astype(np.int64).sum())
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="PCM s16"):
+        # 8-bit WAV refused loudly
+        bad = bytearray(encode_wav(x, 8000))
+        _struct.pack_into("<H", bad, 12 + 8 + 14, 8)
+        decode_wav(bytes(bad))
+
+
 def test_frame_sample_stage_explodes_rows():
     from pmocr_ray.ops.media import FrameSampleStage, encode_fake_video
 
