@@ -1430,6 +1430,43 @@ def _q_audio_resample_real(sf_dir: str):
                               "sample_sum"])
 
 
+def _q_frame_sample_real(sf_dir: str):
+    """REAL video frame sampling through the Y4M (YUV4MPEG2 Cmono)
+    codec: arithmetic luma frames, every-3rd sampling, per-frame byte
+    SUM recomputed by SQL."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pmocr_ray.ops.media import FrameSampleStage, encode_y4m
+
+    def attach(t: pa.Table) -> pa.Table:
+        media = []
+        for d in t["doc_id"].to_pylist():
+            n = 1 + d % 10
+            f, y, x = np.meshgrid(np.arange(n), np.arange(4), np.arange(5),
+                                  indexing="ij")
+            frames = ((d + f * 7 + y * 5 + x) % 256).astype(np.uint8)
+            media.append(encode_y4m(frames))
+        return pa.table({"doc_id": t["doc_id"],
+                         "media": pa.array(media, pa.binary())})
+
+    def sums(t: pa.Table) -> pa.Table:
+        import numpy as _np
+        fs = [int(_np.frombuffer(f, _np.uint8).astype(_np.int64).sum())
+              for f in t["frame"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"],
+                         "frame_idx": t["frame_idx"],
+                         "frame_sum": pa.array(fs, pa.int64())})
+
+    return (_docs(sf_dir).select_columns(["doc_id"])
+            .map_batches(attach, batch_format="pyarrow")
+            .map_batches(FrameSampleStage, batch_format="pyarrow",
+                         batch_size=64, concurrency=2,
+                         fn_constructor_kwargs={"column": "media",
+                                                "step": 3})
+            .map_batches(sums, batch_format="pyarrow"))
+
+
 def _q_frame_sample(sf_dir: str):
     """Flat-map-shaped frame sampling: one output row per sampled frame
     (every 3rd) of each synthetic video payload."""
@@ -6601,6 +6638,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_resize_real": _q_media_resize_real,
         "audio_meta": _q_audio_meta,
         "audio_resample_real": _q_audio_resample_real,
+        "frame_sample_real": _q_frame_sample_real,
         "frame_sample": _q_frame_sample,
     }
 
@@ -9379,6 +9417,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(n_out) AS BIGINT) AS out_samples,
                    CAST(sum(x) AS BIGINT) AS sample_sum
             FROM j GROUP BY doc_id""",
+        "frame_sample_real": """
+            -- pixel(f,y,x) = (doc_id + f*7 + y*5 + x) % 256 over a
+            -- 4x5 luma frame; frames sampled every 3rd
+            SELECT d.doc_id, CAST(f.range AS INTEGER) AS frame_idx,
+                   CAST(sum((d.doc_id + f.range * 7
+                             + y.range * 5 + x.range) % 256)
+                        AS BIGINT) AS frame_sum
+            FROM documents d
+            CROSS JOIN range(0, 10, 3) f
+            CROSS JOIN range(4) y CROSS JOIN range(5) x
+            WHERE f.range < d.doc_id % 10 + 1
+            GROUP BY d.doc_id, f.range""",
         "frame_sample": """
             SELECT doc_id, CAST(f.range AS INTEGER) AS frame_idx
             FROM documents CROSS JOIN range(0, 10, 3) f

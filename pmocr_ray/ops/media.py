@@ -253,6 +253,17 @@ class FrameSampleStage:
         keys = batch[self.key_column].to_pylist()
         out_keys, out_idx, out_frames = [], [], []
         for key, p in zip(keys, payloads):
+            if (p or b"")[:9] == b"YUV4MPEG2":
+                # REAL path: decoded Y4M luma frames
+                try:
+                    frames, _ = decode_y4m(p)
+                except ValueError:
+                    continue
+                for f in range(0, frames.shape[0], self.step):
+                    out_keys.append(key)
+                    out_idx.append(f)
+                    out_frames.append(frames[f].tobytes())
+                continue
             try:
                 n, fs = decode_video_header(p or b"")
             except ValueError:
@@ -471,3 +482,64 @@ class AudioResampleStage:
             .append_column("sample_sum", pa.array(sums, pa.int64()))
             .append_column("media_error", pa.array(errors, pa.string()))
         )
+
+
+# ---- video: real Y4M (YUV4MPEG2, mono colorspace) codec -------------
+#
+# YUV4MPEG2 with Cmono is raw luma frames behind a text header — fully
+# decodable pure-numpy, so frame sampling is REAL for it too (the
+# FAKEVID format keeps standing in for compressed containers).
+
+def encode_y4m(frames: np.ndarray, fps: tuple[int, int] = (25, 1)) -> bytes:
+    """(n_frames, h, w) uint8 luma -> YUV4MPEG2 Cmono bytes."""
+    arr = np.ascontiguousarray(frames, dtype=np.uint8)
+    n, h, w = arr.shape
+    head = b"YUV4MPEG2 W%d H%d F%d:%d Ip A1:1 Cmono\n" % (w, h, *fps)
+    body = b"".join(b"FRAME\n" + arr[f].tobytes() for f in range(n))
+    return head + body
+
+
+def decode_y4m(payload: bytes) -> tuple[np.ndarray, tuple[int, int]]:
+    """YUV4MPEG2 Cmono bytes -> ((n_frames, h, w) uint8, (fps_n, fps_d)).
+    Non-mono colorspaces raise loudly (4:2:0 would need chroma planes
+    a sampling projection has no use for)."""
+    nl = payload.find(b"\n")
+    if nl < 0 or not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("media: not a YUV4MPEG2 payload")
+    w = h = None
+    fps = (25, 1)
+    mono = False
+    for tok in payload[9:nl].split():
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+        elif tok[:1] == b"F":
+            a, b = tok[1:].split(b":")
+            fps = (int(a), int(b))
+        elif tok[:1] == b"C":
+            mono = tok[1:] == b"mono"
+    if w is None or h is None:
+        raise ValueError("media: Y4M header missing W/H")
+    if not mono:
+        raise ValueError("media: only Cmono Y4M supported "
+                         "(chroma-subsampled frames need a real codec)")
+    fsize = w * h
+    frames = []
+    pos = nl + 1
+    while pos < len(payload):
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0 or payload[pos:pos + 5] != b"FRAME":
+            raise ValueError("media: malformed Y4M frame marker")
+        start = fnl + 1
+        if start + fsize > len(payload):
+            raise ValueError("media: truncated Y4M frame")
+        frames.append(np.frombuffer(payload, np.uint8, fsize, start)
+                      .reshape(h, w))
+        pos = start + fsize
+    return (np.stack(frames) if frames
+            else np.zeros((0, h, w), np.uint8)), fps
+
+
+def is_y4m(payload: bytes) -> bool:
+    return payload[:9] == b"YUV4MPEG2"

@@ -392,6 +392,33 @@ def test_media_real_wav_codec_and_stages():
         decode_wav(bytes(bad))
 
 
+def test_media_real_y4m_codec_and_frame_sampling():
+    """Y4M (YUV4MPEG2 Cmono) is decoded for REAL: round-trip, header
+    parsing, frame sampling through FrameSampleStage with actual
+    frame bytes; non-mono colorspaces refused loudly."""
+    import numpy as np
+    import pytest as _pytest
+
+    from pmocr_ray.ops.media import (FrameSampleStage, decode_y4m,
+                                     encode_y4m)
+
+    rng = np.random.default_rng(5)
+    frames = rng.integers(0, 256, (7, 4, 5), dtype=np.uint8)
+    payload = encode_y4m(frames, fps=(30, 1))
+    dec, fps = decode_y4m(payload)
+    assert fps == (30, 1) and (dec == frames).all()
+
+    t = pa.table({"doc_id": pa.array([9], pa.int64()),
+                  "media": pa.array([payload], pa.binary())})
+    out = FrameSampleStage(column="media", step=3)(t)
+    assert out["frame_idx"].to_pylist() == [0, 3, 6]
+    for i, f in zip((0, 3, 6), out["frame"].to_pylist()):
+        assert f == frames[i].tobytes()
+
+    with _pytest.raises(ValueError, match="Cmono"):
+        decode_y4m(b"YUV4MPEG2 W4 H4 F25:1 C420\nFRAME\n" + b"\0" * 24)
+
+
 def test_frame_sample_stage_explodes_rows():
     from pmocr_ray.ops.media import FrameSampleStage, encode_fake_video
 
