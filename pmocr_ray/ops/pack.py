@@ -572,6 +572,17 @@ def bucketed_join(dir_a: str, dir_b: str, *, key_a: str, key_b: str,
             tb = tb.set_column(
                 tb.column_names.index(key_b), key_b,
                 pc.cast(tb[key_b], ta.schema.field(key_a).type))
+        overlap = (set(ta.column_names) & set(tb.column_names)) \
+            - {key_a, key_b}
+        if overlap:
+            # pa.Table.join would emit duplicate fields for shared
+            # non-key names and the later select() would see the field
+            # twice; disambiguate with SQL-style suffixes up front.
+            for name in sorted(overlap):
+                ta = ta.rename_columns(
+                    [f"{c}_x" if c == name else c for c in ta.column_names])
+                tb = tb.rename_columns(
+                    [f"{c}_y" if c == name else c for c in tb.column_names])
         j = ta.join(tb, keys=key_a, right_keys=key_b, join_type="inner")
         if key_b != key_a and key_b not in j.column_names:
             # Arrow coalesces the right key away; re-attach it

@@ -508,8 +508,22 @@ def serve_multi(specs, *, push: bool = True, max_wait_s: float = 86400.0,
 
     rounds = 0
     last_events: dict = {}
+    # Stats are keyed by pages_dir when it is unique among the specs
+    # (the common case and the shape the CLI summary expects); two
+    # specs legitimately watching the SAME pages_dir with different
+    # targets/out dirs get distinct "pages -> out" keys instead of
+    # silently merging their counters.
+    _pd_n: dict[str, int] = {}
+    for s in specs:
+        _pd_n[s.pages_dir] = _pd_n.get(s.pages_dir, 0) + 1
+
+    def _dir_key(s) -> str:
+        if _pd_n[s.pages_dir] == 1:
+            return s.pages_dir
+        return f"{s.pages_dir} -> {s.out_dir}"
+
     per_dir: dict[str, dict] = {
-        s.pages_dir: {"partitions": 0, "counts": {}} for s in specs}
+        _dir_key(s): {"partitions": 0, "counts": {}} for s in specs}
     try:
         while max_rounds is None or rounds < max_rounds:
             for s in specs:
@@ -518,7 +532,7 @@ def serve_multi(specs, *, push: bool = True, max_wait_s: float = 86400.0,
                     s.done_manifest_path,
                     extract_kwargs=s.extract_kwargs,
                     targets=s.targets)
-                d = per_dir[s.pages_dir]
+                d = per_dir[_dir_key(s)]
                 d["partitions"] += len(out["processed"])
                 for k, v in out["counts"].items():
                     d["counts"][k] = d["counts"].get(k, 0) + v

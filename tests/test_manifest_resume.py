@@ -195,6 +195,34 @@ def test_serve_multi_two_dirs_isolated_targets(tmp_path, pages_fixture):
                     push=False, max_rounds=1)
 
 
+def test_serve_multi_shared_pages_dir_stats_not_merged(tmp_path,
+                                                       pages_fixture):
+    """Two specs watching the SAME pages dir (different out/manifest
+    dirs — reachable via the CLI) must report SEPARATE per-dir stats,
+    not silently merge counters under one pages_dir key (ADVICE r4)."""
+    from pmocr_ray.state.manifest import ServiceDirSpec, serve_multi
+
+    pages, done = pages_fixture
+    src = sorted(glob.glob(os.path.join(pages, "*.parquet")))
+    d = tmp_path / "incoming"
+    d.mkdir()
+    shutil.copy(src[0], d / os.path.basename(src[0]))
+    specs = [ServiceDirSpec(pages_dir=str(d),
+                            out_dir=str(tmp_path / f"out{i}"),
+                            manifest_dir=str(tmp_path / f"manifest{i}"),
+                            done_manifest_path=done,
+                            targets=targets)
+             for i, targets in enumerate((("text",), ("text", "csv")))]
+    summary = serve_multi(specs, push=False, max_rounds=1)
+    keys = sorted(summary["per_dir"])
+    assert len(keys) == 2  # one entry per SPEC, not per pages_dir
+    for k in keys:
+        assert summary["per_dir"][k]["partitions"] == 1
+    # both out subtrees materialized independently
+    assert glob.glob(str(tmp_path / "out0" / "part-*"))
+    assert glob.glob(str(tmp_path / "out1" / "part-*"))
+
+
 def test_serve_multi_push_wakes_on_any_dir(tmp_path, pages_fixture):
     """Push mode over two dirs: round 2 is woken by a partition landing
     in the SECOND dir only (wait_any over both inotify fds)."""

@@ -392,6 +392,37 @@ def test_media_real_wav_codec_and_stages():
         decode_wav(bytes(bad))
 
 
+def test_media_wav_truncated_fmt_chunk_quarantines():
+    """A 'fmt ' chunk shorter than 16 bytes must raise ValueError (not
+    struct.error) so the audio stages quarantine the ROW instead of
+    crashing the task (ADVICE r4, media.py decode_wav)."""
+    import struct as _struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from pmocr_ray.ops.media import (AudioDecodeStage, AudioResampleStage,
+                                     decode_wav, encode_wav)
+
+    # hand-build a WAV whose fmt chunk claims (and has) only 8 bytes
+    short_fmt = _struct.pack("<HHI", 1, 1, 16000)
+    bad = (b"RIFF" + _struct.pack("<I", 4 + 8 + len(short_fmt) + 8)
+           + b"WAVE" + b"fmt " + _struct.pack("<I", len(short_fmt))
+           + short_fmt + b"data" + _struct.pack("<I", 0))
+    with _pytest.raises(ValueError, match="truncated fmt"):
+        decode_wav(bad)
+
+    x = ((np.arange(50) * 13) % 997 - 500).astype(np.int16)
+    t = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "media": pa.array([encode_wav(x, 16000), bad],
+                                    pa.binary())})
+    d = AudioDecodeStage(column="media")(t)  # must not raise
+    assert d["sample_rate"].to_pylist() == [16000, None]
+    assert d["media_error"].to_pylist()[1].startswith("ValueError")
+    r = AudioResampleStage(column="media", target_rate=8000)(t)
+    assert r["out_samples"].to_pylist() == [25, None]
+
+
 def test_media_real_y4m_codec_and_frame_sampling():
     """Y4M (YUV4MPEG2 Cmono) is decoded for REAL: round-trip, header
     parsing, frame sampling through FrameSampleStage with actual

@@ -178,6 +178,31 @@ def test_bucketed_join_hot_bucket_split(ray_session, tmp_path):
     assert (out["rv"].values == exp["rv"].values).all()
 
 
+def test_bucketed_join_shared_nonkey_column_suffixed(ray_session, tmp_path):
+    """Both sides carry a non-key column named `v`: pa.Table.join
+    would emit the field twice and the output select would raise
+    KeyError; the join must disambiguate with _x/_y suffixes (the
+    pandas-merge convention the previous implementation had)."""
+    import pandas as pd
+
+    from pmocr_ray.ops.pack import bucketed_join, bucketed_write
+
+    left = pd.DataFrame({"k": [1, 2, 3, 5], "v": list("abcd")})
+    right = pd.DataFrame({"rk": [2, 3, 3, 9], "v": list("wxyz")})
+    da = bucketed_write(rd.from_pandas(left).repartition(2),
+                        str(tmp_path / "l"), key="k", n_buckets=4)
+    db = bucketed_write(rd.from_pandas(right).repartition(2),
+                        str(tmp_path / "r"), key="rk", n_buckets=4)
+    out = bucketed_join(da, db, key_a="k", key_b="rk",
+                        n_buckets=4).to_pandas()
+    assert {"v_x", "v_y"} <= set(out.columns) and "v" not in out.columns
+    got = sorted(zip(out["k"], out["v_x"], out["v_y"]))
+    exp = sorted((r.k, r.v, rr.v)
+                 for r in left.itertuples() for rr in right.itertuples()
+                 if r.k == rr.rk)
+    assert got == exp
+
+
 def test_token_budget_trim_rule(ray_session):
     import pandas as pd
 
