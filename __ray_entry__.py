@@ -6441,6 +6441,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_multi": _q_knn_multi,
         "knn_ivf": _q_knn_ivf,
         "knn_ivf_indexed": _q_knn_ivf_indexed,
+        # driver-sample window: the flagship compositions + one
+        # representative of every remaining family, placed here so the
+        # driver's 50-query CORRECTNESS sample (first 50 dict entries)
+        # spans the whole engine, not just the front families
+        "curate": _q_curate,
+        "corpus_build": _q_corpus_build,
+        "pagerank": _q_pagerank,
+        "pack_sequences": _q_pack_sequences,
+        "bucketed_join": _q_bucketed_join,
+        "line_dedup": _q_line_dedup,
+        "decontaminate": _q_decontaminate,
+        "stream_sessions": _q_stream_sessions,
+        "media_meta": _q_media_meta,
+        "media_resize_real": _q_media_resize_real,
+        "audio_resample_real": _q_audio_resample_real,
+        "frame_sample_real": _q_frame_sample_real,
+        "url_canon_dedup": _q_url_canon_dedup,
+        "rare_term_pairs": _q_rare_term_pairs,
+        "token_budget": _q_token_budget,
         # events / aggregates
         "events_window": _q_events_window,
         "top_users": _q_top_users,
@@ -6467,7 +6486,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_len_quantiles": _q_lang_len_quantiles,
         "label_centroids": _q_label_centroids,
         "orders_running_total": _q_orders_running_total,
-        "pack_sequences": _q_pack_sequences,
         "shuffle_rank": _q_shuffle_rank,
         "events_value_stats": _q_events_value_stats,
         "tfidf": _q_tfidf,
@@ -6495,8 +6513,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": _q_repetition_stats,
         "stratified_sample": _q_stratified_sample,
         "len_quantiles": _q_len_quantiles,
-        "line_dedup": _q_line_dedup,
-        "decontaminate": _q_decontaminate,
         "shard_counts": _q_shard_counts,
         "chunk_tokens": _q_chunk_tokens,
         "line_self_dedup": _q_line_self_dedup,
@@ -6525,7 +6541,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collocations": _q_collocations,
         "snapshot_diff": _q_snapshot_diff,
         "dup_cluster_hist": _q_dup_cluster_hist,
-        "pagerank": _q_pagerank,
         "attribution": _q_attribution,
         "host_blocklist": _q_host_blocklist,
         "host_mirror": _q_host_mirror,
@@ -6534,15 +6549,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_data_window": _q_late_data_window,
         "typo_pairs": _q_typo_pairs,
         "host_lang": _q_host_lang,
-        "url_canon_dedup": _q_url_canon_dedup,
         "incremental_stats": _q_incremental_stats,
         "event_debounce": _q_event_debounce,
         "promo_revenue": _q_promo_revenue,
         "embedding_dim_stats": _q_embedding_dim_stats,
         "triangle_count": _q_triangle_count,
-        "bucketed_join": _q_bucketed_join,
         "moving_window": _q_moving_window,
-        "token_budget": _q_token_budget,
         "range_scan": _q_range_scan,
         "skew_join": _q_skew_join,
         "value_trend": _q_value_trend,
@@ -6552,7 +6564,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_sets": _q_session_sets,
         "byte_blocks": _q_byte_blocks,
         "schema_evolve": _q_schema_evolve,
-        "rare_term_pairs": _q_rare_term_pairs,
         "priority_semi": _q_priority_semi,
         "priority_semi_native": _q_priority_semi_native,
         "user_type_mask_agg": _q_user_type_mask_agg,
@@ -6625,20 +6636,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "csv_roundtrip": _q_csv_roundtrip,
         "lang_profiles": _q_lang_profiles,
         "fk_audit": _q_fk_audit,
-        "stream_sessions": _q_stream_sessions,
         "stream_windows": _q_stream_windows,
         "stream_new_users": _q_stream_new_users,
         "top_parts_per_brand": _q_top_parts_per_brand,
         # composed curation
-        "curate": _q_curate,
-        "corpus_build": _q_corpus_build,
         # multimodal
-        "media_meta": _q_media_meta,
         "media_resize": _q_media_resize,
-        "media_resize_real": _q_media_resize_real,
         "audio_meta": _q_audio_meta,
-        "audio_resample_real": _q_audio_resample_real,
-        "frame_sample_real": _q_frame_sample_real,
         "frame_sample": _q_frame_sample,
     }
 

@@ -1536,6 +1536,9 @@ def canonical_url_counts(ds, url_column: str = "url"):
                                ("n_variants", pa.int64())]))
 
 
+RARE_TERM_BROADCAST_GATE = 100_000
+
+
 def rare_term_pairs(ds, column: str = "text", key: str = "doc_id",
                     max_df: int = 3):
     """Document pairs linked by a shared RARE term (df ≤ ``max_df``) —
@@ -1545,41 +1548,86 @@ def rare_term_pairs(ds, column: str = "text", key: str = "doc_id",
     Blocking with a hard mathematical bound: only terms whose document
     frequency is ≤ max_df form buckets, so a bucket emits at most
     C(max_df, 2) pairs — the rare-term filter IS the hot-bucket cap,
-    no star-emit needed.  The (rare term, df) set is the
-    :func:`doc_frequency` rollup filtered server-side; only rare terms
-    are broadcast.  One groupby dedups pairs sharing several rare
-    terms and counts the shared-term strength.  Emits (a, b,
+    no star-emit needed.  One groupby dedups pairs sharing several
+    rare terms and counts the shared-term strength.  Emits (a, b,
     n_shared_terms), a < b.
+
+    Scale shape (size-gated like ``attach_pair_sides``): the rare set
+    is the :func:`doc_frequency` rollup filtered DISTRIBUTED-side.  At
+    ≤ ``RARE_TERM_BROADCAST_GATE`` terms it is collected once and
+    broadcast (``ray.put`` + ``pc.is_in`` — the cheap plan for every
+    real vocabulary).  Beyond the gate NOTHING term-shaped reaches the
+    driver: a fixed-size Bloom bitmap over the rare set prefilters the
+    per-batch incidence (false positives only), and an exact
+    hash-partitioned ``left_semi`` join of the surviving (term, doc)
+    rows against the rare rollup removes those — the same
+    bloom-prefilter + verify ladder as ``bloom_anti_join``.  Both
+    plans are equivalence-tested (``tests/test_curation_ops.py``).
     """
     from ray.data.aggregate import Sum
 
-    rare_rows = (doc_frequency(ds, column=column)
-                 .map_batches(lambda t: t.filter(
-                     pc.less_equal(t["df"], max_df)),
-                     batch_format="pyarrow")
-                 .select_columns(["term"]).take_all())
-    # explicit type: an EMPTY rare set (every term common — the sf0.1
-    # regime under a fixed max_df) otherwise infers null type and
-    # pc.is_in raises "string vs null"
-    rare = pa.array(sorted(r["term"] for r in rare_rows), type=pa.string())
-    ref = ray.put(rare)
+    rare = (doc_frequency(ds, column=column)
+            .map_batches(lambda t: t.filter(
+                pc.less_equal(t["df"], max_df)),
+                batch_format="pyarrow")
+            .select_columns(["term"])).materialize()
+    n_rare = rare.count()
 
-    def incidence(batch: pa.Table) -> pa.Table:
-        rare_arr = ray.get(ref)
+    def _batch_incidence(batch: pa.Table) -> pa.Table:
         toks = pc.split_pattern_regex(batch[column], r"\s+")
         flat = pc.list_flatten(toks)
         parent = pc.list_parent_indices(toks)
-        keep = pc.is_in(flat, value_set=rare_arr)
-        ids = batch[key].take(parent.filter(keep))
-        pairs = pa.table({"term": flat.filter(keep), key: ids})
+        mask = pc.not_equal(flat, "")
+        pairs = pa.table({"term": flat.filter(mask),
+                          key: batch[key].take(parent.filter(mask))})
         return pairs.group_by(["term", key]).aggregate([])
 
     import pandas as pd
 
-    # no global (term, doc) distinct needed: bucket_pairs dedups doc
-    # ids inside each term group (sorted set), so cross-batch repeats
-    # of the same incidence can't double-count
-    inc = ds.map_batches(incidence, batch_format="pyarrow")
+    if n_rare <= RARE_TERM_BROADCAST_GATE:
+        rare_rows = rare.take_all()  # bounded by the gate, not by vocab
+        # explicit type: an EMPTY rare set (every term common — the
+        # sf0.1 regime under a fixed max_df) otherwise infers null
+        # type and pc.is_in raises "string vs null"
+        rare_arr = pa.array(sorted(r["term"] for r in rare_rows),
+                            type=pa.string())
+        ref = ray.put(rare_arr)
+
+        def incidence(batch: pa.Table) -> pa.Table:
+            ra = ray.get(ref)
+            p = _batch_incidence(batch)
+            return p.filter(pc.is_in(p["term"], value_set=ra))
+
+        # no global (term, doc) distinct needed: bucket_pairs dedups
+        # doc ids inside each term group, so cross-batch repeats of
+        # the same incidence can't double-count
+        inc = ds.map_batches(incidence, batch_format="pyarrow")
+    else:
+        from pmocr_ray.ops.joins import (_bloom_indices, build_bloom,
+                                         parts_for_rows)
+
+        n_bits, k_hashes = 1 << 23, 7
+        bitmap_ref = ray.put(build_bloom(rare, "term", n_bits, k_hashes))
+
+        def incidence_bloom(batch: pa.Table) -> pa.Table:
+            bitmap = ray.get(bitmap_ref)
+            p = _batch_incidence(batch)
+            uniq = pc.unique(p["term"])
+            idx = _bloom_indices(uniq.to_pylist(), n_bits, k_hashes)
+            bits = (bitmap[(idx >> 3).astype(np.int64)]
+                    >> (idx & 7).astype(np.uint8)) & 1
+            probable = uniq.filter(pa.array(bits.all(axis=1)))
+            return p.filter(pc.is_in(p["term"], value_set=probable))
+
+        probable_inc = ds.map_batches(incidence_bloom,
+                                      batch_format="pyarrow")
+        # exact verify: semi join on term against the rare rollup —
+        # the exchange moves only bloom-surviving incidence rows plus
+        # the (already one-row-per-term) rare set, never the corpus
+        inc = probable_inc.join(
+            rare, join_type="left_semi",
+            num_partitions=parts_for_rows(n_rare, cap=16),
+            on=("term",))
 
     from pmocr_ray.ops.vecagg import _bucket_of
 

@@ -565,3 +565,36 @@ def test_rare_term_pairs_blocking(ray_session):
     out2 = rare_term_pairs(rd.from_pandas(df2), max_df=3).to_pandas()
     assert {(r.a, r.b): r.n_shared_terms
             for r in out2.itertuples()} == {(7, 8): 1}
+
+
+def test_rare_term_pairs_gated_plans_equivalent(ray_session, monkeypatch):
+    """Force the scale plan (bloom prefilter + exact left_semi verify)
+    by zeroing the broadcast gate: both plans must emit byte-identical
+    pair sets on a fixture with rare AND common vocabulary."""
+    import pandas as pd
+
+    import ray.data as rd
+    from pmocr_ray.ops import text as text_mod
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(120):
+        words = ["common", "filler", "words"]
+        # each doc carries 2 rare tokens drawn from a pool sized so
+        # most have df 2-3 (pairs) and some are singletons
+        for r in rng.integers(0, 90, 2):
+            words.append(f"rare{r}")
+        rng.shuffle(words)
+        rows.append((i, " ".join(words)))
+    df = pd.DataFrame(rows, columns=["doc_id", "text"])
+
+    def run() -> pd.DataFrame:
+        return (text_mod.rare_term_pairs(
+            rd.from_pandas(df).repartition(4), max_df=3)
+            .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+
+    broadcast_plan = run()
+    assert len(broadcast_plan) > 0  # fixture really produces pairs
+    monkeypatch.setattr(text_mod, "RARE_TERM_BROADCAST_GATE", 0)
+    join_plan = run()
+    pd.testing.assert_frame_equal(broadcast_plan, join_plan)
