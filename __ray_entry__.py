@@ -1334,20 +1334,23 @@ def _q_media_resize(sf_dir: str):
 
 def _q_media_resize_real(sf_dir: str):
     """REAL raster decode → nearest-neighbor resize → re-encode,
-    oracle-gated at the PIXEL level: each doc gets a binary PPM whose
-    pixel values are an arithmetic function of (doc_id, y, x, c), the
-    actor stage resizes it to 4×3 through the real codec
-    (ops/media.decode_ppm → resize_nearest → encode_ppm), and the
-    query emits the SUM of the output pixel bytes — which DuckDB
-    recomputes exactly from the same arithmetic + the same
-    nearest-index formula ``src = (dst * in_dim) // out_dim``.  A
+    oracle-gated at the PIXEL level: each doc gets a raster whose
+    pixel values are an arithmetic function of (doc_id, y, x, c) —
+    packaged as binary PPM for even doc_ids and as REAL zlib-deflated
+    PNG for odd ones, so the compressed-format codec sits inside the
+    gate too — the actor stage resizes it to 4×3 through the real
+    codecs (ops/media.decode_raster → resize_nearest → encode_ppm),
+    and the query emits the SUM of the output pixel bytes — which
+    DuckDB recomputes exactly from the same arithmetic + the same
+    nearest-index formula ``src = (dst * in_dim) // out_dim``
+    (container-independent, so ONE SQL covers both formats).  A
     byte-level functional gate on the real media path, not just the
     metadata contract."""
     import numpy as np
     import pyarrow as pa
 
     from pmocr_ray.ops.media import (MediaResizeStage, decode_ppm,
-                                     encode_ppm)
+                                     encode_png, encode_ppm)
 
     def attach(t: pa.Table) -> pa.Table:
         media = []
@@ -1356,7 +1359,7 @@ def _q_media_resize_real(sf_dir: str):
             y, x, c = np.meshgrid(np.arange(h), np.arange(w),
                                   np.arange(3), indexing="ij")
             px = ((d + y * 31 + x * 7 + c * 3) % 256).astype(np.uint8)
-            media.append(encode_ppm(px))
+            media.append(encode_ppm(px) if d % 2 == 0 else encode_png(px))
         return pa.table({"doc_id": t["doc_id"],
                          "media": pa.array(media, pa.binary())})
 
@@ -1377,6 +1380,49 @@ def _q_media_resize_real(sf_dir: str):
                                               "out_height": 3})
           .map_batches(checksum, batch_format="pyarrow"))
     return ds
+
+
+def _q_media_png_real(sf_dir: str):
+    """REAL PNG codec gated on its NON-RGB path: each doc gets a
+    2-channel (gray+alpha) arithmetic-pixel PNG, the resize stage
+    decodes/resizes it and — channels ≠ 3 — re-encodes the OUTPUT as
+    PNG too (ops/media.MediaResizeStage), and the query decodes that
+    output PNG to emit the pixel sum, which SQL recomputes from the
+    same arithmetic + nearest-index formula.  Exercises encode→decode
+    →resize→encode→decode entirely through the zlib codec."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pmocr_ray.ops.media import (MediaResizeStage, decode_png,
+                                     encode_png)
+
+    def attach(t: pa.Table) -> pa.Table:
+        media = []
+        for d in t["doc_id"].to_pylist():
+            w, h = 8 + d % 5, 6 + d % 4
+            y, x, c = np.meshgrid(np.arange(h), np.arange(w),
+                                  np.arange(2), indexing="ij")
+            px = ((d + y * 31 + x * 7 + c * 3) % 256).astype(np.uint8)
+            media.append(encode_png(px))
+        return pa.table({"doc_id": t["doc_id"],
+                         "media": pa.array(media, pa.binary())})
+
+    def checksum(t: pa.Table) -> pa.Table:
+        sums = [int(decode_png(p).astype(np.int64).sum())
+                for p in t["media"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"],
+                         "out_width": t["out_width"],
+                         "out_height": t["out_height"],
+                         "pixel_sum": pa.array(sums, pa.int64())})
+
+    return (_docs(sf_dir).select_columns(["doc_id"])
+            .map_batches(attach, batch_format="pyarrow")
+            .map_batches(MediaResizeStage, batch_format="pyarrow",
+                         batch_size=64, concurrency=2,
+                         fn_constructor_kwargs={"column": "media",
+                                                "out_width": 5,
+                                                "out_height": 4})
+            .map_batches(checksum, batch_format="pyarrow"))
 
 
 def _audio_payloads(t):
@@ -6455,6 +6501,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stream_sessions": _q_stream_sessions,
         "media_meta": _q_media_meta,
         "media_resize_real": _q_media_resize_real,
+        "media_png_real": _q_media_png_real,
         "audio_resample_real": _q_audio_resample_real,
         "frame_sample_real": _q_frame_sample_real,
         "url_canon_dedup": _q_url_canon_dedup,
@@ -9375,6 +9422,21 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             CROSS JOIN range(3) y2 CROSS JOIN range(4) x2
             CROSS JOIN range(3) ch
+            GROUP BY d.doc_id""",
+        "media_png_real": """
+            -- 2-channel (gray+alpha) PNG resized to 5x4 through the
+            -- real zlib codec: same pixel arithmetic + nearest-index
+            -- formula, summed over 2 channels
+            SELECT d.doc_id,
+                   CAST(5 AS INTEGER) AS out_width,
+                   CAST(4 AS INTEGER) AS out_height,
+                   CAST(sum((d.doc_id
+                             + ((y2.range * (6 + d.doc_id % 4)) // 4) * 31
+                             + ((x2.range * (8 + d.doc_id % 5)) // 5) * 7
+                             + ch.range * 3) % 256) AS BIGINT) AS pixel_sum
+            FROM documents d
+            CROSS JOIN range(4) y2 CROSS JOIN range(5) x2
+            CROSS JOIN range(2) ch
             GROUP BY d.doc_id""",
         "audio_meta": """
             WITH s AS (

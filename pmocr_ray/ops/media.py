@@ -2,23 +2,27 @@
 
 Image/audio/video travel as ``binary`` columns with small typed
 metadata columns beside them — exactly how the extraction pipeline
-treats ``html``.  Uncompressed rasters (binary PPM ``P6`` and 24-bit
-BMP) are decoded/resized/re-encoded for REAL with pure-numpy codecs
-(:func:`decode_ppm` / :func:`decode_bmp` / :func:`resize_nearest`), so
-the actor-pool stages are end-to-end functional on those formats with
-zero extra dependencies.  Compressed formats (JPEG/PNG/ffmpeg video)
-need libraries this container lacks, so they are stood in by a
-deterministic synthetic format (``FAKEIMG`` header + big-endian dims +
-payload); the Ray-side machinery — schema, actor-pool decode stage,
-batch sizing for wide binary rows, feature output layout — is the same
-either way.  A production deployment registers a real compressed-codec
-decoder behind the same stage interface (the pmOCR pluggable-engine
-pattern, /root/reference/default.conf:24-87).
+treats ``html``.  Rasters are decoded/resized/re-encoded for REAL
+with pure-numpy codecs: binary PPM ``P6`` and 24-bit BMP
+(:func:`decode_ppm` / :func:`decode_bmp`), and — stdlib ``zlib`` only
+— non-interlaced 8-bit PNG in gray/gray+alpha/RGB/RGBA
+(:func:`decode_png` / :func:`encode_png`, all five scanline filters),
+so the actor-pool stages are end-to-end functional on those formats
+with zero extra dependencies.  Only codecs this container genuinely
+cannot build (JPEG's DCT entropy coding, ffmpeg-class video) are
+stood in by a deterministic synthetic format (``FAKEIMG`` header +
+big-endian dims + payload); the Ray-side machinery — schema,
+actor-pool decode stage, batch sizing for wide binary rows, feature
+output layout — is the same either way.  A production deployment
+registers a real compressed-codec decoder behind the same stage
+interface (the pmOCR pluggable-engine pattern,
+/root/reference/default.conf:24-87).
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -114,17 +118,144 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return rows[..., ::-1].copy()  # BGR -> RGB
 
 
+# ---- PNG: real compressed-format codec, stdlib zlib only -----------
+#
+# Non-interlaced 8-bit PNG (gray / gray+alpha / RGB / RGBA) is fully
+# decodable with zlib + the five scanline unfilters — no image library
+# needed.  With this, the FAKEIMG stub stands in for JPEG only.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type -> channel count (8-bit, non-palette)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    crc = zlib.crc32(typ + data) & 0xFFFFFFFF
+    return struct.pack(">I", len(data)) + typ + data + struct.pack(">I", crc)
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """(h, w) or (h, w, c∈{1,2,3,4}) uint8 -> PNG bytes (filter 0,
+    one IDAT, non-interlaced)."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    ct = {1: 0, 2: 4, 3: 2, 4: 6}.get(c)
+    if ct is None:
+        raise ValueError(f"media: PNG needs 1-4 channels, got {c}")
+    arr = np.ascontiguousarray(arr)
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ct, 0, 0, 0)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b""))
+
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int,
+                  bpp: int) -> np.ndarray:
+    """Reverse the per-scanline PNG filters (types 0-4).  Sub/Up are
+    vectorized (uint8 accumulate wraps mod 256 — the PNG arithmetic);
+    Average/Paeth walk pixels left-to-right (their recurrence) but
+    vectorize over the pixel's byte lanes."""
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)
+    pos = 0
+    for y in range(h):
+        ft = int(raw[pos])
+        line = raw[pos + 1: pos + 1 + stride].copy()
+        pos += 1 + stride
+        if ft == 0:
+            rec = line
+        elif ft == 1:  # Sub: recon[x] = filt[x] + recon[x - bpp]
+            rec = np.add.accumulate(
+                line.reshape(-1, bpp), axis=0, dtype=np.uint8).reshape(-1)
+        elif ft == 2:  # Up
+            rec = line + prev
+        elif ft in (3, 4):  # Average / Paeth: left-dependent
+            rec = np.zeros(stride, np.uint8)
+            zeros = np.zeros(bpp, np.int64)
+            pl = prev.astype(np.int64)
+            ln = line.astype(np.int64)
+            for i in range(stride // bpp):
+                s = i * bpp
+                a = rec[s - bpp:s].astype(np.int64) if i else zeros
+                b = pl[s:s + bpp]
+                if ft == 3:
+                    pred = (a + b) >> 1
+                else:
+                    cc = pl[s - bpp:s] if i else zeros
+                    p = a + b - cc
+                    pa, pb, pcc = np.abs(p - a), np.abs(p - b), np.abs(p - cc)
+                    pred = np.where((pa <= pb) & (pa <= pcc), a,
+                                    np.where(pb <= pcc, b, cc))
+                rec[s:s + bpp] = ((ln[s:s + bpp] + pred) & 0xFF
+                                  ).astype(np.uint8)
+        else:
+            raise ValueError(f"media: bad PNG filter type {ft}")
+        out[y] = rec
+        prev = rec
+    return out
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Non-interlaced 8-bit PNG -> (h, w, c) uint8.  Gray (0),
+    RGB (2), gray+alpha (4) and RGBA (6) color types; palette,
+    16-bit and interlaced images raise loudly (-> quarantine).
+    Chunk CRCs are verified so corrupt payloads fail deterministically."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("media: not a PNG payload")
+    pos, ihdr, idat = 8, None, []
+    while pos + 12 <= len(payload):
+        ln, = struct.unpack_from(">I", payload, pos)
+        typ = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + ln]
+        if len(data) < ln:
+            raise ValueError("media: truncated PNG chunk")
+        crc, = struct.unpack_from(">I", payload, pos + 8 + ln)
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError("media: PNG chunk CRC mismatch")
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or not idat:
+        raise ValueError("media: PNG missing IHDR/IDAT")
+    w, h, depth, ct, comp, filt, interlace = ihdr
+    if (depth != 8 or comp != 0 or filt != 0 or interlace != 0
+            or ct not in _PNG_CHANNELS):
+        raise ValueError(
+            f"media: unsupported PNG (depth {depth}, color type {ct}, "
+            f"interlace {interlace}) — 8-bit non-interlaced "
+            f"gray/RGB/alpha only")
+    c = _PNG_CHANNELS[ct]
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as exc:
+        raise ValueError(f"media: PNG inflate failed ({exc})") from exc
+    stride = w * c
+    if len(raw) != h * (stride + 1):
+        raise ValueError("media: PNG pixel data size mismatch")
+    return _png_unfilter(np.frombuffer(raw, np.uint8), h, stride,
+                         c).reshape(h, w, c)
+
+
 def decode_raster(payload: bytes) -> np.ndarray:
-    """Dispatch a REAL raster payload (PPM/BMP) by magic."""
+    """Dispatch a REAL raster payload (PPM/BMP/PNG) by magic."""
     if payload[:2] == b"P6":
         return decode_ppm(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
     raise ValueError("media: unknown raster format")
 
 
 def is_raster(payload: bytes) -> bool:
-    return payload[:2] in (b"P6", b"BM")
+    return payload[:2] in (b"P6", b"BM") or payload[:8] == _PNG_SIG
 
 
 def resize_nearest(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
@@ -164,11 +295,13 @@ class MediaResizeStage:
             try:
                 if is_raster(p or b""):
                     # REAL path: decode, vectorized nearest-neighbor
-                    # resize, re-encode as PPM (the lossless raster
-                    # interchange of this module)
+                    # resize, re-encode — PPM for 3-channel (the
+                    # lossless raster interchange of this module),
+                    # PNG for gray/alpha channel counts PPM can't hold
                     arr = resize_nearest(decode_raster(p), self.out_width,
                                          self.out_height)
-                    out = encode_ppm(arr)
+                    out = (encode_ppm(arr) if arr.shape[2] == 3
+                           else encode_png(arr))
                     outs.append(out)
                     widths.append(self.out_width)
                     heights.append(self.out_height)

@@ -392,6 +392,113 @@ def test_media_real_wav_codec_and_stages():
         decode_wav(bytes(bad))
 
 
+def test_media_real_png_codec_roundtrip_and_filters():
+    """PNG is decoded for REAL (stdlib zlib + unfilter): round-trip in
+    every supported channel count, all five scanline filters decode
+    correctly, corrupt/unsupported payloads raise ValueError."""
+    import struct as _struct
+    import zlib as _zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from pmocr_ray.ops.media import (_PNG_SIG, _png_chunk, decode_png,
+                                     decode_raster, encode_png, is_raster)
+
+    rng = np.random.default_rng(11)
+    for c in (1, 2, 3, 4):
+        img = rng.integers(0, 256, (13, 9, c), dtype=np.uint8)
+        out = decode_png(encode_png(img))
+        assert out.shape == (13, 9, c) and (out == img).all()
+    # 2-D gray input is accepted and comes back (h, w, 1)
+    g = rng.integers(0, 256, (5, 7), dtype=np.uint8)
+    assert (decode_png(encode_png(g))[:, :, 0] == g).all()
+    assert is_raster(encode_png(g))
+    assert (decode_raster(encode_png(g))[:, :, 0] == g).all()
+
+    # all five filter types: forward-filter a known image by hand,
+    # build the IDAT, and the decoder must reconstruct it exactly
+    img = rng.integers(0, 256, (5, 6, 3), dtype=np.uint8)
+    h, w, c = img.shape
+    bpp, stride = c, w * c
+    flat = img.reshape(h, stride).astype(np.int64)
+    raw = bytearray()
+    for y, ft in enumerate([0, 1, 2, 3, 4]):
+        cur = flat[y]
+        prev = flat[y - 1] if y else np.zeros(stride, np.int64)
+        left = np.concatenate([np.zeros(bpp, np.int64), cur[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, np.int64), prev[:-bpp]])
+        if ft == 0:
+            filt = cur
+        elif ft == 1:
+            filt = cur - left
+        elif ft == 2:
+            filt = cur - prev
+        elif ft == 3:
+            filt = cur - ((left + prev) >> 1)
+        else:
+            p = left + prev - upleft
+            pa_, pb, pcc = (np.abs(p - left), np.abs(p - prev),
+                            np.abs(p - upleft))
+            pred = np.where((pa_ <= pb) & (pa_ <= pcc), left,
+                            np.where(pb <= pcc, prev, upleft))
+            filt = cur - pred
+        raw += bytes([ft]) + (filt & 0xFF).astype(np.uint8).tobytes()
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    payload = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+               + _png_chunk(b"IDAT", _zlib.compress(bytes(raw)))
+               + _png_chunk(b"IEND", b""))
+    assert (decode_png(payload) == img).all()
+
+    # corrupt CRC, 16-bit depth, interlace: ValueError (quarantine)
+    good = bytearray(encode_png(img))
+    good[-5] ^= 0xFF  # flip a bit in IEND's CRC
+    with _pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(good))
+    for byte_off, val in ((8, 16),   # bit depth 16
+                          (12, 1)):  # interlace (Adam7)
+        msg = "unsupported"
+        hdr = _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        hdr = hdr[:byte_off] + bytes([val]) + hdr[byte_off + 1:]
+        bad = (_PNG_SIG + _png_chunk(b"IHDR", hdr)
+               + _png_chunk(b"IDAT", _zlib.compress(b"\x00" * (stride + 1)))
+               + _png_chunk(b"IEND", b""))
+        with _pytest.raises(ValueError, match=msg):
+            decode_png(bad)
+
+
+def test_media_png_through_stages():
+    """PNG payloads flow through the REAL decode/resize stages: pixel
+    statistics from actual pixels, resize re-encodes RGB as PPM and
+    RGBA as PNG (alpha survives)."""
+    import numpy as np
+
+    from pmocr_ray.ops.media import (MediaDecodeStage, MediaResizeStage,
+                                     decode_png, decode_ppm, encode_png,
+                                     resize_nearest)
+
+    rng = np.random.default_rng(7)
+    rgb = rng.integers(0, 256, (10, 8, 3), dtype=np.uint8)
+    rgba = rng.integers(0, 256, (6, 6, 4), dtype=np.uint8)
+    t = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "media": pa.array([encode_png(rgb), encode_png(rgba)],
+                                    pa.binary())})
+    d = MediaDecodeStage(column="media")(t)
+    assert d["width"].to_pylist() == [8, 6]
+    assert d["height"].to_pylist() == [10, 6]
+    assert d["channels"].to_pylist() == [3, 4]
+    px = rgb.reshape(-1, 3).astype(np.float32) / 255.0
+    exp = np.concatenate([px.mean(axis=0), px.std(axis=0)])
+    feat = d["features"].to_pylist()[0]
+    assert np.allclose(feat[:6], exp, atol=1e-6) and feat[6:] == [0.0, 0.0]
+
+    r = MediaResizeStage(column="media", out_width=4, out_height=3)(t)
+    assert r["media_error"].to_pylist() == [None, None]
+    outs = r["media"].to_pylist()
+    assert (decode_ppm(outs[0]) == resize_nearest(rgb, 4, 3)).all()
+    assert (decode_png(outs[1]) == resize_nearest(rgba, 4, 3)).all()
+
+
 def test_media_wav_truncated_fmt_chunk_quarantines():
     """A 'fmt ' chunk shorter than 16 bytes must raise ValueError (not
     struct.error) so the audio stages quarantine the ROW instead of
