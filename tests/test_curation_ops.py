@@ -484,6 +484,50 @@ def test_strip_tracking_params_cases():
     assert s("https://a.x/p?b=&a=2") == "https://a.x/p?b=&a=2"
 
 
+def test_canonicalize_urls_differential_vs_scalar():
+    """The vectorized canonicalizer must be byte-identical to the
+    scalar strip_tracking_params on every input — common shapes
+    (Arrow fast path) AND anomalous rows (Python fallback): percent
+    escapes, bare keys, semicolons, '=' in values, non-ASCII,
+    schemeless, junk."""
+    from pmocr_ray.ops.text import canonicalize_urls, strip_tracking_params
+
+    urls = [
+        # fast-path shapes
+        "https://a.x/p",
+        "HTTPS://A.X/Path/Keep#frag",
+        "https://a.x/p?utm_source=f&q=1&utm_medium=m",
+        "https://a.x/p?gclid=z",
+        "https://a.x/p?ref=tw&fbclid=1",
+        "https://a.x/p?b=&a=2",
+        "https://a.x/p?a=1&a=2&refx=keepme",
+        "https://a.x/p?a=b+c",          # '+' round-trips as '+'
+        "https://User@Host:8080/x?k=v",
+        "https://a.x/p?utm_=1&utm_campaign=x%20y",  # tracking any value
+        "https://a.x/p?",
+        "https://a.x/p?#f",
+        "http://h/a:b,c(d)!$",          # odd path chars preserved
+        "https://a.x/p?a=1&ref",        # bare tracking key removed
+        # fallback shapes
+        "https://a.x/p?a=%20b",         # escape re-encoded by parse_qsl
+        "https://a.x/p?bare",           # bare key -> 'bare='
+        "https://a.x/p?a=b=c",          # '=' in value gets quoted
+        "https://a.x/p?a=b;c",          # ';' gets quoted
+        "https://a.x/p?a=é",       # non-ASCII
+        "//schemeless.example/x?utm_source=1",
+        "mailto:someone@example.com",
+        "not a url at all",
+        "",
+    ]
+    got = canonicalize_urls(pa.array(urls, pa.string())).to_pylist()
+    exp = [strip_tracking_params(u) for u in urls]
+    assert got == exp
+    # all-eligible batch exercises the pure-Arrow early return
+    fast_only = [u for u in urls[:14]]
+    got2 = canonicalize_urls(pa.array(fast_only, pa.string())).to_pylist()
+    assert got2 == [strip_tracking_params(u) for u in fast_only]
+
+
 def test_canonical_url_counts(ray_session):
     import pandas as pd
 
