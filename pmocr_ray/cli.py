@@ -80,6 +80,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="push mode: force a round after this many "
                         "seconds without events (MAX_WAIT, "
                         "pmocr.sh:24-26)")
+    p.add_argument("--alert-spool", dest="alert_spool",
+                   help="directory for failure alerts: every run/round "
+                        "that quarantines rows appends to "
+                        "<dir>/alerts.jsonl and drops one spool file "
+                        "per alert (SendAlert analogue, "
+                        "pmocr.sh:428-480)")
     return p
 
 
@@ -140,11 +146,26 @@ def _parse_service_entry(entry: str) -> tuple[str, tuple[str, ...] | None]:
     return path, tuple(t for t in tgts.split("+") if t) or None
 
 
+def _alert_hook_from_cfg(cfg: PipelineConfig):
+    """Build the configured alert sink (reference: SendAlert fires on
+    every failed dispatch, pmocr.sh:428-480): JSONL record appended to
+    <alert_spool>/alerts.jsonl + one spool file per alert (maildir
+    discipline, runlog.file_transport).  None when unconfigured."""
+    if not cfg.alert_spool:
+        return None
+    from pmocr_ray.runlog import file_transport, make_alert_hook
+
+    return make_alert_hook(os.path.join(cfg.alert_spool, "alerts.jsonl"),
+                           transport=file_transport(cfg.alert_spool))
+
+
 def run_service(pages: str | list[str], cfg: PipelineConfig,
                 rounds: int | None, push: bool = False,
                 max_wait_s: float = 86400.0) -> dict:
     from pmocr_ray.state.manifest import (LineageManifest, ServiceDirSpec,
                                           serve, serve_push, serve_multi)
+
+    alert_hook = _alert_hook_from_cfg(cfg)
 
     entries = [pages] if isinstance(pages, str) else list(pages)
     if entries == ["auto"]:
@@ -171,6 +192,7 @@ def run_service(pages: str | list[str], cfg: PipelineConfig,
                 done_manifest_path=(os.path.join(cfg.done_manifest, name)
                                     if cfg.done_manifest else None),
                 targets=targets or (tuple(cfg.target_list()) or None),
+                alert_hook=alert_hook,
             ))
         out = serve_multi(specs, push=push, max_wait_s=max_wait_s,
                           poll_interval_s=cfg.poll_interval_s,
@@ -185,11 +207,11 @@ def run_service(pages: str | list[str], cfg: PipelineConfig,
         out = serve_push(pages_dir, cfg.out_dir, cfg.resolved_manifest_dir(),
                          cfg.done_manifest, max_wait_s=max_wait_s,
                          poll_interval_s=cfg.poll_interval_s,
-                         max_rounds=rounds)
+                         max_rounds=rounds, on_complete=alert_hook)
     else:
         serve(pages_dir, cfg.out_dir, cfg.resolved_manifest_dir(),
               cfg.done_manifest, interval_s=cfg.poll_interval_s,
-              max_rounds=rounds)
+              max_rounds=rounds, on_complete=alert_hook)
 
     entries_committed = LineageManifest(cfg.resolved_manifest_dir()).committed()
     out["partitions"] = len(entries_committed)
@@ -213,6 +235,7 @@ def main(argv: list[str] | None = None) -> int:
         concurrency=args.concurrency,
         exec_mode=args.exec_mode,
         poll_interval_s=args.poll_interval_s,
+        alert_spool=args.alert_spool,
     )
 
     import ray
@@ -229,6 +252,11 @@ def main(argv: list[str] | None = None) -> int:
     try:
         if args.batch:
             out = run_batch(args.batch, cfg, update_done=args.update_done)
+            hook = _alert_hook_from_cfg(cfg)
+            if hook is not None:
+                # batch runs alert too (the reference's one-shot mode
+                # sends the same failure alert as the service)
+                hook({"counts": out, "processed": [args.batch]})
         else:
             out = run_service(args.service, cfg, args.rounds,
                               push=args.push, max_wait_s=args.max_wait_s)

@@ -73,6 +73,12 @@ class PipelineConfig:
     # pmocr.sh:2519-2537 / default.conf:116-126): comma-separated
     # "DIR[:tgt1+tgt2]" entries; `--service auto` reads them from here
     service_dirs: str = ""
+    # alerting (reference: SendAlert on every failed dispatch,
+    # pmocr.sh:428-480): when set, each service round / batch run that
+    # quarantines rows appends a JSON alert record to
+    # <alert_spool>/alerts.jsonl AND drops a per-alert spool file
+    # (runlog.file_transport maildir discipline)
+    alert_spool: str = ""
 
     def resolved_manifest_dir(self) -> str:
         return self.manifest_dir or os.path.join(self.out_dir, "_manifest")

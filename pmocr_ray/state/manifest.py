@@ -370,25 +370,33 @@ def update_done_manifest(output_path: str, done_manifest_path: str,
 
 def poll_once(pages_dir: str, out_dir: str, manifest_dir: str,
               done_manifest_path: str | None = None,
-              extract_kwargs: dict | None = None) -> dict:
+              extract_kwargs: dict | None = None,
+              on_complete=None) -> dict:
     """One service-mode round: diff listing vs manifest, process the new.
 
     Equivalent of one wake of the reference's watcher → DispatchRunner
     chain (pmocr.sh:2268-2277 → 2195-2224).  ``extract_kwargs`` is the
-    per-round engine configuration (see :func:`run_incremental`)."""
+    per-round engine configuration (see :func:`run_incremental`);
+    ``on_complete`` is the per-round alert hook (the reference alerts
+    on every failed dispatch, pmocr.sh:428-480 — see
+    :func:`pmocr_ray.runlog.make_alert_hook`)."""
     return run_incremental(pages_dir, out_dir, manifest_dir,
-                           done_manifest_path, extract_kwargs=extract_kwargs)
+                           done_manifest_path, extract_kwargs=extract_kwargs,
+                           on_complete=on_complete)
 
 
 def serve(pages_dir: str, out_dir: str, manifest_dir: str,
           done_manifest_path: str | None = None,
-          interval_s: float = 30.0, max_rounds: int | None = None) -> None:
+          interval_s: float = 30.0, max_rounds: int | None = None,
+          on_complete=None) -> None:
     """Poller service loop (reference: INOTIFY_POLLER_INTERVAL=30,
     /root/reference/default.conf:33; forced-run period pmocr.sh:24-26).
-    ``max_rounds`` bounds the loop for tests."""
+    ``max_rounds`` bounds the loop for tests; ``on_complete`` fires
+    per round (alert hook)."""
     rounds = 0
     while max_rounds is None or rounds < max_rounds:
-        poll_once(pages_dir, out_dir, manifest_dir, done_manifest_path)
+        poll_once(pages_dir, out_dir, manifest_dir, done_manifest_path,
+                  on_complete=on_complete)
         rounds += 1
         if max_rounds is None or rounds < max_rounds:
             time.sleep(interval_s)
@@ -399,7 +407,8 @@ def serve_push(pages_dir: str, out_dir: str, manifest_dir: str,
                max_wait_s: float = 86400.0,
                poll_interval_s: float = 30.0,
                max_rounds: int | None = None,
-               extract_kwargs: dict | None = None) -> dict:
+               extract_kwargs: dict | None = None,
+               on_complete=None) -> dict:
     """Push-based service loop: block on **inotify** events for
     ``pages_dir`` between rounds, waking the instant a new partition
     file lands — the reference's primary service mode (``inotifywait -e
@@ -429,7 +438,8 @@ def serve_push(pages_dir: str, out_dir: str, manifest_dir: str,
     try:
         while max_rounds is None or rounds < max_rounds:
             poll_once(pages_dir, out_dir, manifest_dir, done_manifest_path,
-                      extract_kwargs=extract_kwargs)
+                      extract_kwargs=extract_kwargs,
+                      on_complete=on_complete)
             rounds += 1
             if max_rounds is not None and rounds >= max_rounds:
                 break
@@ -460,6 +470,11 @@ class ServiceDirSpec:
     done_manifest_path: str | None = None
     targets: tuple[str, ...] | None = None
     extract_kwargs: dict | None = None
+    # per-round alert hook (reference: SendAlert on every failed
+    # dispatch, pmocr.sh:428-480) — see runlog.make_alert_hook;
+    # process-local callable, fired after each round that this spec
+    # processed at least one partition in
+    alert_hook: "object | None" = None
 
 
 def serve_multi(specs, *, push: bool = True, max_wait_s: float = 86400.0,
@@ -531,7 +546,8 @@ def serve_multi(specs, *, push: bool = True, max_wait_s: float = 86400.0,
                     s.pages_dir, s.out_dir, s.manifest_dir,
                     s.done_manifest_path,
                     extract_kwargs=s.extract_kwargs,
-                    targets=s.targets)
+                    targets=s.targets,
+                    on_complete=s.alert_hook)
                 d = per_dir[_dir_key(s)]
                 d["partitions"] += len(out["processed"])
                 for k, v in out["counts"].items():

@@ -73,10 +73,26 @@ def main() -> int:
 
     result: dict = {"sf_dir": sf_dir, "partitions_total": len(parts)}
 
+    # alert sink wired into every service round (reference: SendAlert
+    # fires on each failed dispatch, pmocr.sh:428-480)
+    from pmocr_ray.runlog import file_transport, make_alert_hook
+
+    alert_spool = os.path.join(root, "alert_spool")
+    alert_path = os.path.join(alert_spool, "alerts.jsonl")
+    alert_hook = make_alert_hook(alert_path,
+                                 transport=file_transport(alert_spool))
+
+    def _alert_records() -> list:
+        if not os.path.exists(alert_path):
+            return []
+        with open(alert_path) as f:
+            return [json.loads(line) for line in f if line.strip()]
+
     # round 1: healthy over all but the last two partitions
     for f in parts[:-2]:
         shutil.copy(f, monitored)
-    s1 = poll_once(monitored, out_dir, mani_dir, done)
+    s1 = poll_once(monitored, out_dir, mani_dir, done,
+                   on_complete=alert_hook)
     result["round1"] = {"processed": len(s1["processed"]),
                         "counts": s1["counts"]}
     manifest = LineageManifest(mani_dir)
@@ -87,8 +103,10 @@ def main() -> int:
     drill_path = os.path.join(monitored, os.path.basename(drill_src))
     shutil.copy(drill_src, drill_path)
     n_drill = pq.read_metadata(drill_src).num_rows
+    n_alerts_before = len(_alert_records())
     s2 = poll_once(monitored, out_dir, mani_dir, done,
-                   extract_kwargs={"preprocessors": [boom]})
+                   extract_kwargs={"preprocessors": [boom]},
+                   on_complete=alert_hook)
     key = _partition_key(drill_path)
     entry = manifest.committed()[key]
     ok_quarantine = (s2["counts"] == {"failed": n_drill}
@@ -108,10 +126,23 @@ def main() -> int:
         "partition_rows": n_drill, "quarantined": s2["counts"].get("failed", 0),
         "all_quarantined": ok_quarantine, "prior_entries_untouched":
         ok_integrity, "error_rows_verified": ok_rows}
+    recs = _alert_records()
+    result["alerts"] = {
+        "alert_path": alert_path,
+        "spool_dir": alert_spool,
+        "records": len(recs),
+        "spool_files": len(glob.glob(os.path.join(alert_spool,
+                                                  "alert-*.json"))),
+        "poisoned_round_alerted": (
+            len(recs) == n_alerts_before + 1
+            and recs[-1]["failed_rows"] == n_drill
+            and recs[-1]["partitions"] == [key]),
+    }
 
     # round 3: engine fixed — new arrival processes, drill not re-run
     shutil.copy(parts[-1], monitored)
-    s3 = poll_once(monitored, out_dir, mani_dir, done)
+    s3 = poll_once(monitored, out_dir, mani_dir, done,
+                   on_complete=alert_hook)
     ok_resume = (len(s3["processed"]) == 1
                  and len(s3["skipped"]) == len(parts) - 1
                  and s3["counts"].get("done", 0) > 0

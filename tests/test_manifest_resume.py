@@ -195,6 +195,93 @@ def test_serve_multi_two_dirs_isolated_targets(tmp_path, pages_fixture):
                     push=False, max_rounds=1)
 
 
+def test_service_alerting_on_poisoned_partition(tmp_env, tmp_path):
+    """Service-mode alert parity (reference: SendAlert fires on every
+    failed dispatch, pmocr.sh:428-480): with an alert hook wired into
+    the service rounds, a poisoned partition quarantining mid-service
+    must land a structured alert record in the JSONL sink AND a spool
+    file via the file transport."""
+    import json
+
+    from pmocr_ray.runlog import file_transport, make_alert_hook
+
+    def _boom_preprocessor(payload):
+        raise RuntimeError("engine broken mid-service (alert drill)")
+
+    spool = tmp_path / "alert_spool"
+    alert_path = str(spool / "alerts.jsonl")
+    hook = make_alert_hook(alert_path,
+                           transport=file_transport(str(spool)))
+
+    def records():
+        if not os.path.exists(alert_path):
+            return []
+        with open(alert_path) as f:
+            return [json.loads(line) for line in f if line.strip()]
+
+    # round 1: healthy service round (fixture partitions may carry
+    # their own failed-class rows — count whatever alerts they raise)
+    s1 = poll_once(tmp_env["monitored"], tmp_env["out"], tmp_env["manifest"],
+                   tmp_env["done"], on_complete=hook)
+    n1 = len(records())
+    assert n1 == (1 if s1["counts"].get("failed", 0) >= 1 else 0)
+
+    # a 3-page partition arrives while the engine is poisoned
+    src = pq.read_table(tmp_env["remaining"][0])
+    drill_path = os.path.join(tmp_env["monitored"], "part-drill.parquet")
+    pq.write_table(src.slice(0, 3), drill_path)
+    s2 = poll_once(tmp_env["monitored"], tmp_env["out"], tmp_env["manifest"],
+                   tmp_env["done"],
+                   extract_kwargs={"preprocessors": [_boom_preprocessor]},
+                   on_complete=hook)
+    assert s2["counts"] == {"failed": 3}
+    recs = records()
+    assert len(recs) == n1 + 1
+    last = recs[-1]
+    assert last["alert"] == "run_completed_with_failures"
+    assert last["failed_rows"] == 3
+    assert last["partitions"] == [_partition_key(drill_path)]
+    # the file transport spooled one file per alert record
+    spool_files = glob.glob(str(spool / "alert-*.json"))
+    assert len(spool_files) == len(recs)
+
+    # an idle round (nothing new) must NOT alert
+    s3 = poll_once(tmp_env["monitored"], tmp_env["out"], tmp_env["manifest"],
+                   tmp_env["done"], on_complete=hook)
+    assert not s3["processed"] and len(records()) == n1 + 1
+
+
+def test_serve_multi_spec_alert_hook(tmp_path, pages_fixture):
+    """ServiceDirSpec.alert_hook fires per round through serve_multi —
+    the multi-dir daemon alerts exactly like the single-dir loops."""
+    import json
+
+    from pmocr_ray.runlog import make_alert_hook
+    from pmocr_ray.state.manifest import ServiceDirSpec, serve_multi
+
+    def _boom_preprocessor(payload):
+        raise RuntimeError("engine broken (multi-dir alert drill)")
+
+    pages, done = pages_fixture
+    src = sorted(glob.glob(os.path.join(pages, "*.parquet")))
+    d = tmp_path / "incoming"
+    d.mkdir()
+    pq.write_table(pq.read_table(src[0]).slice(0, 4),
+                   str(d / "part-poison.parquet"))
+    alert_path = str(tmp_path / "alerts.jsonl")
+    spec = ServiceDirSpec(
+        pages_dir=str(d), out_dir=str(tmp_path / "out"),
+        manifest_dir=str(tmp_path / "manifest"),
+        done_manifest_path=done,
+        extract_kwargs={"preprocessors": [_boom_preprocessor]},
+        alert_hook=make_alert_hook(alert_path))
+    out = serve_multi([spec], push=False, max_rounds=1)
+    assert out["per_dir"][str(d)]["counts"] == {"failed": 4}
+    with open(alert_path) as f:
+        recs = [json.loads(line) for line in f if line.strip()]
+    assert len(recs) == 1 and recs[0]["failed_rows"] == 4
+
+
 def test_serve_multi_shared_pages_dir_stats_not_merged(tmp_path,
                                                        pages_fixture):
     """Two specs watching the SAME pages dir (different out/manifest
