@@ -385,6 +385,64 @@ def run_scaling() -> dict:
     return summary
 
 
+LEDGER_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_LEDGER.json")
+REGRESSION_FLAG_RATIO = 1.5
+
+
+def _update_op_ledger(result: dict) -> None:
+    """Per-op regression self-gate: each op's PROBE-NORMALIZED reading
+    (sec ÷ mean bracketing ``spin_sec_hi`` — wall time in units of
+    what the host's 32-proc spin cost in the same window, so a slow
+    host window doesn't read as an engine regression) is compared to
+    its best-on-record in ``BENCH_LEDGER.json``.  Ops reading >
+    ``REGRESSION_FLAG_RATIO``× their normalized best are flagged in
+    the bench JSON (``regression_flags``); every op's delta is
+    reported (``op_norm_deltas``); the ledger keep-better-updates so
+    the gate tightens as the engine improves.  Seeded from the r3/r4
+    bench records (the first rounds that carried host probes)."""
+    pre, post = result.get("host_probe_pre"), result.get("host_probe_post")
+    if not pre or not post:
+        return
+    spin = (pre["spin_sec_hi"] + post["spin_sec_hi"]) / 2
+    # Window coherence: when the bracketing probes disagree by > 30%
+    # the host shifted MID-RUN and the mean spin misprices whatever
+    # each op actually experienced — deltas/flags are still reported
+    # (advisory), but best-on-record must not ratchet on a mispriced
+    # denominator (an optimistic best makes every later run flag).
+    coherent = (abs(pre["spin_sec_hi"] - post["spin_sec_hi"])
+                <= 0.3 * spin)
+    try:
+        with open(LEDGER_PATH) as f:
+            ledger = json.load(f)
+    except (OSError, ValueError):
+        ledger = {}
+    deltas: dict[str, float] = {}
+    flags: list[str] = []
+    stamp = datetime.datetime.now(datetime.timezone.utc).isoformat(
+        timespec="seconds")
+    for op, sec in result["queries"].items():
+        norm = sec / spin
+        ent = ledger.get(op)
+        if ent is not None:
+            delta = round(norm / ent["best_norm"], 2)
+            deltas[op] = delta
+            if delta > REGRESSION_FLAG_RATIO:
+                flags.append(op)
+        if coherent and (ent is None or norm < ent["best_norm"]):
+            ledger[op] = {"best_norm": round(norm, 4),
+                          "best_raw_sec": sec,
+                          "spin_sec_hi": round(spin, 3),
+                          "recorded": stamp}
+    if coherent:
+        with open(LEDGER_PATH, "w") as f:
+            json.dump(ledger, f, indent=1, sort_keys=True)
+            f.write("\n")
+    result["op_norm_deltas"] = deltas
+    result["regression_flags"] = sorted(flags)
+    result["ledger_window_coherent"] = coherent
+
+
 _MARK_BEGIN = "<!-- BENCH:BEGIN (auto-written by bench.py --scaling) -->"
 _MARK_END = "<!-- BENCH:END -->"
 
@@ -490,4 +548,7 @@ if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
-        print(json.dumps(run_bench()))
+        _result = run_bench()
+        if not SKIP_OPS:
+            _update_op_ledger(_result)
+        print(json.dumps(_result))
