@@ -1425,6 +1425,52 @@ def _q_media_png_real(sf_dir: str):
             .map_batches(checksum, batch_format="pyarrow"))
 
 
+def _q_media_jpeg_real(sf_dir: str):
+    """REAL baseline-JPEG codec gated at the PIXEL level: each doc
+    gets a grayscale JPEG of uniform 8×8 tiles whose values are an
+    arithmetic function of (doc_id, tile_y, tile_x), encoded with
+    all-ones quant tables — DC-only blocks round-trip BIT-EXACTLY
+    through the Huffman/IDCT pipeline (ops/jpeg.py) — the resize
+    stage decodes/resizes it (gray output re-encodes as PNG), and the
+    query emits the output pixel SUM, which SQL recomputes from the
+    same tile arithmetic + nearest-index formula.  Real entropy-coded
+    JPEG bytes, exact integer oracle."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pmocr_ray.ops.jpeg import encode_jpeg
+    from pmocr_ray.ops.media import MediaResizeStage, decode_png
+
+    def attach(t: pa.Table) -> pa.Table:
+        media = []
+        for d in t["doc_id"].to_pylist():
+            th, tw = 3 + d % 3, 4 + d % 2
+            ty, tx = np.meshgrid(np.arange(th), np.arange(tw),
+                                 indexing="ij")
+            tiles = ((d + ty * 31 + tx * 7) % 256).astype(np.uint8)
+            img = np.repeat(np.repeat(tiles, 8, 0), 8, 1)
+            media.append(encode_jpeg(img, quant_scale=0))
+        return pa.table({"doc_id": t["doc_id"],
+                         "media": pa.array(media, pa.binary())})
+
+    def checksum(t: pa.Table) -> pa.Table:
+        sums = [int(decode_png(p).astype(np.int64).sum())
+                for p in t["media"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"],
+                         "out_width": t["out_width"],
+                         "out_height": t["out_height"],
+                         "pixel_sum": pa.array(sums, pa.int64())})
+
+    return (_docs(sf_dir).select_columns(["doc_id"])
+            .map_batches(attach, batch_format="pyarrow")
+            .map_batches(MediaResizeStage, batch_format="pyarrow",
+                         batch_size=64, concurrency=2,
+                         fn_constructor_kwargs={"column": "media",
+                                                "out_width": 5,
+                                                "out_height": 4})
+            .map_batches(checksum, batch_format="pyarrow"))
+
+
 def _audio_payloads(t):
     """Deterministic WAV-per-doc: n = 64 + d%37 mono s16 samples at
     rate 8000 + (d%3)*4000, sample[i] = ((d*7 + i*13) % 4001) - 2000 —
@@ -6502,6 +6548,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_meta": _q_media_meta,
         "media_resize_real": _q_media_resize_real,
         "media_png_real": _q_media_png_real,
+        "media_jpeg_real": _q_media_jpeg_real,
         "audio_resample_real": _q_audio_resample_real,
         "frame_sample_real": _q_frame_sample_real,
         "url_canon_dedup": _q_url_canon_dedup,
@@ -9422,6 +9469,21 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             CROSS JOIN range(3) y2 CROSS JOIN range(4) x2
             CROSS JOIN range(3) ch
+            GROUP BY d.doc_id""",
+        "media_jpeg_real": """
+            -- grayscale uniform-tile JPEG (all-ones quant: DC-only
+            -- blocks, bit-exact through Huffman+IDCT) resized to 5x4:
+            -- pixel (y,x) of the source = tile value at (y//8, x//8),
+            -- nearest-index src = (dst * in) // out
+            SELECT d.doc_id,
+                   CAST(5 AS INTEGER) AS out_width,
+                   CAST(4 AS INTEGER) AS out_height,
+                   CAST(sum((d.doc_id
+                     + (((y2.range * (8 * (3 + d.doc_id % 3))) // 4) // 8) * 31
+                     + (((x2.range * (8 * (4 + d.doc_id % 2))) // 5) // 8) * 7
+                     ) % 256) AS BIGINT) AS pixel_sum
+            FROM documents d
+            CROSS JOIN range(4) y2 CROSS JOIN range(5) x2
             GROUP BY d.doc_id""",
         "media_png_real": """
             -- 2-channel (gray+alpha) PNG resized to 5x4 through the

@@ -2,21 +2,22 @@
 
 Image/audio/video travel as ``binary`` columns with small typed
 metadata columns beside them — exactly how the extraction pipeline
-treats ``html``.  Rasters are decoded/resized/re-encoded for REAL
-with pure-numpy codecs: binary PPM ``P6`` and 24-bit BMP
-(:func:`decode_ppm` / :func:`decode_bmp`), and — stdlib ``zlib`` only
-— non-interlaced 8-bit PNG in gray/gray+alpha/RGB/RGBA
-(:func:`decode_png` / :func:`encode_png`, all five scanline filters),
-so the actor-pool stages are end-to-end functional on those formats
-with zero extra dependencies.  Only codecs this container genuinely
-cannot build (JPEG's DCT entropy coding, ffmpeg-class video) are
-stood in by a deterministic synthetic format (``FAKEIMG`` header +
-big-endian dims + payload); the Ray-side machinery — schema,
-actor-pool decode stage, batch sizing for wide binary rows, feature
-output layout — is the same either way.  A production deployment
-registers a real compressed-codec decoder behind the same stage
-interface (the pmOCR pluggable-engine pattern,
-/root/reference/default.conf:24-87).
+treats ``html``.  EVERY raster format the stages claim is decoded for
+REAL with pure-numpy codecs: binary PPM ``P6`` and 24-bit BMP
+(:func:`decode_ppm` / :func:`decode_bmp`); non-interlaced 8-bit PNG
+in gray/gray+alpha/RGB/RGBA (:func:`decode_png` / :func:`encode_png`,
+stdlib ``zlib``, all five scanline filters); and baseline sequential
+JPEG — Huffman entropy decode, dequantize, 8×8 IDCT, 4:2:0 chroma
+upsampling, restart markers (:mod:`pmocr_ray.ops.jpeg`, encode side
+included).  The actor-pool stages are end-to-end functional on all of
+them with zero extra dependencies.  The deterministic ``FAKEIMG`` /
+``FAKEVID`` synthetic containers remain ONLY as test fixtures with
+closed-form size arithmetic (their oracles recompute byte counts in
+SQL) and as the documented extension seam for codecs outside scope
+(progressive JPEG, ffmpeg-class compressed video) — no real format
+the stages accept is stubbed.  A production deployment registers
+further decoders behind the same stage interface (the pmOCR
+pluggable-engine pattern, /root/reference/default.conf:24-87).
 """
 
 from __future__ import annotations
@@ -244,18 +245,23 @@ def decode_png(payload: bytes) -> np.ndarray:
 
 
 def decode_raster(payload: bytes) -> np.ndarray:
-    """Dispatch a REAL raster payload (PPM/BMP/PNG) by magic."""
+    """Dispatch a REAL raster payload (PPM/BMP/PNG/JPEG) by magic."""
     if payload[:2] == b"P6":
         return decode_ppm(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
+    if payload[:2] == b"\xFF\xD8":
+        from pmocr_ray.ops.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise ValueError("media: unknown raster format")
 
 
 def is_raster(payload: bytes) -> bool:
-    return payload[:2] in (b"P6", b"BM") or payload[:8] == _PNG_SIG
+    return (payload[:2] in (b"P6", b"BM", b"\xFF\xD8")
+            or payload[:8] == _PNG_SIG)
 
 
 def resize_nearest(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:

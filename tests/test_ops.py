@@ -499,6 +499,97 @@ def test_media_png_through_stages():
     assert (decode_png(outs[1]) == resize_nearest(rgba, 4, 3)).all()
 
 
+def test_media_real_jpeg_codec():
+    """Baseline JPEG is decoded for REAL (pure-numpy Huffman + IDCT):
+    tile-uniform grayscale round-trips BIT-EXACTLY with all-ones quant
+    tables (DC-only blocks), smooth RGB round-trips within JPEG
+    tolerance at 4:4:4 AND 4:2:0, restart markers work, and
+    progressive/junk payloads are refused loudly."""
+    import numpy as np
+    import pytest as _pytest
+
+    from pmocr_ray.ops.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(5)
+    # exact path: uniform 8x8 tiles, quant_scale=0 (all-ones tables)
+    tiles = rng.integers(0, 256, (4, 5), dtype=np.uint8)
+    img = np.repeat(np.repeat(tiles, 8, 0), 8, 1)
+    out = decode_jpeg(encode_jpeg(img, quant_scale=0))
+    assert out.shape == (32, 40, 1) and (out[:, :, 0] == img).all()
+
+    # ... and stays exact across restart markers
+    o_rst = decode_jpeg(encode_jpeg(img, quant_scale=0,
+                                    restart_interval=2))
+    assert (o_rst[:, :, 0] == img).all()
+
+    # smooth RGB, 4:4:4 and 4:2:0, odd (non-multiple-of-8) dims
+    yy, xx = np.meshgrid(np.arange(37), np.arange(45), indexing="ij")
+    smooth = np.stack([(yy * 4) % 256, (xx * 5) % 256,
+                       (yy + xx) % 256], -1).astype(np.uint8)
+    o444 = decode_jpeg(encode_jpeg(smooth, 95))
+    assert o444.shape == (37, 45, 3)
+    assert np.abs(o444.astype(int) - smooth.astype(int)).max() <= 6
+    o420 = decode_jpeg(encode_jpeg(smooth, 95, subsample=True,
+                                   restart_interval=3))
+    assert o420.shape == (37, 45, 3)
+    assert np.abs(o420.astype(int) - smooth.astype(int)).max() <= 24
+
+    # refusals: junk, progressive (SOF2), truncated entropy data
+    with _pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"nope")
+    j = bytearray(encode_jpeg(img, quant_scale=0))
+    sof = j.find(b"\xFF\xC0")
+    j[sof + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+    with _pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(bytes(j))
+    with _pytest.raises(ValueError):
+        decode_jpeg(encode_jpeg(img, quant_scale=0)[:-40])
+
+
+def test_media_jpeg_through_stages():
+    """JPEG payloads flow through the raster dispatch: real pixel
+    statistics from MediaDecodeStage, real resize through
+    MediaResizeStage (gray JPEG in -> PNG out, RGB JPEG in -> PPM
+    out), junk still quarantined per row."""
+    import numpy as np
+
+    from pmocr_ray.ops.jpeg import decode_jpeg, encode_jpeg
+    from pmocr_ray.ops.media import (MediaDecodeStage, MediaResizeStage,
+                                     decode_png, decode_ppm, decode_raster,
+                                     is_raster, resize_nearest)
+
+    rng = np.random.default_rng(9)
+    tiles = rng.integers(0, 256, (3, 4), dtype=np.uint8)
+    gray = np.repeat(np.repeat(tiles, 8, 0), 8, 1)
+    jg = encode_jpeg(gray, quant_scale=0)
+    yy, xx = np.meshgrid(np.arange(16), np.arange(24), indexing="ij")
+    rgb = np.stack([(yy * 9) % 256, (xx * 3) % 256,
+                    (yy * 2 + xx) % 256], -1).astype(np.uint8)
+    jc = encode_jpeg(rgb, 95)
+    assert is_raster(jg) and is_raster(jc)
+    assert (decode_raster(jg)[:, :, 0] == gray).all()
+
+    t = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "media": pa.array([jg, jc], pa.binary())})
+    d = MediaDecodeStage(column="media")(t)
+    assert d["width"].to_pylist() == [32, 24]
+    assert d["height"].to_pylist() == [24, 16]
+    assert d["channels"].to_pylist() == [1, 3]
+    gpx = gray.reshape(-1, 1).astype(np.float32) / 255.0
+    feat = d["features"].to_pylist()[0]
+    assert abs(feat[0] - gpx.mean()) < 1e-6
+
+    r = MediaResizeStage(column="media", out_width=6, out_height=4)(t)
+    assert r["media_error"].to_pylist() == [None, None]
+    outs = r["media"].to_pylist()
+    # gray (1ch) re-encodes as PNG — EXACT vs resizing the decoded pixels
+    exp_g = resize_nearest(decode_jpeg(jg), 6, 4)
+    assert (decode_png(outs[0]) == exp_g).all()
+    # rgb (3ch) re-encodes as PPM
+    exp_c = resize_nearest(decode_jpeg(jc), 6, 4)
+    assert (decode_ppm(outs[1]) == exp_c).all()
+
+
 def test_media_wav_truncated_fmt_chunk_quarantines():
     """A 'fmt ' chunk shorter than 16 bytes must raise ValueError (not
     struct.error) so the audio stages quarantine the ROW instead of
