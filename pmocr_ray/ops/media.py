@@ -201,12 +201,13 @@ def _png_unfilter(raw: np.ndarray, h: int, stride: int,
 
 def decode_png(payload: bytes) -> np.ndarray:
     """Non-interlaced 8-bit PNG -> (h, w, c) uint8.  Gray (0),
-    RGB (2), gray+alpha (4) and RGBA (6) color types; palette,
-    16-bit and interlaced images raise loudly (-> quarantine).
-    Chunk CRCs are verified so corrupt payloads fail deterministically."""
+    RGB (2), palette (3 — PLTE lookup, tRNS → RGBA), gray+alpha (4)
+    and RGBA (6) color types; 16-bit and interlaced images raise
+    loudly (-> quarantine).  Chunk CRCs are verified so corrupt
+    payloads fail deterministically."""
     if payload[:8] != _PNG_SIG:
         raise ValueError("media: not a PNG payload")
-    pos, ihdr, idat = 8, None, []
+    pos, ihdr, idat, plte, trns = 8, None, [], None, None
     while pos + 12 <= len(payload):
         ln, = struct.unpack_from(">I", payload, pos)
         typ = payload[pos + 4:pos + 8]
@@ -218,6 +219,12 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise ValueError("media: PNG chunk CRC mismatch")
         if typ == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"PLTE":
+            if ln % 3:
+                raise ValueError("media: PNG PLTE length not divisible by 3")
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif typ == b"tRNS":
+            trns = np.frombuffer(data, np.uint8)
         elif typ == b"IDAT":
             idat.append(data)
         elif typ == b"IEND":
@@ -227,12 +234,12 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError("media: PNG missing IHDR/IDAT")
     w, h, depth, ct, comp, filt, interlace = ihdr
     if (depth != 8 or comp != 0 or filt != 0 or interlace != 0
-            or ct not in _PNG_CHANNELS):
+            or (ct not in _PNG_CHANNELS and ct != 3)):
         raise ValueError(
             f"media: unsupported PNG (depth {depth}, color type {ct}, "
             f"interlace {interlace}) — 8-bit non-interlaced "
-            f"gray/RGB/alpha only")
-    c = _PNG_CHANNELS[ct]
+            f"gray/RGB/palette/alpha only")
+    c = 1 if ct == 3 else _PNG_CHANNELS[ct]
     try:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error as exc:
@@ -240,8 +247,22 @@ def decode_png(payload: bytes) -> np.ndarray:
     stride = w * c
     if len(raw) != h * (stride + 1):
         raise ValueError("media: PNG pixel data size mismatch")
-    return _png_unfilter(np.frombuffer(raw, np.uint8), h, stride,
-                         c).reshape(h, w, c)
+    out = _png_unfilter(np.frombuffer(raw, np.uint8), h, stride,
+                        c).reshape(h, w, c)
+    if ct != 3:
+        return out
+    # palette lookup: indices -> RGB (+ alpha when tRNS present)
+    if plte is None:
+        raise ValueError("media: palette PNG missing PLTE chunk")
+    idx = out[:, :, 0]
+    if int(idx.max(initial=0)) >= len(plte):
+        raise ValueError("media: PNG palette index out of range")
+    rgb = plte[idx]
+    if trns is None:
+        return rgb
+    alpha = np.full(len(plte), 255, np.uint8)
+    alpha[: len(trns)] = trns
+    return np.concatenate([rgb, alpha[idx][:, :, None]], axis=2)
 
 
 def decode_raster(payload: bytes) -> np.ndarray:

@@ -467,6 +467,42 @@ def test_media_real_png_codec_roundtrip_and_filters():
             decode_png(bad)
 
 
+def test_media_png_palette_decode():
+    """Palette (color type 3) PNG decodes via PLTE lookup; tRNS adds
+    an alpha channel; missing PLTE / out-of-range indices refused."""
+    import struct as _struct
+    import zlib as _zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from pmocr_ray.ops.media import _PNG_SIG, _png_chunk, decode_png
+
+    rng = np.random.default_rng(13)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (7, 9), dtype=np.uint8)
+
+    def build(with_plte=True, with_trns=False):
+        ihdr = _struct.pack(">IIBBBBB", 9, 7, 8, 3, 0, 0, 0)
+        raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(7))
+        chunks = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+        if with_plte:
+            chunks += _png_chunk(b"PLTE", pal.tobytes())
+        if with_trns:
+            chunks += _png_chunk(b"tRNS", bytes(range(16)))
+        return chunks + _png_chunk(b"IDAT", _zlib.compress(raw)) \
+            + _png_chunk(b"IEND", b"")
+
+    out = decode_png(build())
+    assert out.shape == (7, 9, 3) and (out == pal[idx]).all()
+    out_a = decode_png(build(with_trns=True))
+    assert out_a.shape == (7, 9, 4)
+    assert (out_a[:, :, :3] == pal[idx]).all()
+    assert (out_a[:, :, 3] == idx).all()  # tRNS[i] = i by construction
+    with _pytest.raises(ValueError, match="PLTE"):
+        decode_png(build(with_plte=False))
+
+
 def test_media_png_through_stages():
     """PNG payloads flow through the REAL decode/resize stages: pixel
     statistics from actual pixels, resize re-encodes RGB as PPM and
