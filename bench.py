@@ -48,6 +48,10 @@ SCALING_REPS = int(os.environ.get("PMOCR_SCALING_REPS",
 HEADLINE_RUNS = int(os.environ.get("PMOCR_BENCH_HEADLINE_RUNS", "3"))
 SKIP_OPS = os.environ.get("PMOCR_BENCH_SKIP_OPS", "") == "1"
 SCALING_LEVELS = (8, 32)
+# Interleaved (lo, hi) pairs per --scaling run; min per level is the
+# steady-state estimate, so more pairs tighten BOTH legs' estimates
+# on a drifting host (the 32-cpu leg has the higher variance).
+SCALING_PAIRS = int(os.environ.get("PMOCR_SCALING_PAIRS", "2"))
 
 
 def run_bench() -> dict:
@@ -341,7 +345,7 @@ def run_scaling() -> dict:
     probe_pre = _host_capacity_probe(lo, hi)
     samples = {lo: [], hi: []}
     results = {}
-    for ncpu in (lo, hi, lo, hi):
+    for ncpu in (lo, hi) * SCALING_PAIRS:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    PMOCR_BENCH_REPS=str(SCALING_REPS),
                    PMOCR_BENCH_HEADLINE_RUNS="1", PMOCR_BENCH_SKIP_OPS="1")
