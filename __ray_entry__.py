@@ -1471,6 +1471,95 @@ def _q_media_jpeg_real(sf_dir: str):
             .map_batches(checksum, batch_format="pyarrow"))
 
 
+def _q_media_gif_real(sf_dir: str):
+    """REAL GIF codec (pure-Python LZW) gated at the PIXEL level:
+    each doc gets a palette GIF whose palette AND index plane are
+    arithmetic functions of doc_id, the resize stage LZW-decodes and
+    nearest-resizes it (RGB output re-encodes as PPM), and the query
+    emits the output pixel SUM — GIF is lossless, so SQL recomputes
+    it exactly from the same arithmetic."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pmocr_ray.ops.gif import encode_gif
+    from pmocr_ray.ops.media import MediaResizeStage, decode_ppm
+
+    def attach(t: pa.Table) -> pa.Table:
+        media = []
+        for d in t["doc_id"].to_pylist():
+            i = np.arange(24)
+            pal = np.stack([(d + i * 7) % 256, (d * 3 + i * 11) % 256,
+                            (d * 5 + i * 13) % 256], -1).astype(np.uint8)
+            h, w = 6 + d % 4, 8 + d % 5
+            y, x = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+            idx = ((d + y * 5 + x * 3) % 24).astype(np.uint8)
+            media.append(encode_gif(idx, pal))
+        return pa.table({"doc_id": t["doc_id"],
+                         "media": pa.array(media, pa.binary())})
+
+    def checksum(t: pa.Table) -> pa.Table:
+        sums = [int(decode_ppm(p).astype(np.int64).sum())
+                for p in t["media"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"],
+                         "out_width": t["out_width"],
+                         "out_height": t["out_height"],
+                         "pixel_sum": pa.array(sums, pa.int64())})
+
+    return (_docs(sf_dir).select_columns(["doc_id"])
+            .map_batches(attach, batch_format="pyarrow")
+            .map_batches(MediaResizeStage, batch_format="pyarrow",
+                         batch_size=64, concurrency=2,
+                         fn_constructor_kwargs={"column": "media",
+                                                "out_width": 4,
+                                                "out_height": 3})
+            .map_batches(checksum, batch_format="pyarrow"))
+
+
+def _q_gif_frames_real(sf_dir: str):
+    """Animated-GIF frame sampling through the REAL LZW codec: each
+    doc gets n = 2 + d%3 full-canvas 8×8 frames with arithmetic
+    palette/indices, FrameSampleStage (step 2) explodes composed RGB
+    frames, and the query emits each sampled frame's byte SUM —
+    SQL-recomputable exactly (lossless codec, opaque frames)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pmocr_ray.ops.gif import encode_gif
+    from pmocr_ray.ops.media import FrameSampleStage
+
+    def attach(t: pa.Table) -> pa.Table:
+        media = []
+        for d in t["doc_id"].to_pylist():
+            i = np.arange(16)
+            pal = np.stack([(d + i * 7) % 256, (d * 3 + i * 11) % 256,
+                            (d * 5 + i * 13) % 256], -1).astype(np.uint8)
+            frames = []
+            for f in range(2 + d % 3):
+                y, x = np.meshgrid(np.arange(8), np.arange(8),
+                                   indexing="ij")
+                frames.append(((d + f * 9 + y * 3 + x) % 16
+                               ).astype(np.uint8))
+            media.append(encode_gif(frames, pal))
+        return pa.table({"doc_id": t["doc_id"],
+                         "media": pa.array(media, pa.binary())})
+
+    def sums(t: pa.Table) -> pa.Table:
+        s = [int(np.frombuffer(f, np.uint8).astype(np.int64).sum())
+             for f in t["frame"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"],
+                         "frame_idx": t["frame_idx"],
+                         "byte_sum": pa.array(s, pa.int64())})
+
+    return (_docs(sf_dir).select_columns(["doc_id"])
+            .map_batches(attach, batch_format="pyarrow")
+            .map_batches(FrameSampleStage, batch_format="pyarrow",
+                         batch_size=64, concurrency=2,
+                         fn_constructor_kwargs={"column": "media",
+                                                "key_column": "doc_id",
+                                                "step": 2})
+            .map_batches(sums, batch_format="pyarrow"))
+
+
 def _audio_payloads(t):
     """Deterministic WAV-per-doc: n = 64 + d%37 mono s16 samples at
     rate 8000 + (d%3)*4000, sample[i] = ((d*7 + i*13) % 4001) - 2000 —
@@ -6549,6 +6638,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_resize_real": _q_media_resize_real,
         "media_png_real": _q_media_png_real,
         "media_jpeg_real": _q_media_jpeg_real,
+        "media_gif_real": _q_media_gif_real,
+        "gif_frames_real": _q_gif_frames_real,
         "audio_resample_real": _q_audio_resample_real,
         "frame_sample_real": _q_frame_sample_real,
         "url_canon_dedup": _q_url_canon_dedup,
@@ -9470,6 +9561,47 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN range(3) y2 CROSS JOIN range(4) x2
             CROSS JOIN range(3) ch
             GROUP BY d.doc_id""",
+        "media_gif_real": """
+            -- lossless LZW GIF resized to 4x3: palette channel c of
+            -- index i is an arithmetic function of (doc_id, i, c);
+            -- index at (y,x) = (d + y*5 + x*3) % 24; nearest-index
+            -- src = (dst * in) // out
+            WITH px AS (
+              SELECT d.doc_id AS doc_id,
+                     (d.doc_id
+                      + ((y2.range * (6 + d.doc_id % 4)) // 3) * 5
+                      + ((x2.range * (8 + d.doc_id % 5)) // 4) * 3
+                     ) % 24 AS i
+              FROM documents d
+              CROSS JOIN range(3) y2 CROSS JOIN range(4) x2
+            )
+            SELECT doc_id,
+                   CAST(4 AS INTEGER) AS out_width,
+                   CAST(3 AS INTEGER) AS out_height,
+                   CAST(sum((doc_id + i * 7) % 256
+                            + (doc_id * 3 + i * 11) % 256
+                            + (doc_id * 5 + i * 13) % 256) AS BIGINT)
+                     AS pixel_sum
+            FROM px GROUP BY doc_id""",
+        "gif_frames_real": """
+            -- animated GIF, step-2 frame sampling: frame f's composed
+            -- RGB byte sum over the 8x8 canvas, all arithmetic
+            WITH fr AS (
+              SELECT d.doc_id AS doc_id, f.range AS frame_idx
+              FROM documents d CROSS JOIN range(4) f
+              WHERE f.range < 2 + d.doc_id % 3 AND f.range % 2 = 0
+            ), px AS (
+              SELECT doc_id, frame_idx,
+                     (doc_id + frame_idx * 9 + y.range * 3 + x.range)
+                       % 16 AS i
+              FROM fr CROSS JOIN range(8) y CROSS JOIN range(8) x
+            )
+            SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+                   CAST(sum((doc_id + i * 7) % 256
+                            + (doc_id * 3 + i * 11) % 256
+                            + (doc_id * 5 + i * 13) % 256) AS BIGINT)
+                     AS byte_sum
+            FROM px GROUP BY doc_id, frame_idx""",
         "media_jpeg_real": """
             -- grayscale uniform-tile JPEG (all-ones quant: DC-only
             -- blocks, bit-exact through Huffman+IDCT) resized to 5x4:

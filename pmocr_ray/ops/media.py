@@ -277,12 +277,22 @@ def decode_raster(payload: bytes) -> np.ndarray:
         from pmocr_ray.ops.jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from pmocr_ray.ops.gif import decode_gif
+
+        frames, _ = decode_gif(payload)
+        first = frames[0]
+        # fully-opaque single image -> RGB; transparency -> RGBA
+        if (first[:, :, 3] == 255).all():
+            return np.ascontiguousarray(first[:, :, :3])
+        return first
     raise ValueError("media: unknown raster format")
 
 
 def is_raster(payload: bytes) -> bool:
     return (payload[:2] in (b"P6", b"BM", b"\xFF\xD8")
-            or payload[:8] == _PNG_SIG)
+            or payload[:8] == _PNG_SIG
+            or payload[:6] in (b"GIF87a", b"GIF89a"))
 
 
 def resize_nearest(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
@@ -413,6 +423,21 @@ class FrameSampleStage:
         keys = batch[self.key_column].to_pylist()
         out_keys, out_idx, out_frames = [], [], []
         for key, p in zip(keys, payloads):
+            if (p or b"")[:6] in (b"GIF87a", b"GIF89a"):
+                # REAL path: animated GIF — composed RGB canvases
+                from pmocr_ray.ops.gif import decode_gif
+
+                try:
+                    frames, _ = decode_gif(p)
+                except ValueError:
+                    continue
+                for f in range(0, len(frames), self.step):
+                    out_keys.append(key)
+                    out_idx.append(f)
+                    out_frames.append(
+                        np.ascontiguousarray(
+                            frames[f][:, :, :3]).tobytes())
+                continue
             if (p or b"")[:9] == b"YUV4MPEG2":
                 # REAL path: decoded Y4M luma frames
                 try:

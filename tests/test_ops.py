@@ -626,6 +626,116 @@ def test_media_jpeg_through_stages():
     assert (decode_ppm(outs[1]) == exp_c).all()
 
 
+def test_media_real_gif_codec():
+    """GIF is decoded for REAL (pure-Python LZW): lossless round-trip
+    (single + multi-frame + 256-color), interlace, transparency
+    composition over the canvas, disposal-to-background, junk and
+    restore-previous refused."""
+    import numpy as np
+    import pytest as _pytest
+
+    from pmocr_ray.ops.gif import decode_gif, encode_gif
+
+    rng = np.random.default_rng(21)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    f0 = rng.integers(0, 16, (13, 21), dtype=np.uint8)
+    f1 = rng.integers(0, 16, (13, 21), dtype=np.uint8)
+
+    frames, delays = decode_gif(encode_gif(f0, pal))
+    assert len(frames) == 1 and delays == [0]
+    assert (frames[0][:, :, :3] == pal[f0]).all()
+    assert (frames[0][:, :, 3] == 255).all()
+
+    frames2, delays2 = decode_gif(encode_gif([f0, f1], pal,
+                                             delays_cs=[10, 20]))
+    assert len(frames2) == 2 and delays2 == [10, 20]
+    assert (frames2[1][:, :, :3] == pal[f1]).all()
+
+    pal8 = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    big = rng.integers(0, 256, (24, 31), dtype=np.uint8)
+    fr, _ = decode_gif(encode_gif(big, pal8))
+    assert (fr[0][:, :, :3] == pal8[big]).all()
+
+    # interlace: store rows in 4-pass order, set the interlace flag —
+    # the decoder must un-permute back to the original image
+    img = rng.integers(0, 16, (16, 9), dtype=np.uint8)
+    order = [y for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+             for y in range(start, 16, step)]
+    stored = img[order]
+    payload = bytearray(encode_gif(stored, pal))
+    desc = payload.index(0x2C, 13)          # image descriptor
+    payload[desc + 9] |= 0x40               # interlace flag
+    fi, _ = decode_gif(bytes(payload))
+    assert (fi[0][:, :, :3] == pal[img]).all()
+
+    # transparency: frame 2's transparent pixels keep frame 1's colors
+    # (index 16 is reserved for transparency — absent from frame 1, so
+    # frame 1 composes fully opaque)
+    pal17 = np.concatenate([pal, np.zeros((1, 3), np.uint8)])
+    mask = rng.random((13, 21)) < 0.5
+    f1t = f1.copy()
+    f1t[mask] = 16
+    ft, _ = decode_gif(encode_gif([f0, f1t], pal17, transparent=16))
+    exp = pal17[f1t]
+    exp[mask] = pal17[f0][mask]             # composed over frame 1
+    assert (ft[1][:, :, :3] == exp).all()
+
+    # disposal 2 clears the canvas between frames: a fully-transparent
+    # second frame shows the background (alpha 0), not frame 1
+    blank = np.full((13, 21), 16, np.uint8)
+    fd, _ = decode_gif(encode_gif([f0, blank], pal17, transparent=16,
+                                  disposal=2))
+    assert (fd[1][:, :, 3] == 0).all()
+
+    with _pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"GIF00a junk")
+    with _pytest.raises(ValueError, match="restore previous"):
+        decode_gif(encode_gif(f0, pal, disposal=3))
+
+
+def test_media_gif_through_stages():
+    """GIF flows through the raster dispatch (opaque -> RGB, real
+    pixels in decode/resize) and FrameSampleStage explodes animated
+    GIFs into composed RGB frame rows."""
+    import numpy as np
+
+    from pmocr_ray.ops.gif import decode_gif, encode_gif
+    from pmocr_ray.ops.media import (FrameSampleStage, MediaDecodeStage,
+                                     MediaResizeStage, decode_ppm,
+                                     decode_raster, is_raster,
+                                     resize_nearest)
+
+    rng = np.random.default_rng(22)
+    pal = rng.integers(0, 256, (32, 3), dtype=np.uint8)
+    idx = rng.integers(0, 32, (10, 14), dtype=np.uint8)
+    g = encode_gif(idx, pal)
+    assert is_raster(g)
+    rgb = decode_raster(g)
+    assert rgb.shape == (10, 14, 3) and (rgb == pal[idx]).all()
+
+    t = pa.table({"doc_id": pa.array([0], pa.int64()),
+                  "media": pa.array([g], pa.binary())})
+    d = MediaDecodeStage(column="media")(t)
+    assert d["width"].to_pylist() == [14]
+    assert d["channels"].to_pylist() == [3]
+    r = MediaResizeStage(column="media", out_width=5, out_height=4)(t)
+    assert r["media_error"].to_pylist() == [None]
+    assert (decode_ppm(r["media"].to_pylist()[0])
+            == resize_nearest(pal[idx], 5, 4)).all()
+
+    # animated: 4 frames, step 2 -> frames 0 and 2 as RGB bytes
+    anim = [rng.integers(0, 32, (6, 8), dtype=np.uint8) for _ in range(4)]
+    ga = encode_gif(anim, pal, delays_cs=[5] * 4)
+    ta = pa.table({"doc_id": pa.array([9], pa.int64()),
+                   "media": pa.array([ga], pa.binary())})
+    ex = FrameSampleStage(column="media", step=2)(ta)
+    assert ex["frame_idx"].to_pylist() == [0, 2]
+    frames, _ = decode_gif(ga)
+    for row, f in zip(ex["frame"].to_pylist(), (0, 2)):
+        assert row == np.ascontiguousarray(
+            frames[f][:, :, :3]).tobytes()
+
+
 def test_media_wav_truncated_fmt_chunk_quarantines():
     """A 'fmt ' chunk shorter than 16 bytes must raise ValueError (not
     struct.error) so the audio stages quarantine the ROW instead of
