@@ -1515,6 +1515,49 @@ def _q_media_gif_real(sf_dir: str):
             .map_batches(checksum, batch_format="pyarrow"))
 
 
+def _q_media_tiff_real(sf_dir: str):
+    """REAL TIFF codec (the reference's own input format) gated at the
+    PIXEL level: arithmetic RGB pixels packaged as PackBits-compressed
+    TIFF for even doc_ids and literal-LZW TIFF for odd ones, decoded
+    and resized through the raster dispatch — TIFF is lossless in both
+    modes, so SQL recomputes the resized pixel SUM exactly (same
+    arithmetic + nearest-index formula as media_resize_real)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pmocr_ray.ops.media import MediaResizeStage, decode_ppm
+    from pmocr_ray.ops.tiff import encode_tiff
+
+    def attach(t: pa.Table) -> pa.Table:
+        media = []
+        for d in t["doc_id"].to_pylist():
+            w, h = 8 + d % 5, 6 + d % 4
+            y, x, c = np.meshgrid(np.arange(h), np.arange(w),
+                                  np.arange(3), indexing="ij")
+            px = ((d + y * 31 + x * 7 + c * 3) % 256).astype(np.uint8)
+            media.append(encode_tiff(
+                px, compression="packbits" if d % 2 == 0 else "lzw"))
+        return pa.table({"doc_id": t["doc_id"],
+                         "media": pa.array(media, pa.binary())})
+
+    def checksum(t: pa.Table) -> pa.Table:
+        sums = [int(decode_ppm(p).astype(np.int64).sum())
+                for p in t["media"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"],
+                         "out_width": t["out_width"],
+                         "out_height": t["out_height"],
+                         "pixel_sum": pa.array(sums, pa.int64())})
+
+    return (_docs(sf_dir).select_columns(["doc_id"])
+            .map_batches(attach, batch_format="pyarrow")
+            .map_batches(MediaResizeStage, batch_format="pyarrow",
+                         batch_size=64, concurrency=2,
+                         fn_constructor_kwargs={"column": "media",
+                                                "out_width": 4,
+                                                "out_height": 3})
+            .map_batches(checksum, batch_format="pyarrow"))
+
+
 def _q_gif_frames_real(sf_dir: str):
     """Animated-GIF frame sampling through the REAL LZW codec: each
     doc gets n = 2 + d%3 full-canvas 8×8 frames with arithmetic
@@ -6639,6 +6682,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_png_real": _q_media_png_real,
         "media_jpeg_real": _q_media_jpeg_real,
         "media_gif_real": _q_media_gif_real,
+        "media_tiff_real": _q_media_tiff_real,
         "gif_frames_real": _q_gif_frames_real,
         "audio_resample_real": _q_audio_resample_real,
         "frame_sample_real": _q_frame_sample_real,
@@ -9550,6 +9594,21 @@ def oracle_sql() -> dict[str, str]:
             -- recompute the REAL codec's resized pixel sum from the
             -- same (doc_id, y, x, c) arithmetic and the same
             -- nearest-index formula src = (dst * in) // out
+            SELECT d.doc_id,
+                   CAST(4 AS INTEGER) AS out_width,
+                   CAST(3 AS INTEGER) AS out_height,
+                   CAST(sum((d.doc_id
+                             + ((y2.range * (6 + d.doc_id % 4)) // 3) * 31
+                             + ((x2.range * (8 + d.doc_id % 5)) // 4) * 7
+                             + ch.range * 3) % 256) AS BIGINT) AS pixel_sum
+            FROM documents d
+            CROSS JOIN range(3) y2 CROSS JOIN range(4) x2
+            CROSS JOIN range(3) ch
+            GROUP BY d.doc_id""",
+        "media_tiff_real": """
+            -- lossless TIFF (PackBits / LZW containers) resized to
+            -- 4x3: same arithmetic + nearest-index formula as
+            -- media_resize_real (container-independent)
             SELECT d.doc_id,
                    CAST(4 AS INTEGER) AS out_width,
                    CAST(3 AS INTEGER) AS out_height,

@@ -286,13 +286,18 @@ def decode_raster(payload: bytes) -> np.ndarray:
         if (first[:, :, 3] == 255).all():
             return np.ascontiguousarray(first[:, :, :3])
         return first
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from pmocr_ray.ops.tiff import decode_tiff
+
+        return decode_tiff(payload)
     raise ValueError("media: unknown raster format")
 
 
 def is_raster(payload: bytes) -> bool:
     return (payload[:2] in (b"P6", b"BM", b"\xFF\xD8")
             or payload[:8] == _PNG_SIG
-            or payload[:6] in (b"GIF87a", b"GIF89a"))
+            or payload[:6] in (b"GIF87a", b"GIF89a")
+            or payload[:4] in (b"II*\x00", b"MM\x00*"))
 
 
 def resize_nearest(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
