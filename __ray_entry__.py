@@ -6677,13 +6677,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup": _q_line_dedup,
         "decontaminate": _q_decontaminate,
         "stream_sessions": _q_stream_sessions,
-        "media_meta": _q_media_meta,
         "media_resize_real": _q_media_resize_real,
-        "media_png_real": _q_media_png_real,
         "media_jpeg_real": _q_media_jpeg_real,
         "media_gif_real": _q_media_gif_real,
-        "media_tiff_real": _q_media_tiff_real,
-        "gif_frames_real": _q_gif_frames_real,
         "audio_resample_real": _q_audio_resample_real,
         "frame_sample_real": _q_frame_sample_real,
         "url_canon_dedup": _q_url_canon_dedup,
@@ -6870,6 +6866,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_parts_per_brand": _q_top_parts_per_brand,
         # composed curation
         # multimodal
+        "media_meta": _q_media_meta,
+        "media_png_real": _q_media_png_real,
+        "media_tiff_real": _q_media_tiff_real,
+        "gif_frames_real": _q_gif_frames_real,
         "media_resize": _q_media_resize,
         "audio_meta": _q_audio_meta,
         "frame_sample": _q_frame_sample,

@@ -28,6 +28,8 @@ import struct
 
 import numpy as np
 
+from pmocr_ray.ops.media import quarantine_malformed
+
 
 # ------------------------------------------------------------- decode
 
@@ -110,6 +112,7 @@ def _deinterlace(idx: np.ndarray, w: int, h: int) -> np.ndarray:
     return out.reshape(-1)
 
 
+@quarantine_malformed
 def decode_gif(payload: bytes):
     """GIF bytes -> (frames, delays_cs): ``frames`` is a list of
     (h, w, 4) uint8 RGBA canvases (one per image block, composed in

@@ -30,6 +30,8 @@ import struct
 
 import numpy as np
 
+from pmocr_ray.ops.media import quarantine_malformed
+
 # ---------------------------------------------------------------- DCT
 
 _C = np.zeros((8, 8))
@@ -167,6 +169,7 @@ def _extend(v: int, size: int) -> int:
     return v
 
 
+@quarantine_malformed
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Baseline JFIF bytes -> (h, w, c) uint8 (c = 1 or 3, RGB)."""
     if payload[:2] != b"\xFF\xD8":
@@ -180,6 +183,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("media: JPEG marker sync lost")
+        # B.1.1.2: any number of 0xFF fill bytes may pad before a
+        # marker — skip them so the byte after the LAST 0xFF is the
+        # marker code, not misread as a segment with a length
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:       # EOI

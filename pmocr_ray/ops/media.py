@@ -32,6 +32,26 @@ _MAGIC = b"FAKEIMG1"
 _HEADER = struct.Struct(">8sIIH")  # magic, width, height, channels
 
 
+def quarantine_malformed(fn):
+    """Codec-entry decorator: the stage contract is that decode
+    failures raise ``ValueError`` (→ per-row quarantine, never a task
+    failure), but malformed payloads can drive ``struct.unpack`` /
+    index arithmetic off the end of the buffer first — normalize
+    those low-level errors to the contract's ValueError."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(payload, *args, **kwargs):
+        try:
+            return fn(payload, *args, **kwargs)
+        except (struct.error, IndexError, KeyError, OverflowError) as exc:
+            raise ValueError(
+                f"media: malformed payload "
+                f"({type(exc).__name__}: {exc})") from exc
+
+    return wrapper
+
+
 def encode_fake_image(width: int, height: int, channels: int = 3,
                       seed: int = 0) -> bytes:
     """Deterministic synthetic image payload (seeded byte pattern)."""
@@ -54,11 +74,11 @@ def decode_header(payload: bytes) -> tuple[int, int, int]:
 
 # ---- real raster formats (pure numpy, no image libraries) -----------
 #
-# PPM (P6) and uncompressed 24-bit BMP are fully decodable without
-# PIL/libvips, so the media stages are REAL end-to-end for them; the
-# synthetic FAKEIMG codec remains the stand-in for compressed formats
-# (JPEG/PNG) whose decoders this container lacks.
+# Uncompressed rasters first (PPM P6, 24-bit BMP); the compressed
+# formats (PNG below, JPEG/GIF/TIFF in their own modules) dispatch
+# through decode_raster by magic.
 
+@quarantine_malformed
 def decode_ppm(payload: bytes) -> np.ndarray:
     """Binary PPM (P6, maxval 255) -> (h, w, 3) uint8 array."""
     if payload[:2] != b"P6":
@@ -95,6 +115,7 @@ def encode_ppm(arr: np.ndarray) -> bytes:
         np.ascontiguousarray(arr, dtype=np.uint8).tobytes()
 
 
+@quarantine_malformed
 def decode_bmp(payload: bytes) -> np.ndarray:
     """Uncompressed 24-bit BMP (BI_RGB) -> (h, w, 3) uint8 RGB array.
     Handles bottom-up (positive height) and top-down rows and the
@@ -199,6 +220,7 @@ def _png_unfilter(raw: np.ndarray, h: int, stride: int,
     return out
 
 
+@quarantine_malformed
 def decode_png(payload: bytes) -> np.ndarray:
     """Non-interlaced 8-bit PNG -> (h, w, c) uint8.  Gray (0),
     RGB (2), palette (3 — PLTE lookup, tRNS → RGBA), gray+alpha (4)
@@ -551,6 +573,7 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
             + b"data" + struct.pack("<I", len(data)) + data)
 
 
+@quarantine_malformed
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """WAV bytes -> ((n_samples, n_channels) int16, sample_rate).
     PCM s16le only; other codecs/depths raise loudly (-> quarantine).
@@ -691,6 +714,7 @@ def encode_y4m(frames: np.ndarray, fps: tuple[int, int] = (25, 1)) -> bytes:
     return head + body
 
 
+@quarantine_malformed
 def decode_y4m(payload: bytes) -> tuple[np.ndarray, tuple[int, int]]:
     """YUV4MPEG2 Cmono bytes -> ((n_frames, h, w) uint8, (fps_n, fps_d)).
     Non-mono colorspaces raise loudly (4:2:0 would need chroma planes

@@ -1542,13 +1542,27 @@ def canonicalize_urls(urls: "pa.Array | pa.ChunkedArray") -> pa.Array:
     eligible = pc.and_(
         pc.and_(ex.is_valid(), pc.string_is_ascii(s)),
         pc.match_substring_regex(q, _SAFE_QUERY_RE))
-    # drop tracking params: sentinel '&', remove every `track[=v]&`,
-    # strip the trailing sentinel — position-independent, no lookahead
-    # (RE2 has none)
-    q_clean = pc.replace_substring_regex(
-        pc.binary_join_element_wise(q, pa.scalar("&"), ""),
-        _TRACK_RE + r"(?:=[^&]*)?&", "")
-    q_clean = pc.replace_substring_regex(q_clean, r"&$", "")
+    # Drop tracking params by EXACT per-param match: split on '&',
+    # filter out elements whose WHOLE key is a tracking key (anchored
+    # ^...$ on the element — a substring regex over the joined query
+    # would also hit keys that merely CONTAIN a tracking name, e.g.
+    # 'pref'/'xref'), rebuild each row's list, re-join with '&'.
+    parts = pc.split_pattern(q, "&")
+    flat = pc.list_flatten(parts)
+    parent = pc.list_parent_indices(parts)
+    keep = pc.invert(pc.match_substring_regex(
+        flat, rf"^{_TRACK_RE}(?:=.*)?$"))
+    kept_vals = flat.filter(keep)
+    kept_par = parent.filter(keep).to_numpy(zero_copy_only=False)
+    counts = np.bincount(kept_par, minlength=len(s)) if len(s) else \
+        np.zeros(0, np.int64)
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+    kept_lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                          kept_vals.combine_chunks()
+                                          if isinstance(kept_vals,
+                                                        pa.ChunkedArray)
+                                          else kept_vals)
+    q_clean = pc.binary_join(kept_lists, "&")
     fast = pc.binary_join_element_wise(
         pc.ascii_lower(pc.if_else(ex.is_valid(), ex.field("sh"), "")),
         pc.if_else(ex.is_valid(), ex.field("path"), ""),
@@ -1626,11 +1640,18 @@ def rare_term_pairs(ds, column: str = "text", key: str = "doc_id",
             .select_columns(["term"])).materialize()
     n_rare = rare.count()
 
-    def _batch_incidence(batch: pa.Table) -> pa.Table:
+    def _batch_incidence(batch: pa.Table, term_filter=None) -> pa.Table:
+        """Distinct (term, doc) pairs of a batch.  ``term_filter``
+        (flat token array -> boolean mask) prunes the token stream
+        BEFORE the local group_by — the rare subset is typically ≪ 1%
+        of tokens, so hashing the full stream first would be ~100×
+        wasted aggregate work per batch."""
         toks = pc.split_pattern_regex(batch[column], r"\s+")
         flat = pc.list_flatten(toks)
         parent = pc.list_parent_indices(toks)
         mask = pc.not_equal(flat, "")
+        if term_filter is not None:
+            mask = pc.and_(mask, term_filter(flat))
         pairs = pa.table({"term": flat.filter(mask),
                           key: batch[key].take(parent.filter(mask))})
         return pairs.group_by(["term", key]).aggregate([])
@@ -1648,8 +1669,9 @@ def rare_term_pairs(ds, column: str = "text", key: str = "doc_id",
 
         def incidence(batch: pa.Table) -> pa.Table:
             ra = ray.get(ref)
-            p = _batch_incidence(batch)
-            return p.filter(pc.is_in(p["term"], value_set=ra))
+            return _batch_incidence(
+                batch, term_filter=lambda flat: pc.is_in(flat,
+                                                         value_set=ra))
 
         # no global (term, doc) distinct needed: bucket_pairs dedups
         # doc ids inside each term group, so cross-batch repeats of
@@ -1664,13 +1686,20 @@ def rare_term_pairs(ds, column: str = "text", key: str = "doc_id",
 
         def incidence_bloom(batch: pa.Table) -> pa.Table:
             bitmap = ray.get(bitmap_ref)
-            p = _batch_incidence(batch)
-            uniq = pc.unique(p["term"])
-            idx = _bloom_indices(uniq.to_pylist(), n_bits, k_hashes)
-            bits = (bitmap[(idx >> 3).astype(np.int64)]
-                    >> (idx & 7).astype(np.uint8)) & 1
-            probable = uniq.filter(pa.array(bits.all(axis=1)))
-            return p.filter(pc.is_in(p["term"], value_set=probable))
+
+            def probe(flat: pa.Array):
+                # one md5 probe per DISTINCT token, then a vectorized
+                # membership test over the stream — the bloom filter
+                # prunes before the local group_by, same as the
+                # broadcast plan's is_in
+                uniq = pc.unique(flat)
+                idx = _bloom_indices(uniq.to_pylist(), n_bits, k_hashes)
+                bits = (bitmap[(idx >> 3).astype(np.int64)]
+                        >> (idx & 7).astype(np.uint8)) & 1
+                probable = uniq.filter(pa.array(bits.all(axis=1)))
+                return pc.is_in(flat, value_set=probable)
+
+            return _batch_incidence(batch, term_filter=probe)
 
         probable_inc = ds.map_batches(incidence_bloom,
                                       batch_format="pyarrow")

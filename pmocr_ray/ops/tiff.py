@@ -25,6 +25,8 @@ import struct
 
 import numpy as np
 
+from pmocr_ray.ops.media import quarantine_malformed
+
 _TAG_WIDTH = 256
 _TAG_LENGTH = 257
 _TAG_BITS = 258
@@ -200,6 +202,7 @@ def _tiff_lzw_encode_literal(data: bytes) -> bytes:
     return w.finish()
 
 
+@quarantine_malformed
 def decode_tiff(payload: bytes) -> np.ndarray:
     """TIFF bytes -> (h, w, c) uint8 (c = 1, 3 or 4)."""
     if payload[:4] == b"II*\x00":

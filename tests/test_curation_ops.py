@@ -501,6 +501,14 @@ def test_canonicalize_urls_differential_vs_scalar():
         "https://a.x/p?ref=tw&fbclid=1",
         "https://a.x/p?b=&a=2",
         "https://a.x/p?a=1&a=2&refx=keepme",
+        # keys that merely CONTAIN a tracking name must be kept intact
+        # (suffix/infix forms — a substring-matching strip corrupts
+        # these; the per-param anchored filter must not)
+        "https://a.x/p?pref=1",
+        "https://a.x/p?xref=abc",
+        "https://a.x/p?agclid=5",
+        "https://a.x/p?foutm_a=1&b=2",
+        "https://a.x/p?utm_a=1&utm_b=2&utm_c=3&utm_d=4",  # adjacent strips
         "https://a.x/p?a=b+c",          # '+' round-trips as '+'
         "https://User@Host:8080/x?k=v",
         "https://a.x/p?utm_=1&utm_campaign=x%20y",  # tracking any value
@@ -523,7 +531,7 @@ def test_canonicalize_urls_differential_vs_scalar():
     exp = [strip_tracking_params(u) for u in urls]
     assert got == exp
     # all-eligible batch exercises the pure-Arrow early return
-    fast_only = [u for u in urls[:14]]
+    fast_only = [u for u in urls[:19]]  # everything before the fallback shapes
     got2 = canonicalize_urls(pa.array(fast_only, pa.string())).to_pylist()
     assert got2 == [strip_tracking_params(u) for u in fast_only]
 

@@ -851,6 +851,69 @@ def test_media_tiff_through_stages():
             == resize_nearest(rgb, 4, 5)).all()
 
 
+def test_media_truncated_codec_payloads_quarantine_not_crash():
+    """Truncated/malformed payloads of EVERY real codec must
+    quarantine the row (ValueError via the quarantine_malformed
+    wrapper), never escape as struct.error/IndexError and fail the
+    whole Ray task (code-review r5 finding)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from pmocr_ray.ops.gif import encode_gif
+    from pmocr_ray.ops.jpeg import encode_jpeg
+    from pmocr_ray.ops.media import (FrameSampleStage, MediaDecodeStage,
+                                     MediaResizeStage, decode_raster)
+    from pmocr_ray.ops.tiff import encode_tiff
+
+    rng = np.random.default_rng(41)
+    img = rng.integers(0, 256, (9, 9, 3), dtype=np.uint8)
+    bads = [
+        b"GIF89a\x01",                      # truncated GIF header
+        b"II*\x00\x08\x00",                 # truncated TIFF IFD offset
+        b"II*\x00" + b"\x08\x00\x00\x00" + b"\xff\xff",  # huge IFD count
+        b"\xFF\xD8\xFF\xC0\x00\x03\x08",    # truncated JPEG SOF
+        b"\x89PNG\r\n\x1a\n\x00\x00\x00",   # truncated PNG chunk
+        b"P6\n9 9\n255\n\x00",              # short PPM body
+        b"BM" + b"\x00" * 60,               # zero-dim BMP header
+        encode_gif(img[:, :, 0] % 16,
+                   rng.integers(0, 256, (16, 3), dtype=np.uint8))[:-10],
+        encode_jpeg(img, 90)[:30],
+        encode_tiff(img)[:40],
+    ]
+    for p in bads:
+        with _pytest.raises(ValueError):
+            decode_raster(p)
+    t = pa.table({"doc_id": pa.array(range(len(bads)), pa.int64()),
+                  "media": pa.array(bads, pa.binary())})
+    for stage in (MediaResizeStage(column="media"),
+                  MediaDecodeStage(column="media")):
+        out = stage(t)                      # must not raise
+        assert all(e is not None for e in out["media_error"].to_pylist())
+    # frame sampling: malformed video payloads contribute zero rows
+    ex = FrameSampleStage(column="media")(t)
+    assert ex.num_rows == 0
+
+
+def test_jpeg_fill_bytes_before_markers():
+    """0xFF fill bytes before a marker are spec-legal (B.1.1.2) and
+    must not desync the segment parser."""
+    import numpy as np
+
+    from pmocr_ray.ops.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(42)
+    tiles = rng.integers(0, 256, (3, 4), dtype=np.uint8)
+    img = np.repeat(np.repeat(tiles, 8, 0), 8, 1)
+    j = encode_jpeg(img, quant_scale=0)
+    # pad fill bytes before the SOF and SOS markers
+    sof = j.index(b"\xFF\xC0")
+    j2 = j[:sof] + b"\xFF\xFF\xFF" + j[sof:]
+    sos = j2.index(b"\xFF\xDA")
+    j3 = j2[:sos] + b"\xFF" + j2[sos:]
+    out = decode_jpeg(j3)
+    assert (out[:, :, 0] == img).all()
+
+
 def test_media_wav_truncated_fmt_chunk_quarantines():
     """A 'fmt ' chunk shorter than 16 bytes must raise ValueError (not
     struct.error) so the audio stages quarantine the ROW instead of
