@@ -1636,6 +1636,34 @@ def _q_audio_meta(sf_dir: str):
                          fn_constructor_kwargs={"column": "media"}))
 
 
+def _q_audio_g711_real(sf_dir: str):
+    """REAL G.711 companded-audio decode (μ-law for even docs, A-law
+    for odd), gated at the SAMPLE level: payload bytes are arithmetic,
+    the decode stage expands them through the codec lookup tables, and
+    SQL recomputes the CCITT expansion formulas exactly (integer
+    arithmetic only) to rebuild sum |x| / sum x² / zero crossings."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pmocr_ray.ops.media import AudioDecodeStage, encode_wav_g711
+
+    def attach(t: pa.Table) -> pa.Table:
+        media = []
+        for d in t["doc_id"].to_pylist():
+            n = 48 + d % 17
+            b = ((d * 13 + np.arange(n) * 7) % 256).astype(np.uint8)
+            media.append(encode_wav_g711(
+                b, 8000, law="mulaw" if d % 2 == 0 else "alaw"))
+        return pa.table({"doc_id": t["doc_id"],
+                         "media": pa.array(media, pa.binary())})
+
+    return (_docs(sf_dir).select_columns(["doc_id"])
+            .map_batches(attach, batch_format="pyarrow")
+            .map_batches(AudioDecodeStage, batch_format="pyarrow",
+                         batch_size=64, concurrency=2,
+                         fn_constructor_kwargs={"column": "media"}))
+
+
 def _q_audio_resample_real(sf_dir: str):
     """REAL nearest-index resample to 4 kHz through the WAV codec:
     the output sample SUM is recomputed by SQL from the same
@@ -6872,6 +6900,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gif_frames_real": _q_gif_frames_real,
         "media_resize": _q_media_resize,
         "audio_meta": _q_audio_meta,
+        "audio_g711_real": _q_audio_g711_real,
         "frame_sample": _q_frame_sample,
     }
 
@@ -9691,6 +9720,62 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN range(4) y2 CROSS JOIN range(5) x2
             CROSS JOIN range(2) ch
             GROUP BY d.doc_id""",
+        "audio_g711_real": """
+            -- G.711 expansion recomputed in SQL: payload byte
+            -- b = (d*13 + i*7) % 256; mu-law (even d): u = 255 - b,
+            -- mag = ((u%16)*8 + 132) * 2^((u//16)%8) - 132, sign from
+            -- u >= 128; A-law (odd d): a = xor(b, 85), exp=(a//16)%8,
+            -- mag = exp=0 ? (a%16)*16+8 : ((a%16)*16+264)*2^(exp-1),
+            -- POSITIVE when a >= 128
+            WITH s AS (
+              SELECT d.doc_id AS doc_id, i.range AS i,
+                     (d.doc_id * 13 + i.range * 7) % 256 AS b,
+                     48 + d.doc_id % 17 AS n
+              FROM documents d CROSS JOIN range(65) i
+              WHERE i.range < 48 + d.doc_id % 17
+            ), e AS (
+              SELECT doc_id, i, n,
+                CASE WHEN doc_id % 2 = 0 THEN
+                  CASE WHEN (255 - b) >= 128 THEN
+                    -((((255 - b) % 16) * 8 + 132)
+                      * (1 << (((255 - b) // 16) % 8)) - 132)
+                  ELSE
+                    ((((255 - b) % 16) * 8 + 132)
+                     * (1 << (((255 - b) // 16) % 8)) - 132)
+                  END
+                ELSE
+                  CASE WHEN xor(b, 85) >= 128 THEN
+                    CASE WHEN ((xor(b, 85) // 16) % 8) = 0
+                         THEN (xor(b, 85) % 16) * 16 + 8
+                         ELSE ((xor(b, 85) % 16) * 16 + 264)
+                              * (1 << (((xor(b, 85) // 16) % 8) - 1))
+                    END
+                  ELSE
+                    -(CASE WHEN ((xor(b, 85) // 16) % 8) = 0
+                           THEN (xor(b, 85) % 16) * 16 + 8
+                           ELSE ((xor(b, 85) % 16) * 16 + 264)
+                                * (1 << (((xor(b, 85) // 16) % 8) - 1))
+                      END)
+                  END
+                END AS x
+              FROM s
+            ), z AS (
+              SELECT doc_id, n, x,
+                     lag(x) OVER (PARTITION BY doc_id ORDER BY i) AS px
+              FROM e
+            )
+            SELECT doc_id,
+                   CAST(8000 AS INTEGER) AS sample_rate,
+                   CAST(max(n) AS BIGINT) AS n_samples,
+                   CAST(1 AS INTEGER) AS n_channels,
+                   CAST(sum(abs(x)) AS BIGINT) AS sum_abs,
+                   CAST(sum(x * x) AS BIGINT) AS sum_sq,
+                   CAST(sum(CASE WHEN px IS NOT NULL
+                                  AND ((x >= 0) <> (px >= 0))
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                     AS zero_crossings,
+                   CAST(NULL AS VARCHAR) AS media_error
+            FROM z GROUP BY doc_id""",
         "audio_meta": """
             WITH s AS (
               SELECT d.doc_id, i.range AS i,

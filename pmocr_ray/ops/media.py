@@ -595,16 +595,60 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     if fmt is None or data is None:
         raise ValueError("media: WAV missing fmt/data chunk")
     audio_format, ch, rate, _, _, bits = fmt
-    if audio_format != 1 or bits != 16:
+    if audio_format == 1 and bits == 16:
+        arr = np.frombuffer(data, dtype="<i2")
+    elif audio_format == 7 and bits == 8:   # G.711 μ-law
+        arr = _MULAW_TABLE[np.frombuffer(data, np.uint8)]
+    elif audio_format == 6 and bits == 8:   # G.711 A-law
+        arr = _ALAW_TABLE[np.frombuffer(data, np.uint8)]
+    else:
         raise ValueError(
-            f"media: only PCM s16 WAV supported "
+            f"media: only PCM s16 / G.711 u-law / A-law WAV supported "
             f"(got format {audio_format}, {bits}-bit)")
-    arr = np.frombuffer(data, dtype="<i2")
     if ch > 1:
         arr = arr[: (len(arr) // ch) * ch].reshape(-1, ch)
     else:
         arr = arr[:, None]
     return arr, rate
+
+
+def _build_mulaw_table() -> np.ndarray:
+    """G.711 μ-law byte -> int16 (classic CCITT expansion:
+    ((mant·8 + 132) << exp) - 132, sign from the inverted byte)."""
+    b = np.arange(256)
+    u = (~b) & 0xFF
+    exp = (u >> 4) & 7
+    mant = u & 0xF
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    return np.where(u & 0x80, -mag, mag).astype(np.int16)
+
+
+def _build_alaw_table() -> np.ndarray:
+    """G.711 A-law byte -> int16 (0x55-xor form; exp 0 is linear)."""
+    b = np.arange(256)
+    a = b ^ 0x55
+    exp = (a >> 4) & 7
+    mant = a & 0xF
+    mag = np.where(exp == 0, (mant << 4) + 8,
+                   ((mant << 4) + 0x108) << np.maximum(exp - 1, 0))
+    return np.where(a & 0x80, mag, -mag).astype(np.int16)
+
+
+_MULAW_TABLE = _build_mulaw_table()
+_ALAW_TABLE = _build_alaw_table()
+
+
+def encode_wav_g711(samples_u8: np.ndarray, sample_rate: int,
+                    *, law: str = "mulaw") -> bytes:
+    """Raw companded bytes -> single-channel G.711 WAV (format 7 for
+    μ-law, 6 for A-law) — exists so the expansion path is testable
+    and oracle-gated without a compressor."""
+    data = np.ascontiguousarray(samples_u8, np.uint8).tobytes()
+    code = 7 if law == "mulaw" else 6
+    fmt = struct.pack("<HHIIHH", code, 1, sample_rate, sample_rate, 1, 8)
+    return (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
 
 
 def resample_nearest_audio(arr: np.ndarray, src_rate: int,

@@ -914,6 +914,47 @@ def test_jpeg_fill_bytes_before_markers():
     assert (out[:, :, 0] == img).all()
 
 
+def test_media_g711_wav_expansion():
+    """G.711 μ-law / A-law WAV (format 7/6) decodes through the exact
+    CCITT expansion tables: known anchor values, full-table round
+    trip through decode_wav, stage stats integer-exact; unsupported
+    formats still refused."""
+    import numpy as np
+    import pytest as _pytest
+
+    from pmocr_ray.ops.media import (_ALAW_TABLE, _MULAW_TABLE,
+                                     AudioDecodeStage, decode_wav,
+                                     encode_wav_g711)
+
+    # spec anchors: the two μ-law zeros and both laws' full-scale
+    assert _MULAW_TABLE[0xFF] == 0 and _MULAW_TABLE[0x7F] == 0
+    assert _MULAW_TABLE[0x80] == 32124 and _MULAW_TABLE[0x00] == -32124
+    assert _ALAW_TABLE[0xAA] == 32256 and _ALAW_TABLE[0x2A] == -32256
+    assert _ALAW_TABLE[0xD5] == 8 and _ALAW_TABLE[0x55] == -8
+
+    x = np.arange(256, dtype=np.uint8)
+    arr, rate = decode_wav(encode_wav_g711(x, 8000))
+    assert rate == 8000 and (arr[:, 0] == _MULAW_TABLE[x]).all()
+    arr2, _ = decode_wav(encode_wav_g711(x, 8000, law="alaw"))
+    assert (arr2[:, 0] == _ALAW_TABLE[x]).all()
+
+    t = pa.table({"doc_id": pa.array([0], pa.int64()),
+                  "media": pa.array([encode_wav_g711(x, 8000)],
+                                    pa.binary())})
+    d = AudioDecodeStage(column="media")(t)
+    xi = _MULAW_TABLE[x].astype(np.int64)
+    assert d["sum_abs"].to_pylist()[0] == int(np.abs(xi).sum())
+    assert d["sum_sq"].to_pylist()[0] == int((xi * xi).sum())
+
+    with _pytest.raises(ValueError, match="supported"):
+        # format 3 (IEEE float) still refused loudly
+        import struct as _struct
+        fmt = _struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+        decode_wav(b"RIFF" + _struct.pack("<I", 4 + 8 + len(fmt))
+                   + b"WAVE" + b"fmt " + _struct.pack("<I", len(fmt))
+                   + fmt + b"data" + _struct.pack("<I", 0))
+
+
 def test_media_wav_truncated_fmt_chunk_quarantines():
     """A 'fmt ' chunk shorter than 16 bytes must raise ValueError (not
     struct.error) so the audio stages quarantine the ROW instead of
